@@ -1,13 +1,69 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  * Every entry in `queries` is one operator from the inventory; every
+  * SQL-expressible one has a DuckDB oracle in `oracleSql` (hash-matched
+  * by the driver at sf0.01). Names and output column names are kept
+  * identical between the Spark plan and the oracle SQL.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelationalQueries.q3ShippingPriority(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 / §2.2 ingest, conformance, validation, calendar
+    "xml_ingest" -> (IngestQueries.xmlIngest _),
+    "schema_conform" -> (IngestQueries.schemaConform _),
+    "validate_constraints" -> (IngestQueries.validateConstraints _),
+    "period_calendar" -> (IngestQueries.periodCalendar _),
+    // §2.3 relational analytics
+    "q1_pricing_summary" -> (RelationalQueries.q1PricingSummary _),
+    "q3_shipping_priority" -> (RelationalQueries.q3ShippingPriority _),
+    "q5_local_supplier" -> (RelationalQueries.q5LocalSupplier _),
+    "q7_period_volume" -> (RelationalQueries.q7PeriodVolume _),
+    "q_market_share" -> (RelationalQueries.qMarketShare _),
+    "q_topk_per_group" -> (RelationalQueries.qTopKPerGroup _),
+    "q_delta_mom" -> (RelationalQueries.qDeltaMom _),
+    "q_running_total" -> (RelationalQueries.qRunningTotal _),
+    "q_semi_anti" -> (RelationalQueries.qSemiAnti _),
+    "q_rollup" -> (RelationalQueries.qRollup _),
+    "q_pivot" -> (RelationalQueries.qPivot _),
+    "q_percentiles" -> (RelationalQueries.qPercentiles _),
+    "q_distinct_agg" -> (RelationalQueries.qDistinctAgg _),
+    // §2.4 events / time series
+    "ev_tumbling_agg" -> (EventQueries.tumblingAgg _),
+    "ev_streaming_parity" -> (EventQueries.streamingParity _),
+    "ev_sessionize" -> (EventQueries.sessionize _),
+    "ev_funnel" -> (EventQueries.funnel _),
+    "ev_asof_join" -> (EventQueries.asofJoin _),
+    // §2.5 dedup
+    "dedup_exact" -> (TextQueries.dedupExactQ _),
+    "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccardQ _),
+    "dedup_minhash" -> (TextQueries.dedupMinhashQ _),
+    "dedup_simhash" -> (TextQueries.dedupSimhashQ _),
+    "dedup_embedding" -> (VectorQueries.dedupEmbedding _),
+    // §2.6 similarity search
+    "ann_bruteforce" -> (VectorQueries.annBruteForce _),
+    "ann_lsh" -> (VectorQueries.annLsh _),
+    "knn_classify" -> (VectorQueries.knnClassify _),
+    // §2.7 text analysis
+    "text_lang_id" -> (TextQueries.langIdQ _),
+    "text_quality" -> (TextQueries.qualityQ _),
+    "text_tokens" -> (TextQueries.tokensQ _),
+    "text_fingerprint" -> (TextQueries.fingerprintQ _),
+    // §2.8 multimodal plumbing
+    "mm_features" -> (VectorQueries.mmFeatures _)
+  )
+
+  /** DuckDB-equivalent SQL per query (omitted for hash-family ops whose
+    * exact constants aren't SQL-expressible: dedup_minhash,
+    * dedup_simhash, ann_lsh — those get rows-only checks plus recall
+    * specs in the test suite). */
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns as pure `Column`
+  * compositions (`zip_with` + left-fold `aggregate`) — codegen'd, no UDF,
+  * no driver-side collect. Accumulation is an in-order left fold in
+  * DOUBLE so results are bit-identical across engines (IEEE-754 ops in
+  * the same sequence), which the DuckDB oracle relies on.
+  */
+object VectorFunctions {
+  /** Dot product in double precision (in-order fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in double precision. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Cosine scaled to integer micro-units: floor(1e6 * cos). Exact to
+    * compare/sort/hash across engines. */
+  def cosineMicro(a: Column, b: Column): Column =
+    floor(lit(1e6) * cosine(a, b)).cast("long")
+
+  /** Deterministic random-hyperplane sign bits for LSH bucketing: the
+    * k-th hyperplane's j-th coordinate is a fixed ±1 derived from a
+    * 64-bit mix of (k, j) — no RNG state, so every executor and every
+    * engine derives the same planes.
+    */
+  def hyperplaneSign(k: Int, j: Column): Column = {
+    // splitmix64-style integer mix, kept in Column algebra.
+    val h = (j + lit(k.toLong * 2654435761L)) * lit(-7046029254386353131L)
+    when(((h % 2) + 2) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+  }
+
+  /** LSH bucket key: sign pattern of `nPlanes` hyperplane projections.
+    * At 100 TB this turns the O(n^2) similarity cross-join into a
+    * shuffle-on-bucket join. */
+  def lshBucket(vec: Column, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { k =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0L), size(vec).cast("long") - 1),
+          (x, j) => x.cast("double") * hyperplaneSign(k, j)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1)).otherwise(lit(0)).cast("string")
+    }
+    concat(bits: _*)
+  }
+}

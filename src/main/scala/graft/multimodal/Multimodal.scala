@@ -1,0 +1,69 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Encoders
+
+/** Multimodal-column plumbing: image/audio/video travel as opaque
+  * `binary` columns with typed metadata, processed per partition in
+  * fixed-size batches (the shape a real decoder — JPEG, resampler,
+  * frame sampler — needs for vectorized execution).
+  *
+  * The Spark side (schema, partitioning, batch iteration, feature
+  * schema) is real and tested; the DECODE STEP IS A DETERMINISTIC STUB
+  * (`fakeDecode`) because no image/audio codec ships in this
+  * environment — swap `fakeDecode` for a real codec call and nothing
+  * else changes. At 100 TB the binary payloads stay distributed
+  * (mapPartitions; no collect) and feature extraction is embarrassingly
+  * parallel.
+  */
+object Multimodal {
+
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+                           byte_sum: Long, distinct_bytes: Long, mean_byte_bp: Long)
+
+  /** STUB decoder: byte-level statistics standing in for a real decode
+    * (deterministic, so the oracle can re-derive it). Replace with a
+    * codec (e.g. javax.imageio / ffmpeg bindings) in production. */
+  def fakeDecode(payload: Array[Byte]): (Long, Long, Long) = {
+    var sum = 0L
+    val seen = new Array[Boolean](256)
+    var distinct = 0L
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xff
+      sum += b
+      if (!seen(b)) { seen(b) = true; distinct += 1 }
+      i += 1
+    }
+    (sum, distinct, if (payload.length == 0) 0L else math.floor(10000.0 * sum / payload.length).toLong)
+  }
+
+  /** Per-partition batched feature extraction over the binary column —
+    * the `mapInPandas`-style batch loop, JVM-native. */
+  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // batch boundary = where a vectorized decoder would run once per batch
+        batch.iterator.map { row =>
+          val (sum, distinct, meanBp) = fakeDecode(row.payload)
+          MediaFeatures(row.media_id, row.kind, row.payload.length.toLong, sum, distinct, meanBp)
+        }
+      }
+    }
+  }
+
+  /** Build a deterministic synthetic media table from the documents table
+    * (UTF-8 text bytes as stand-in payloads) — exercises the exact
+    * plumbing a parquet `binary` column takes. */
+  def syntheticMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(
+      col("doc_id").as("media_id"),
+      concat(lit("kind_"), (col("doc_id") % 3).cast("string")).as("kind"),
+      encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+}

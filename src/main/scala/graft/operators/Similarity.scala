@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * `bruteForceTopK` is the exact baseline: broadcast the (small) query
+  * set against the corpus — a map-side join, no shuffle of the corpus —
+  * then a per-query top-k window. `lshTopK` is the 100 TB path: bucket
+  * both sides with random-hyperplane LSH and join on bucket, turning the
+  * cross join into an equijoin whose shuffle is keyed on buckets.
+  */
+object Similarity {
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus
+    * vectors by cosine (integer micro-cosine for deterministic ties). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
+      col("label").as("n_label"))
+    val scored = broadcast(q).crossJoin(c)
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("cos_micro", cosineMicro(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_micro").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"), col("n_label"), col("cos_micro"))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates only within matching
+    * hyperplane-sign buckets (probing all single-bit-flip neighbor
+    * buckets for recall), then exact rescoring per candidate. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int = 8): DataFrame = {
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
+      col("label").as("n_label"))
+      .withColumn("bucket", lshBucket(col("n_vec"), nPlanes))
+    // multi-probe: query probes its own bucket plus all 1-bit flips.
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .withColumn("bucket0", lshBucket(col("q_vec"), nPlanes))
+      .withColumn("probe", explode(array(
+        (Seq(col("bucket0")) ++ (0 until nPlanes).map { i =>
+          concat(
+            substring(col("bucket0"), 1, i),
+            when(substring(col("bucket0"), i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+            substring(col("bucket0"), i + 2, nPlanes - i - 1))
+        }): _*)))
+    val scored = broadcast(q).join(c, col("probe") === col("bucket"))
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("cos_micro", cosineMicro(col("q_vec"), col("n_vec")))
+      .select(col("q_id"), col("n_id"), col("n_label"), col("cos_micro")).distinct()
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_micro").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+
+  /** kNN majority-vote classification of query vectors (k nearest by
+    * cosine, most frequent label wins, smaller label on ties). */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val nn = bruteForceTopK(queries, corpus, k)
+    val votes = nn.groupBy(col("q_id"), col("n_label")).agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("votes").desc, col("n_label"))
+    votes.withColumn("r", row_number().over(w)).where(col("r") === 1)
+      .select(col("q_id"), col("n_label").as("predicted_label"), col("votes"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window/time-series operators: the analytics surface a ratings lake
+  * exists for (leaderboards, month-over-month progress) plus event
+  * sessionization and as-of joins.
+  *
+  * Scale notes: every window partitions by a high-cardinality key
+  * (nation, user) — no global ordering except final small top-k sinks;
+  * sessionization is two window passes over the same (user, ts)
+  * partitioning so it costs one shuffle; the as-of join is the
+  * union+LOCF (last observation carried forward) formulation — one
+  * shuffle on the key, never a per-row range probe.
+  */
+object Windows {
+
+  /** Top-k rows per group by `order` descending (leaderboard — the
+    * "rank players by rating per federation" analog). */
+  def topKPerGroup(df: DataFrame, k: Int, part: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(part: _*).orderBy(order: _*)
+    df.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+
+  /** Gap-based sessionization: new session when the gap to the previous
+    * event of the same user exceeds `gap` (in the units of the numeric
+    * `tsCol`, e.g. epoch micros). `tieCol` breaks ordering ties so the
+    * result is deterministic. Adds session_seq per user. */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String, tieCol: String,
+                 gap: Long): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("prev_ts", lag(col(tsCol), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col(tsCol) - col("prev_ts") > gap, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(byUser))
+      .drop("prev_ts", "new_session")
+  }
+
+  /** As-of join: attach to each left row the most recent right row with
+    * right.ts <= left.ts for the same key, via union + LOCF window —
+    * one shuffle on the key instead of an O(n*m) range probe. `payload`
+    * columns are carried from the right side. */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+               payload: Seq[String]): DataFrame = {
+    val l = left
+    val r = right
+    // Align schemas: left keeps its columns; right contributes key/ts/payload.
+    val leftCols = left.columns.toSeq
+    val lAligned = l.select(
+      (leftCols.map(col) :+ lit(0).as("_is_right") :+ lit(null).cast("long").as("_rid")) ++
+        payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"asof_$p")): _*)
+    val rAligned = r.select(
+      (leftCols.map(c => if (c == key || c == tsCol) col(c) else lit(null).cast(left.schema(c).dataType).as(c)) :+
+        lit(1).as("_is_right") :+ monotonically_increasing_id().as("_rid")) ++
+        payload.map(p => col(p).as(s"asof_$p")): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol), col("_is_right").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(lAligned.unionByName(rAligned)) { (df, p) =>
+      df.withColumn(s"asof_$p", last(col(s"asof_$p"), ignoreNulls = true).over(w))
+    }
+    carried.where(col("_is_right") === 0).drop("_is_right", "_rid")
+  }
+}

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Window => W}
+import org.apache.spark.sql.functions._
+import graft.operators.Windows
+import graft.sources.TableLoader
+import graft.streaming.EventStream
+
+/** Event/time-series analytics over the events table. Timestamps are
+  * normalised to epoch microseconds (BIGINT) at the edge so arithmetic
+  * and output hashing are exact across engines; money sums go through
+  * DECIMAL(18,2). All windows partition by user_id (high cardinality at
+  * scale); the tumbling agg is the same plan Structured Streaming runs
+  * (see graft.streaming.EventStream).
+  */
+object EventQueries {
+  /** Events with `ts_us` (epoch micros BIGINT) and a proper timestamp
+    * `ts`. The parquet files carry TIMESTAMP(NANOS), which Spark only
+    * reads as raw longs (`spark.sql.legacy.parquet.nanosAsLong`) — the
+    * integer `div 1000` truncation matches DuckDB's epoch_us exactly. */
+  private[queries] def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = TableLoader.load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      case _ => raw.withColumn("ts_us", unix_micros(col("ts")))
+    }
+  }
+
+  /** Tumbling hourly counts/sums per event type. */
+  def tumblingAgg(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("value_cents"))
+      .orderBy(col("hour_epoch"), col("event_type"))
+
+  /** Gap-based sessions (30 min) with per-session rollup. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    Windows.sessionize(events(spark, dir), "user_id", "ts_us", "event_id",
+        gap = 1800L * 1000000L)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("value_cents"))
+      .orderBy(col("user_id"), col("session_seq"))
+
+  /** signup -> purchase conversion funnel per user. */
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts_us"))).as("signup_us"),
+        count(when(col("event_type") === "signup", lit(1))).as("n_signups"),
+        count(when(col("event_type") === "purchase", lit(1))).as("n_purchases"))
+      .join(
+        events(spark, dir).where(col("event_type") === "purchase")
+          .groupBy(col("user_id").as("u2")).agg(min(col("ts_us")).as("first_purchase_us")),
+        col("user_id") === col("u2"), "left")
+      .select(col("user_id"), col("signup_us"),
+        when(col("signup_us").isNotNull && col("first_purchase_us") >= col("signup_us"),
+          col("first_purchase_us")).as("purchase_after_signup_us"),
+        col("n_signups"), col("n_purchases"),
+        when(col("signup_us").isNotNull && col("first_purchase_us") >= col("signup_us"), 1L)
+          .otherwise(0L).as("converted"))
+      .orderBy(col("user_id"))
+
+  /** As-of join: each purchase gets the most recent click at-or-before it
+    * for the same user (union + last-observation-carried-forward — one
+    * shuffle on user_id, no range probe). */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("ts_us").as("click_ts_us"))
+    Windows.asOfJoin(purchases, clicks, "user_id", "ts_us", Seq("click_ts_us"))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("asof_click_ts_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Batch run of the streaming tumbling aggregation (same plan shape). */
+  def streamingParity(spark: SparkSession, dir: String): DataFrame =
+    EventStream.tumblingAgg(events(spark, dir).drop("ts_us"))
+      .select(unix_timestamp(col("window_start")).as("hour_epoch"),
+        col("event_type"), col("n_events"), col("value_cents"))
+      .orderBy(col("hour_epoch"), col("event_type"))
+}

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Conform, ConformSpec, Validate}
+import graft.sources.{TableLoader, XmlRecordSource}
+
+/** Ingest/conformance/validation/calendar queries — the reference's core
+  * ETL surface (parse XML -> conform schema -> validate -> period
+  * enrichment) re-expressed Spark-first and exercised end-to-end by the
+  * correctness gate.
+  */
+object IngestQueries {
+
+  /** Round-trip the customer table through generated flat-record XML and
+    * the distributed StAX parser — proves the XML ingest path without
+    * any driver-side funnel. Money goes through exact cents so the
+    * round-trip is lossless. */
+  def xmlIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fields = Seq("c_custkey", "c_name", "c_nationkey", "acct_cents", "c_mktsegment")
+    val asStrings = TableLoader.load(spark, dir, "customer").select(
+      col("c_custkey").cast("string"),
+      col("c_name"),
+      col("c_nationkey").cast("string"),
+      (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").cast("string"),
+      col("c_mktsegment"))
+      .as[(String, String, String, String, String)]
+    val xmlDocs = asStrings.mapPartitions { it =>
+      val rows = it.map(r => fields.zip(Seq(r._1, r._2, r._3, r._4, r._5)))
+      if (rows.isEmpty) Iterator.empty
+      else Iterator.single(XmlRecordSource.renderXml("record", rows))
+    }
+    XmlRecordSource.read(xmlDocs, "record", fields)
+      .select(
+        col("c_custkey").cast("long"),
+        col("c_name"),
+        col("c_nationkey").cast("int"),
+        col("acct_cents").cast("long"),
+        col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val SegmentCodes: Seq[(String, Int)] = Seq(
+    "AUTOMOBILE" -> 0, "BUILDING" -> 1, "FURNITURE" -> 2,
+    "HOUSEHOLD" -> 3, "MACHINERY" -> 4)
+
+  /** Declarative conformance (rename/cast/code-map/add-missing/enrich) —
+    * the `preprocess_ratings_data` semantics on customer. */
+  def schemaConform(spark: SparkSession, dir: String): DataFrame = {
+    val spec = ConformSpec(
+      renames = Map(
+        "c_custkey" -> "customer_id", "c_name" -> "customer_name",
+        "c_nationkey" -> "nation_id", "c_acctbal" -> "acctbal",
+        "c_mktsegment" -> "segment_code"),
+      casts = Map("c_acctbal" -> "decimal(18,2)", "c_custkey" -> "long"),
+      codeMaps = Map("c_mktsegment" -> SegmentCodes.toMap),
+      addMissing = Seq("loyalty_tier" -> "string"),
+      enrich = Seq("period_year" -> lit(1995), "period_month" -> lit(6)))
+    Conform(TableLoader.load(spark, dir, "customer"), spec)
+      .orderBy(col("customer_id"))
+  }
+
+  /** Declarative data-model validation (Patito-model analog): one row per
+    * rule with its distributed violation count. */
+  def validateConstraints(spark: SparkSession, dir: String): DataFrame = {
+    import Validate._
+    val orders = Validate.report("orders", TableLoader.load(spark, dir, "orders"), Seq(
+      NotNull("o_custkey"),
+      Enum("o_orderstatus", Seq("O", "F", "P")),
+      Range("o_totalprice", 0, 400000),
+      Unique("o_orderkey")))
+    val customer = Validate.report("customer", TableLoader.load(spark, dir, "customer"), Seq(
+      NotNull("c_mktsegment"),
+      Regex("c_name", "^Customer#[0-9]+$"),
+      Range("c_acctbal", -1000, 8000),
+      Unique("c_custkey")))
+    orders.unionAll(customer).orderBy(col("table"), col("rule"), col("column"))
+  }
+
+  /** Month-calendar generation (dates.py analog) left-joined with order
+    * activity — includes empty months, exact cents. */
+  def periodCalendar(spark: SparkSession, dir: String): DataFrame = {
+    val months = spark.range(1).select(
+      explode(sequence(
+        lit("1995-01-01").cast("date"),
+        lit("2001-12-01").cast("date"),
+        expr("interval 1 month"))).as("month_start"))
+    val activity = TableLoader.load(spark, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("o_totalprice").cast("decimal(18,2)")) * 100).cast("long").as("total_cents"))
+    months.join(activity, col("month_start") === col("m"), "left")
+      .select(col("month_start"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("total_cents"), lit(0L)).as("total_cents"))
+      .orderBy(col("month_start"))
+  }
+}

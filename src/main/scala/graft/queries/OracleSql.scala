@@ -1,0 +1,353 @@
+package graft.queries
+
+import graft.functions.TextFunctions
+
+/** DuckDB oracle SQL for every SQL-expressible query in SparkEntry.
+  *
+  * Exactness contract with the Spark implementations: money through
+  * DECIMAL(18,2) -> BIGINT cents; ratios as floor basis points computed
+  * with the same association order; string/rolling-hash arithmetic in
+  * 64-bit integers; doubles only via in-order left folds (identical
+  * IEEE-754 sequences); every query fully ordered.
+  */
+object OracleSql {
+  /** Rolling hash (base 31 mod 1e9+7) of a string expression. */
+  def rh(e: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($e, ''), " +
+      s"c -> ascii(c)::BIGINT)), (acc, x) -> (acc * 31 + x) % 1000000007)"
+
+  /** Distinct word-3-gram shingle hashes; expects `w` = string_split(text,' '). */
+  val shingleHashesFromW: String =
+    "list_distinct(list_transform(list_transform(range(1, greatest(len(w)-1, 1)), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]), s -> " + rh("s") + "))"
+
+  /** In-order double dot product of two float-list expressions. */
+  def dot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($a, $b), " +
+      s"s -> s[1]::DOUBLE * s[2]::DOUBLE)), (acc, x) -> acc + x)"
+
+  def cosMicro(qv: String, nv: String): String =
+    s"CAST(FLOOR(1e6 * (${dot(qv, nv)} / (SQRT(${dot(qv, qv)}) * SQRT(${dot(nv, nv)})))) AS BIGINT)"
+
+  val moneySum = "CAST(SUM(CAST(%s AS DECIMAL(18,2))) * 100 AS BIGINT)"
+  def cents(e: String): String = moneySum.format(e)
+  /** Per-row ROUND(x*100) cents — for products of doubles (see
+    * RelationalQueries.centsRound). */
+  def centsR(e: String): String = s"SUM(CAST(ROUND(($e) * 100) AS BIGINT))"
+
+  private def langScoreSql(markers: Seq[String]): String =
+    markers.map(m => s"CAST((length(p) - length(replace(p, ' $m ', ''))) / ${m.length + 2} AS BIGINT)")
+      .mkString(" + ")
+
+  val langIdSql: String = {
+    val scores = TextFunctions.LangMarkers.map { case (code, ms) =>
+      s"${langScoreSql(ms)} AS s_$code"
+    }.mkString(", ")
+    val codes = TextFunctions.LangMarkers.map(_._1)
+    val cases = codes.init.zipWithIndex.map { case (c, i) =>
+      val rest = codes.drop(i + 1)
+      s"WHEN ${rest.map(r => s"s_$c >= s_$r").mkString(" AND ")} THEN '$c'"
+    }.mkString(" ")
+    s"""WITH s AS (SELECT doc_id, lang, $scores FROM (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents))
+       |SELECT doc_id, lang, ${codes.map(c => s"s_$c").mkString(", ")},
+       | CASE $cases ELSE '${codes.last}' END AS predicted
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  val all: Map[String, String] = Map(
+    "xml_ingest" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        | CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acct_cents, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "schema_conform" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS customer_id, c_name AS customer_name,
+        | c_nationkey AS nation_id, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal,
+        | CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 0 WHEN 'BUILDING' THEN 1
+        |   WHEN 'FURNITURE' THEN 2 WHEN 'HOUSEHOLD' THEN 3 WHEN 'MACHINERY' THEN 4 END AS segment_code,
+        | CAST(NULL AS VARCHAR) AS loyalty_tier, 1995 AS period_year, 6 AS period_month
+        |FROM customer ORDER BY customer_id""".stripMargin,
+
+    "validate_constraints" -> {
+      def scalar(table: String, rule: String, column: String, cnt: String): String =
+        s"SELECT '$table' AS \"table\", '$rule' AS rule, '$column' AS \"column\", CAST(($cnt) AS BIGINT) AS violations"
+      Seq(
+        scalar("orders", "not_null", "o_custkey",
+          "SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL"),
+        scalar("orders", "enum", "o_orderstatus",
+          "SELECT COUNT(*) FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P')"),
+        scalar("orders", "range", "o_totalprice",
+          "SELECT COUNT(*) FROM orders WHERE o_totalprice IS NOT NULL AND (o_totalprice < 0 OR o_totalprice > 400000)"),
+        scalar("orders", "unique", "o_orderkey",
+          "SELECT COALESCE(SUM(n), 0) FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)"),
+        scalar("customer", "not_null", "c_mktsegment",
+          "SELECT COUNT(*) FROM customer WHERE c_mktsegment IS NULL"),
+        scalar("customer", "regex", "c_name",
+          "SELECT COUNT(*) FROM customer WHERE c_name IS NOT NULL AND NOT regexp_matches(c_name, '^Customer#[0-9]+$')"),
+        scalar("customer", "range", "c_acctbal",
+          "SELECT COUNT(*) FROM customer WHERE c_acctbal IS NOT NULL AND (c_acctbal < -1000 OR c_acctbal > 8000)"),
+        scalar("customer", "unique", "c_custkey",
+          "SELECT COALESCE(SUM(n), 0) FROM (SELECT COUNT(*) AS n FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1)")
+      ).mkString("", " UNION ALL ", " ORDER BY \"table\", rule, \"column\"")
+    },
+
+    "period_calendar" ->
+      """WITH months AS (
+        |  SELECT CAST(UNNEST(generate_series(DATE '1995-01-01', DATE '2001-12-01', INTERVAL 1 MONTH)) AS DATE) AS month_start),
+        |act AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m, COUNT(*) AS n_orders,
+        |   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT month_start, COALESCE(n_orders, 0) AS n_orders, COALESCE(total_cents, 0) AS total_cents
+        |FROM months LEFT JOIN act ON month_start = m ORDER BY month_start""".stripMargin,
+
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS sum_qty,
+         | ${centsR("l_extendedprice")} AS sum_base_cents,
+         | ${centsR("l_extendedprice * (1 - l_discount)")} AS sum_disc_cents,
+         | ${centsR("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge_cents,
+         | CAST(FLOOR(10000.0 * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) AS BIGINT) AS avg_qty_bp,
+         | COUNT(*) AS count_order
+         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+         | ${centsR("l_extendedprice * (1 - l_discount)")} AS revenue_cents
+         |FROM customer, orders, lineitem
+         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND o_orderdate < DATE '1998-03-15' AND l_shipdate > DATE '1998-03-15'
+         |GROUP BY 1, 2, 3 ORDER BY revenue_cents DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      s"""SELECT n_name, ${centsR("l_extendedprice * (1 - l_discount)")} AS revenue_cents
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+         |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+         |  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+         |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+         |GROUP BY 1 ORDER BY revenue_cents DESC, n_name""".stripMargin,
+
+    "q7_period_volume" ->
+      s"""SELECT supp_nation, cust_nation, l_year, ${centsR("rev")} AS revenue_cents FROM (
+         | SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS l_year,
+         |  l_extendedprice * (1 - l_discount) AS rev
+         | FROM supplier, lineitem, orders, customer, nation n1, nation n2
+         | WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
+         |   AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+         |   AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_market_share" ->
+      """WITH base AS (
+        | SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        |  CAST(ROUND((CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100) AS BIGINT) AS nat_cents,
+        |  CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS r_cents
+        | FROM lineitem, orders, customer, supplier, nation n1, nation n2, region
+        | WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey AND l_suppkey = s_suppkey
+        |   AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        |   AND s_nationkey = n2.n_nationkey)
+        |SELECT o_year, CAST(SUM(nat_cents) AS BIGINT) AS nation_cents,
+        | CAST(SUM(r_cents) AS BIGINT) AS total_cents,
+        | CAST(FLOOR(10000.0 * CAST(SUM(nat_cents) AS BIGINT) / CAST(SUM(r_cents) AS BIGINT)) AS BIGINT) AS share_bp
+        |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_topk_per_group" ->
+      """WITH r AS (
+        | SELECT c_nationkey, c_custkey,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_cents,
+        |  ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        | FROM customer)
+        |SELECT c_nationkey, CAST(rnk AS INT) AS rnk, c_custkey, acctbal_cents
+        |FROM r WHERE rnk <= 3 ORDER BY c_nationkey, rnk""".stripMargin,
+
+    "q_delta_mom" ->
+      """WITH m AS (
+        | SELECT o_orderpriority, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
+        | FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, month, total_cents,
+        | COALESCE(total_cents - LAG(total_cents) OVER (PARTITION BY o_orderpriority ORDER BY month), 0) AS delta_cents
+        |FROM m ORDER BY 1, 2""".stripMargin,
+
+    "q_running_total" ->
+      """WITH m AS (
+        | SELECT o_orderstatus, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS month_cents
+        | FROM orders GROUP BY 1, 2)
+        |SELECT o_orderstatus, month, month_cents,
+        | SUM(month_cents) OVER (PARTITION BY o_orderstatus ORDER BY month ROWS UNBOUNDED PRECEDING) AS cum_cents
+        |FROM m ORDER BY 1, 2""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT c_custkey, 'has_orders' AS label FROM customer
+        | WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS label FROM customer
+        | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT COALESCE(c_mktsegment, 'ALL') AS mktsegment,
+        | COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents,
+        | COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY ROLLUP(c_mktsegment, o_orderpriority) ORDER BY 1, 2""".stripMargin,
+
+    "q_pivot" -> {
+      val cols = RelationalQueries.Priorities
+        .zip(Seq("p_urgent", "p_high", "p_medium", "p_notspec", "p_low"))
+        .map { case (p, n) => s"COUNT(*) FILTER (o_orderpriority = '$p') AS $n" }
+        .mkString(", ")
+      s"SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year, $cols " +
+        "FROM orders GROUP BY 1 ORDER BY 1"
+    },
+
+    "q_percentiles" ->
+      """WITH j AS (
+        | SELECT c_mktsegment, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+        | FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (
+        | SELECT c_mktsegment, price_cents,
+        |  ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY price_cents) AS rn,
+        |  COUNT(*) OVER (PARTITION BY c_mktsegment) AS cnt
+        | FROM j)
+        |SELECT c_mktsegment,
+        | MAX(CASE WHEN rn = CEIL(cnt * 0.5) THEN price_cents END) AS p50_cents,
+        | MAX(CASE WHEN rn = CEIL(cnt * 0.9) THEN price_cents END) AS p90_cents
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        | COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_lines
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ev_tumbling_agg" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+        | COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ev_streaming_parity" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+        | COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ev_sessionize" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+        |s AS (
+        | SELECT *, CASE WHEN LAG(ts_us) OVER w IS NULL OR ts_us - LAG(ts_us) OVER w > 1800000000
+        |   THEN 1 ELSE 0 END AS new_s
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |t AS (
+        | SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        | FROM s)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ev_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |g AS (
+        | SELECT user_id,
+        |  MIN(CASE WHEN event_type = 'signup' THEN ts_us END) AS signup_us,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signups,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+        |  MIN(CASE WHEN event_type = 'purchase' THEN ts_us END) AS first_purchase_us
+        | FROM e GROUP BY 1)
+        |SELECT user_id, signup_us,
+        | CASE WHEN signup_us IS NOT NULL AND first_purchase_us >= signup_us THEN first_purchase_us END AS purchase_after_signup_us,
+        | n_signups, n_purchases,
+        | CAST(CASE WHEN signup_us IS NOT NULL AND first_purchase_us >= signup_us THEN 1 ELSE 0 END AS BIGINT) AS converted
+        |FROM g ORDER BY user_id""".stripMargin,
+
+    "ev_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events)
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        | (SELECT MAX(c.ts_us) FROM e c
+        |   WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts_us <= p.ts_us) AS asof_click_ts_us
+        |FROM e p WHERE p.event_type = 'purchase' ORDER BY p.event_id""".stripMargin,
+
+    "text_lang_id" -> langIdSql,
+
+    "text_quality" -> {
+      val stops = TextFunctions.Stopwords.map(s => s"t = '$s'").mkString(" OR ")
+      s"""SELECT doc_id,
+         | CAST(length(text) AS BIGINT) AS n_chars_calc,
+         | CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+         | CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+         | CAST(FLOOR(10000.0 * length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / length(text)) AS BIGINT) AS punct_bp,
+         | CAST(FLOOR(10000.0 * len(list_filter(string_split(text, ' '), t -> $stops)) / len(string_split(text, ' '))) AS BIGINT) AS stop_bp,
+         | CAST(FLOOR(10000.0 * length(replace(text, ' ', '')) / len(string_split(text, ' '))) AS BIGINT) AS mean_wlen_bp,
+         | CAST(FLOOR(10000.0 * length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text)) AS BIGINT) AS alpha_bp
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "text_tokens" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+         |SELECT doc_id, ${rh("text")} AS fp,
+         | CAST(len($shingleHashesFromW) AS BIGINT) AS n_shingles
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      s"""WITH h AS (SELECT doc_id, ${rh("text")} AS text_hash FROM documents)
+         |SELECT text_hash, MIN(doc_id) AS doc_id, COUNT(*) AS copies
+         |FROM h GROUP BY 1 ORDER BY text_hash""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |d AS (SELECT doc_id, $shingleHashesFromW AS sh FROM d0),
+         |dd AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         | CAST(FLOOR(10000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) AS jaccard_bp
+         |FROM dd a JOIN dd b ON a.doc_id < b.doc_id
+         |WHERE 10000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 6000
+         |ORDER BY id1, id2""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+         |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |  ${cosMicro("a.embedding", "b.embedding")} AS cos_micro
+         | FROM v a JOIN v b ON a.vec_id < b.vec_id)
+         |SELECT id1, id2, cos_micro FROM p ORDER BY cos_micro DESC, id1, id2 LIMIT 20""".stripMargin,
+
+    "ann_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+         |c AS (SELECT vec_id AS n_id, embedding AS nv, label AS n_label FROM embeddings),
+         |s AS (SELECT q_id, n_id, n_label, ${cosMicro("qv", "nv")} AS cos_micro
+         |  FROM q, c WHERE q_id <> n_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_micro DESC, n_id) AS rnk FROM s)
+         |SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, n_label, cos_micro
+         |FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+
+    "knn_classify" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+         |c AS (SELECT vec_id AS n_id, embedding AS nv, label AS n_label FROM embeddings),
+         |s AS (SELECT q_id, n_id, n_label, ${cosMicro("qv", "nv")} AS cos_micro
+         |  FROM q, c WHERE q_id <> n_id),
+         |r AS (SELECT q_id, n_label, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_micro DESC, n_id) AS rnk FROM s),
+         |k AS (SELECT q_id, n_label, COUNT(*) AS votes FROM r WHERE rnk <= 5 GROUP BY 1, 2),
+         |w AS (SELECT q_id, n_label AS predicted_label, votes,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY votes DESC, n_label) AS rr FROM k)
+         |SELECT q_id, predicted_label, votes FROM w WHERE rr = 1 ORDER BY q_id""".stripMargin,
+
+    "mm_features" -> {
+      val byteSum = "list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ''), " +
+        "c -> ascii(c)::BIGINT)), (acc, x) -> acc + x)"
+      s"""SELECT doc_id AS media_id, 'kind_' || CAST(doc_id % 3 AS VARCHAR) AS kind,
+         | CAST(length(text) AS BIGINT) AS n_bytes,
+         | $byteSum AS byte_sum,
+         | CAST(len(list_distinct(string_split(text, ''))) AS BIGINT) AS distinct_bytes,
+         | CAST(FLOOR(10000.0 * $byteSum / length(text)) AS BIGINT) AS mean_byte_bp
+         |FROM documents ORDER BY media_id""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,253 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.TableLoader
+
+/** Relational analytics over the TPC-H-ish lake — the query surface a
+  * ratings/periods lake serves (aggregation, star joins, leaderboards,
+  * period deltas), declared with DataFrame ops so Catalyst handles
+  * pushdown/pruning/join-selection and AQE re-plans at runtime.
+  *
+  * Cross-engine exactness: money aggregates go through
+  * DECIMAL(18,2) per row (order-independent exact sums) and are emitted
+  * as BIGINT cents; ratios/averages as floor basis points. Every query
+  * ends in a deterministic ORDER BY.
+  */
+object RelationalQueries {
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    TableLoader.load(spark, dir, name)
+
+  /** Exact cents from a double money column. */
+  def cents(c: Column): Column = (sum(c.cast("decimal(18,2)")) * 100).cast("long")
+
+  /** Exact cents via per-row HALF_UP rounding of the double — used where
+    * the money value is a product of doubles (disc_price, charge): both
+    * engines round the same binary double identically, where a
+    * double->DECIMAL cast can disagree on exact .xx5 dyadic values. */
+  def centsRound(c: Column): Column = sum(round(c * 100).cast("long"))
+  def bpAvg(sumDec: Column, cnt: Column): Column =
+    floor(lit(10000.0) * sumDec.cast("double") / cnt).cast("long")
+
+  val discPrice: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  /** TPC-H Q1 shape: one-pass groupBy aggregation, partial-agg friendly. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val qtyDec = sum(col("l_quantity").cast("decimal(18,2)"))
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        qtyDec.cast("long").as("sum_qty"),
+        centsRound(col("l_extendedprice")).as("sum_base_cents"),
+        centsRound(discPrice).as("sum_disc_cents"),
+        centsRound(discPrice * (lit(1) + col("l_tax"))).as("sum_charge_cents"),
+        bpAvg(sum(col("l_quantity").cast("decimal(18,2)")), count(lit(1))).as("avg_qty_bp"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3 shape: selective dim filter broadcast into fact join,
+    * group + small top-k. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1998-03-15"
+    val cust = t(spark, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = t(spark, dir, "orders").where(col("o_orderdate") < lit(cutoff).cast("date"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = t(spark, dir, "lineitem").where(col("l_shipdate") > lit(cutoff).cast("date"))
+      .select(col("l_orderkey"), discPrice.as("rev"))
+    broadcast(cust).join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(centsRound(col("rev")).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: star join, all dims broadcast, one fact shuffle. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val region = t(spark, dir, "region").where(col("r_name") === "ASIA")
+    val nation = t(spark, dir, "nation")
+    val supp = t(spark, dir, "supplier")
+    val cust = t(spark, dir, "customer")
+    val ord = t(spark, dir, "orders")
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1997-01-01").cast("date"))
+    val li = t(spark, dir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(centsRound(discPrice).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("n_name"))
+  }
+
+  /** TPC-H Q7 shape: bidirectional nation-pair volume per year. */
+  def q7PeriodVolume(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = "NATION_1"
+    val n2 = "NATION_2"
+    val nation = t(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val supp = t(spark, dir, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = t(spark, dir, "customer")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"), discPrice.as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .where((col("supp_nation") === n1 && col("cust_nation") === n2) ||
+        (col("supp_nation") === n2 && col("cust_nation") === n1))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("o_orderdate")).as("l_year"))
+      .agg(centsRound(col("rev")).as("revenue_cents"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8 shape: market share of one supplier nation inside a region,
+    * per year — conditional aggregation over exact cents. */
+  def qMarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val nation = t(spark, dir, "nation")
+    val region = t(spark, dir, "region").where(col("r_name") === "AMERICA")
+    val custNation = nation.join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    val suppNation = nation.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val cust = t(spark, dir, "customer")
+      .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+      .select(col("c_custkey"))
+    val supp = t(spark, dir, "supplier")
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val ord = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"), discPrice.as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        centsRound(when(col("supp_nation") === "NATION_3", col("rev")).otherwise(lit(0.0)))
+          .as("nation_cents"),
+        centsRound(col("rev")).as("total_cents"))
+      .withColumn("share_bp",
+        floor(lit(10000.0) * col("nation_cents") / col("total_cents")).cast("long"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Leaderboard: top 3 customers by account balance per nation
+    * (rank-players-by-rating-per-federation analog). Partitioned window,
+    * no global sort. */
+  def qTopKPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(spark, dir, "customer")
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("c_nationkey"), col("rnk"), col("c_custkey"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("acctbal_cents"))
+      .orderBy(col("c_nationkey"), col("rnk"))
+  }
+
+  /** Month-over-month delta of order totals per priority (the reference's
+    * rating-progress-over-periods analog). */
+  def qDeltaMom(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(cents(col("o_totalprice")).as("total_cents"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("month"))
+    monthly
+      .withColumn("delta_cents",
+        coalesce(col("total_cents") - lag(col("total_cents"), 1).over(w), lit(0L)))
+      .orderBy(col("o_orderpriority"), col("month"))
+  }
+
+  /** Cumulative monthly totals per order status. */
+  def qRunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(cents(col("o_totalprice")).as("month_cents"))
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("month"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly.withColumn("cum_cents", sum(col("month_cents")).over(w))
+      .orderBy(col("o_orderstatus"), col("month"))
+  }
+
+  /** LEFT SEMI + LEFT ANTI in one labelled output (customers with and
+    * without orders). */
+  def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer").select(col("c_custkey"))
+    val ord = t(spark, dir, "orders").select(col("o_custkey"))
+    val has = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+      .withColumn("label", lit("has_orders"))
+    val not = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .withColumn("label", lit("no_orders"))
+    has.unionAll(not).orderBy(col("c_custkey"))
+  }
+
+  /** ROLLUP hierarchy over (mktsegment, orderpriority). */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    val joined = t(spark, dir, "orders")
+      .join(broadcast(t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+    joined
+      .rollup(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(cents(col("o_totalprice")).as("total_cents"), count(lit(1)).as("n_orders"))
+      .select(coalesce(col("c_mktsegment"), lit("ALL")).as("mktsegment"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+        col("total_cents"), col("n_orders"))
+      .orderBy(col("mktsegment"), col("orderpriority"))
+  }
+
+  val Priorities: Seq[String] =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** Pivot: order counts by year x priority (the reference's GameFormat
+    * fan-out analog). */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val named = Priorities.zip(Seq("p_urgent", "p_high", "p_medium", "p_notspec", "p_low"))
+    val base = t(spark, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .pivot("o_orderpriority", Priorities)
+      .agg(count(lit(1)))
+    named.foldLeft(base) { case (df, (from, to)) => df.withColumnRenamed(from, to) }
+      .na.fill(0L, named.map(_._2))
+      .orderBy(col("o_year"))
+  }
+
+  /** Exact rank-based percentiles (p50/p90 of order totals per segment) —
+    * integer row-number selection, no interpolation ambiguity; at 100 TB
+    * swap in approx_percentile sketches (same API shape). */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val joined = t(spark, dir, "orders")
+      .join(broadcast(t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("price_cents"))
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("price_cents"))
+    val n = Window.partitionBy(col("c_mktsegment"))
+    joined
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(n))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        max(when(col("rn") === ceil(col("cnt") * 0.5), col("price_cents"))).as("p50_cents"),
+        max(when(col("rn") === ceil(col("cnt") * 0.9), col("price_cents"))).as("p90_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Multi-distinct aggregation. */
+  def qDistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_returnflag"))
+}

@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+import graft.sources.TableLoader
+
+/** Text-analysis and dedup queries over the documents table — the
+  * LLM-training-data operator surface. All scoring is integer/rolling-
+  * hash arithmetic (exact cross-engine); every query is a single scan
+  * plus (for dedup) a blocked equijoin — nothing O(n^2) unblocked.
+  */
+object TextQueries {
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    TableLoader.load(spark, dir, "documents")
+
+  def langIdQ(spark: SparkSession, dir: String): DataFrame = {
+    val scored = LangMarkers.foldLeft(docs(spark, dir)) { case (df, (code, ms)) =>
+      df.withColumn(s"s_$code", langScore(col("text"), ms))
+    }
+    scored.withColumn("predicted", langId(col("text")))
+      .select(Seq(col("doc_id"), col("lang")) ++
+        LangMarkers.map { case (c, _) => col(s"s_$c") } :+ col("predicted"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  def qualityQ(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_calc"),
+      wsTokenCount(col("text")).as("ws_tokens"),
+      punctCount(col("text")).as("n_punct"),
+      bp(punctCount(col("text")), length(col("text")).cast("long")).as("punct_bp"),
+      bp(stopwordCount(col("text")), wsTokenCount(col("text"))).as("stop_bp"),
+      bp(length(replace(col("text"), lit(" "), lit(""))).cast("long"),
+        wsTokenCount(col("text"))).as("mean_wlen_bp"),
+      bp(alphaCount(col("text")), length(col("text")).cast("long")).as("alpha_bp"))
+      .orderBy(col("doc_id"))
+
+  def tokensQ(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      wsTokenCount(col("text")).as("ws_tokens"),
+      regexTokenCount(col("text")).as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  def fingerprintQ(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      rollingHash(col("text")).as("fp"),
+      size(shingleHashes(col("text"))).cast("long").as("n_shingles"))
+      .orderBy(col("doc_id"))
+
+  def dedupExactQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(spark, dir)).orderBy(col("text_hash"))
+
+  def dedupNgramJaccardQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(spark, dir), tauBp = 6000L)
+      .orderBy(col("id1"), col("id2"))
+
+  def dedupMinhashQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(docs(spark, dir), tauBp = 6000L)
+      .orderBy(col("id1"), col("id2"))
+
+  def dedupSimhashQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(spark, dir), maxDist = 3)
+      .orderBy(col("id1"), col("id2"))
+}

@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+import graft.operators.Similarity
+import graft.multimodal.Multimodal
+import graft.sources.TableLoader
+
+/** Embedding similarity-search and multimodal queries. The brute-force
+  * variants are the exact small-scale baselines (broadcast query set →
+  * map-side join); `ann_lsh` is the bucketed 100 TB path. Cosines are
+  * emitted as integer micro-units from an in-order double fold so every
+  * engine derives identical values.
+  */
+object VectorQueries {
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    TableLoader.load(spark, dir, "embeddings")
+
+  /** Exact top-10 neighbors for query vectors (vec_id % 100 == 0). */
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir)
+    Similarity.bruteForceTopK(all.where(col("vec_id") % 100 === 0), all, k = 10)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** LSH-bucketed approximate top-10 (same query set; recall vs
+    * brute-force measured in the test suite). */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir)
+    Similarity.lshTopK(all.where(col("vec_id") % 100 === 0), all, k = 10, nPlanes = 8)
+      .select(col("q_id"), col("rnk"), col("n_id"), col("n_label"), col("cos_micro"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** kNN (k=5) majority-label classification of vec_id % 50 == 0. */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir)
+    Similarity.knnClassify(all.where(col("vec_id") % 50 === 0), all, k = 5)
+      .orderBy(col("q_id"))
+  }
+
+  /** Top-20 most cosine-similar embedding pairs (embedding near-dup
+    * detection; exact — the LSH-bucketed variant covers scale). */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val a = emb(spark, dir).select(col("vec_id").as("id1"), col("embedding").as("v1"))
+    val b = emb(spark, dir).select(col("vec_id").as("id2"), col("embedding").as("v2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("cos_micro", cosineMicro(col("v1"), col("v2")))
+      .select(col("id1"), col("id2"), col("cos_micro"))
+      .orderBy(col("cos_micro").desc, col("id1"), col("id2"))
+      .limit(20)
+  }
+
+  /** Multimodal feature extraction over synthetic binary payloads —
+    * real binary-column plumbing, documented stub decode. */
+  def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(spark, TableLoader.load(spark, dir, "documents"))
+    Multimodal.extractFeatures(media).toDF().orderBy(col("media_id"))
+  }
+}

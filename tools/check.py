@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: run graft.Verify via sbt,
+then execute each oracle SQL in DuckDB over the same parquet tables and
+compare values (columns sorted by name, exact equality)."""
+import json, subprocess, sys, glob, os
+import duckdb
+import pandas as pd
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+RUN_SPARK = os.environ.get("SKIP_SPARK", "") != "1"
+
+if RUN_SPARK:
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT}'],
+        capture_output=True, text=True, cwd="/root/repo")
+    sys.stdout.write("\n".join(l for l in r.stdout.splitlines() if "[verify]" in l or "error" in l.lower()) + "\n")
+    if r.returncode != 0:
+        print(r.stdout[-3000:]); print(r.stderr[-2000:]); sys.exit(1)
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+con = duckdb.connect()
+tables = "region nation customer supplier part orders lineitem events documents embeddings".split()
+for t in tables:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+    return df.reset_index(drop=True)
+
+results = {}
+for name in sorted(glob.glob(f"{OUT}/*/")):
+    qname = name.rstrip("/").split("/")[-1]
+    try:
+        spark_df = norm(pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(f"{name}/*.parquet"))]))
+    except Exception as e:
+        results[qname] = f"SPARK-READ-FAIL {e}"; continue
+    if qname not in oracle:
+        results[qname] = f"rows-only rows={len(spark_df)}"; continue
+    try:
+        duck_df = norm(con.sql(oracle[qname]).to_df())
+    except Exception as e:
+        results[qname] = f"ORACLE-FAIL {str(e)[:200]}"; continue
+    if list(spark_df.columns) != list(duck_df.columns):
+        results[qname] = f"SCHEMA-MISMATCH spark={list(spark_df.columns)} duck={list(duck_df.columns)}"; continue
+    if len(spark_df) != len(duck_df):
+        results[qname] = f"ROWS-MISMATCH spark={len(spark_df)} duck={len(duck_df)}"; continue
+    bad = []
+    for c in spark_df.columns:
+        a, b = spark_df[c], duck_df[c]
+        try:
+            an, bn = pd.to_numeric(a, errors="raise"), pd.to_numeric(b, errors="raise")
+            eq = ((an == bn) | (an.isna() & bn.isna())).all()
+        except Exception:
+            eq = ((a.astype(str) == b.astype(str)) | (a.isna() & b.isna())).all()
+        if not eq:
+            ia = next(i for i in range(len(a)) if not ((pd.isna(a[i]) and pd.isna(b[i])) or a[i] == b[i]))
+            bad.append(f"{c}[{ia}]: spark={a[ia]!r} duck={b[ia]!r}")
+    results[qname] = "OK rows=%d" % len(spark_df) if not bad else "VALUE-MISMATCH " + "; ".join(bad[:3])
+
+okc = sum(1 for v in results.values() if v.startswith("OK") or v.startswith("rows-only"))
+for k, v in sorted(results.items()):
+    print(f"{'PASS' if v.startswith('OK') or v.startswith('rows-only') else 'FAIL':4} {k:24} {v}")
+print(f"== {okc}/{len(results)} pass")
