@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Conform, ConformSpec, Validate}
+
+class ConformValidateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Conform renames, casts, code-maps, adds missing, enriches") {
+    val df = Seq(("F", 10), ("M", 20), ("X", 30)).toDF("sex", "v")
+    val out = Conform(df, ConformSpec(
+      renames = Map("sex" -> "sex_code", "v" -> "value"),
+      casts = Map("v" -> "long"),
+      codeMaps = Map("sex" -> Map("F" -> 0, "M" -> 1)),
+      addMissing = Seq("foa_title" -> "string"),
+      enrich = Seq("period_year" -> lit(2024))))
+    assert(out.columns.toSeq === Seq("sex_code", "value", "foa_title", "period_year"))
+    val rows = out.collect()
+    assert(rows.map(r => Option(r.get(0))).toSeq === Seq(Some(0), Some(1), None)) // unmapped -> null
+    assert(out.schema("value").dataType.typeName === "long")
+    assert(rows.forall(_.isNullAt(2)))
+  }
+
+  test("Validate counts violations per declarative rule") {
+    import Validate._
+    val df = Seq(
+      (1, "ABC", 50.0), (2, "bad!", 150.0), (2, "DEF", -5.0), (3, null, 20.0)
+    ).toDF("id", "code", "score")
+    val rep = Validate.report("t", df, Seq(
+      NotNull("code"), Regex("code", "^[A-Z]{3}$"), Range("score", 0, 100), Unique("id")))
+      .collect().map(r => (r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(rep(("not_null", "code")) === 1L)
+    assert(rep(("regex", "code")) === 1L)
+    assert(rep(("range", "score")) === 2L)
+    assert(rep(("unique", "id")) === 2L) // both rows of the duplicated key
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "spark makes big data small again every day for all of us"),
+    (1L, "spark makes big data small again every day for all of us"), // exact dup of 0
+    (2L, "spark makes big data small again every day for all of you"), // near dup (1 trailing word)
+    (3L, "an entirely different document about nothing in particular at all here"),
+    (4L, "short doc")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min-id survivor and counts copies") {
+    val out = Dedup.exact(docs).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out.contains((0L, 2L))) // doc 0 survives with 2 copies
+    assert(out.size === 4)
+  }
+
+  test("ngram Jaccard finds exact and near duplicates, not distinct docs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, tauBp = 6000L)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH candidates recover the true near-dup pairs here") {
+    val truth = Dedup.ngramJaccardPairs(docs, tauBp = 6000L)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val mh = Dedup.minhashPairs(docs, tauBp = 6000L)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(mh === truth) // J>=0.6 at 16x4 bands: detection prob ~0.9+; exact here
+  }
+
+  test("minhash recall on the real corpus is >= 0.9") {
+    val corpus = spark.read.parquet(s"$Sf/documents.parquet")
+    val truth = Dedup.ngramJaccardPairs(corpus, tauBp = 6000L)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val mh = Dedup.minhashPairs(corpus, tauBp = 6000L)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    assert(mh.subsetOf(truth)) // exact-verify step guarantees precision 1.0
+    assert(mh.size.toDouble / truth.size >= 0.9)
+  }
+
+  test("simhash flags identical docs at hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, maxDist = 3)
+      .select("id1", "id2", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0L))
+  }
+}

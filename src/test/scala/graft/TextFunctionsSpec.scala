@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rollingHash matches the cross-engine reference value") {
+    // DuckDB: list_reduce(... 'hello world') == 204910434 (verified)
+    val h = Seq("hello world").toDF("t").select(rollingHash(col("t"))).head.getLong(0)
+    assert(h === 204910434L)
+  }
+
+  test("occurrences counts non-overlapping literal matches") {
+    val df = Seq("the cat the dog the").toDF("t")
+    assert(df.select(occurrences(col("t"), "the")).head.getLong(0) === 3L)
+  }
+
+  test("wordShingles produces n-2 trigrams and empty for short docs") {
+    val df = Seq("a b c d e", "a b").toDF("t")
+    val sizes = df.select(size(wordShingles(col("t")))).as[Int].collect()
+    assert(sizes.toSeq === Seq(3, 0))
+    val first = df.limit(1).select(wordShingles(col("t"))).as[Seq[String]].head
+    assert(first === Seq("a b c", "b c d", "c d e"))
+  }
+
+  test("langId is deterministic argmax with alphabetical tie-break") {
+    val df = Seq("the the data xx", "der window hash hash", "zzz").toDF("t")
+    val got = df.select(langId(col("t"))).as[String].collect().toSeq
+    assert(got === Seq("en", "de", "de")) // all-zero scores -> first lang code
+  }
+
+  test("jaccardBp exact on known sets") {
+    val df = Seq(("a b c d e f", "a b c d e x")).toDF("t1", "t2")
+    val bpv = df.select(jaccardBp(shingleHashes(col("t1")), shingleHashes(col("t2"))))
+      .head.getLong(0)
+    // trigram sets {abc,bcd,cde,def} vs {abc,bcd,cde,dex}: 3 common of 5 distinct
+    assert(bpv === 6000L)
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Windows
+
+class WindowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sessionize splits on gaps greater than the threshold") {
+    val ev = Seq(
+      (1L, 0L, 0L), (2L, 100L, 0L), (3L, 2000L, 0L), // user 0: gap 1900 > 1000
+      (4L, 50L, 1L) // user 1: single session
+    ).toDF("event_id", "ts_us", "user_id")
+    val out = Windows.sessionize(ev, "user_id", "ts_us", "event_id", gap = 1000L)
+      .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
+    assert(out(1L) === 1L && out(2L) === 1L && out(3L) === 2L && out(4L) === 1L)
+  }
+
+  test("asOfJoin attaches most recent right row at-or-before each left ts") {
+    val left = Seq((10L, 0L, 100L), (11L, 0L, 250L), (12L, 1L, 50L))
+      .toDF("event_id", "user_id", "ts_us")
+    val right = Seq((0L, 90L, 90L), (0L, 200L, 200L), (2L, 10L, 10L))
+      .toDF("user_id", "ts_us", "click_ts_us")
+    val out = Windows.asOfJoin(left, right, "user_id", "ts_us", Seq("click_ts_us"))
+      .select("event_id", "asof_click_ts_us").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(10L) === Some(90L))
+    assert(out(11L) === Some(200L))
+    assert(out(12L) === None) // user 1 has no clicks
+  }
+
+  test("topKPerGroup keeps exactly k per partition in order") {
+    val df = Seq((0, 5.0), (0, 3.0), (0, 9.0), (1, 1.0)).toDF("g", "v")
+    val out = Windows.topKPerGroup(df, 2, Seq(col("g")), Seq(col("v").desc))
+      .select("g", "v").as[(Int, Double)].collect().toSet
+    assert(out === Set((0, 9.0), (0, 5.0), (1, 1.0)))
+  }
+}
