@@ -8,11 +8,15 @@ import graft.functions.TextFunctions._
   * ground truth to the hash-sketch scale paths.
   *
   * Scale design (100 TB): every variant is a shuffle-on-key groupBy or a
-  * bucket-equijoin — never an unblocked O(n^2) cross join. The exact
-  * Jaccard pair finder is band-blocked and exists as the small-scale
-  * oracle for MinHash/SimHash recall; MinHash-LSH is the production path
-  * (shuffle keyed on (band, band-signature), candidate pairs verified
-  * with exact Jaccard afterwards).
+  * bucket-equijoin — never an unblocked O(n^2) cross join, and never a
+  * per-pair array scan:
+  *  - exact Jaccard uses an inverted shingle index (explode + equijoin +
+  *    count), so cost is proportional to actually-shared shingles;
+  *  - MinHash signatures come from 64 min-aggregates over the exploded
+  *    shingle index (partial-agg friendly, no 64x array re-scan per row);
+  *  - SimHash bit votes are 64 sum-aggregates the same way;
+  *  - candidate pairs shuffle only (id, key) — feature arrays are joined
+  *    back by id for the verify step.
   */
 object Dedup {
 
@@ -25,35 +29,37 @@ object Dedup {
       .groupBy(col("text_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("copies"))
 
-  /** Exact word-3-gram Jaccard similar pairs with shingle-count banding:
-    * a pair at Jaccard >= tau must have |A| within a factor
-    * [tau, 1/tau] of |B|, so candidates join only within overlapping
-    * size bands instead of a full cross join. */
-  def ngramJaccardPairs(docs: DataFrame, tauBp: Long,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val withSh = docs.select(
-      col(idCol).as("id"),
-      shingleHashes(col(textCol)).as("sh"))
+  /** (id, sh: distinct shingle hashes, n_sh) prep used by the exact and
+    * MinHash paths. */
+  private def withShingles(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast("long"))
       .where(col("n_sh") > 0)
-    // size band: log2-scaled buckets; a tau>=0.5 pair differs by at most
-    // one bucket, so each doc probes its own and the adjacent bucket.
-    val banded = withSh.withColumn(
-      "band", floor(log(col("n_sh").cast("double")) / math.log(2.0)).cast("long"))
-    val probes = banded.select(col("id"), col("sh"), col("n_sh"),
-      explode(array(col("band"), col("band") + 1)).as("probe_band"))
-    val a = probes.toDF("a_id", "a_sh", "a_n", "a_band")
-    val b = banded.toDF("b_id", "b_sh", "b_n", "b_band")
-    a.join(b, col("a_band") === col("b_band") && col("a_id") < col("b_id"))
-      .withColumn("jaccard_bp", jaccardBp(col("a_sh"), col("b_sh")))
+
+  /** Exact word-3-gram Jaccard similar pairs via inverted shingle index:
+    * pairs that share no shingle have Jaccard 0 and are never
+    * materialized; shared-shingle counts come from one equijoin on the
+    * shingle hash + groupBy — the plan that survives 100 TB (shuffle is
+    * keyed on shingle hashes, heavy-hitter shingles are the only skew
+    * source and near-dup corpora keep them rare). */
+  def ngramJaccardPairs(docs: DataFrame, tauBp: Long,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = withShingles(docs, idCol, textCol)
+    val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    val a = inv.toDF("a_id", "a_n", "s")
+    val b = inv.toDF("b_id", "b_n", "s2")
+    a.join(b, col("s") === col("s2") && col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard_bp",
+        floor(lit(10000.0) * col("common") / (col("a_n") + col("b_n") - col("common"))).cast("long"))
       .where(col("jaccard_bp") >= tauBp)
       .select(col("a_id").as("id1"), col("b_id").as("id2"), col("jaccard_bp"))
-      .distinct()
   }
 
   // ---- MinHash ----
 
-  /** Deterministic affine hash family over token hashes:
+  /** Deterministic affine hash family over shingle hashes:
     * h_i(t) = (a_i * t + b_i) mod P. Constants from a splitmix-style
     * stream so every run/executor derives the same family. */
   val MinHashP = 2147483647L
@@ -69,74 +75,79 @@ object Dedup {
     IndexedSeq.fill(NumPerms)((next() | 1L, next()))
   }
 
-  /** MinHash signature (array of NumPerms longs) of the shingle-hash set. */
-  def signature(shingleHashesCol: Column): Column = {
-    val sigs = perms.map { case (a, b) =>
-      array_min(transform(shingleHashesCol, t => (t * a + b) % MinHashP))
+  /** MinHash signatures as 64 min-aggregates over the exploded shingle
+    * index: one narrow pass, partial aggregation does the min map-side. */
+  private def signatures(sh: DataFrame): DataFrame = {
+    val inv = sh.select(col("id"), explode(col("sh")).as("t"))
+    val minAggs = perms.zipWithIndex.map { case ((a, b), i) =>
+      min((col("t") * a + b) % MinHashP).as(s"m$i")
     }
-    array(sigs: _*)
+    inv.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
   }
 
   /** MinHash + LSH banding near-dup pairs, exact-Jaccard verified.
-    * Candidate generation shuffles on (band index, band signature) —
-    * the 100 TB path. `tauBp` filters the verified pairs. */
+    * Candidates shuffle on (band index, band signature) carrying only
+    * ids; shingle sets join back by id for the verify — the 100 TB
+    * path. `tauBp` filters the verified pairs. */
   def minhashPairs(docs: DataFrame, tauBp: Long,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sigs = docs.select(
-      col(idCol).as("id"),
-      shingleHashes(col(textCol)).as("sh"))
-      .where(size(col("sh")) > 0)
-      .withColumn("sig", signature(col("sh")))
-    val bands = sigs.select(col("id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(Bands - 1)),
-        bd => concat_ws(",", transform(slice(col("sig"), bd * RowsPerBand + 1, lit(RowsPerBand)),
-          _.cast("string"))))).as(Seq("band", "band_sig")))
-    val a = bands.toDF("a_id", "a_sh", "band", "band_sig")
-    val b = bands.toDF("b_id", "b_sh", "band2", "band_sig2")
-    a.join(b, col("band") === col("band2") && col("band_sig") === col("band_sig2") &&
-        col("a_id") < col("b_id"))
-      .select(col("a_id").as("id1"), col("b_id").as("id2"), col("a_sh"), col("b_sh"))
-      .distinct()
+    val sh = withShingles(docs, idCol, textCol)
+    val sigCols = (0 until NumPerms).map(i => col(s"m$i"))
+    val bands = signatures(sh).select(col("id"),
+      posexplode(array((0 until Bands).map { bd =>
+        concat_ws(",", sigCols.slice(bd * RowsPerBand, (bd + 1) * RowsPerBand).map(_.cast("string")): _*)
+      }: _*)).as(Seq("band", "band_sig")))
+    val cand = bands.toDF("a_id", "band", "band_sig")
+      .join(bands.toDF("b_id", "band2", "band_sig2"),
+        col("band") === col("band2") && col("band_sig") === col("band_sig2") &&
+          col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    cand
+      .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .withColumn("jaccard_bp", jaccardBp(col("a_sh"), col("b_sh")))
       .where(col("jaccard_bp") >= tauBp)
-      .select(col("id1"), col("id2"), col("jaccard_bp"))
+      .select(col("a_id").as("id1"), col("b_id").as("id2"), col("jaccard_bp"))
   }
 
   // ---- SimHash ----
 
-  /** 64-bit SimHash over distinct word-token xxhash64 values, returned as
-    * an array of 4 x 16-bit segment values plus the packed long. Pairs
-    * within Hamming distance <= 3 share at least one of the 4 segments
-    * (pigeonhole), so blocking joins on segment values. */
-  def simhash(textCol: Column): Column = {
-    val tokHashes = array_distinct(transform(split(textCol, " "), t => xxhash64(t)))
-    val bits = (0 until 64).map { j =>
-      val vote = aggregate(tokHashes, lit(0L),
-        (acc, t) => acc + when(shiftrightunsigned(t, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L)).otherwise(lit(0L))
+  /** 64 SimHash bit-votes as sum-aggregates over exploded distinct word
+    * tokens (xxhash64). Returns (id, bits: array of 64 0/1 longs). */
+  private def simhashBits(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      explode(array_distinct(split(col(textCol), " "))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val voteAggs = (0 until 64).map { j =>
+      sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$j")
     }
-    array(bits: _*)
+    tok.groupBy(col("id")).agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("id"), array((0 until 64).map(j =>
+        when(col(s"v$j") > 0, 1L).otherwise(0L)): _*).as("bits"))
   }
 
   /** SimHash near-dup pairs at Hamming distance <= maxDist (<= 3 for the
-    * 4-segment blocking to be lossless). */
+    * 4-segment blocking to be lossless by pigeonhole). Candidates
+    * shuffle only (id, segment); bit arrays join back by id. */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxDist <= 3, "4-segment blocking covers Hamming distance <= 3")
-    val withSig = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("bits"))
-      .withColumn("segs", transform(sequence(lit(0), lit(3)),
-        s => concat_ws(",", transform(slice(col("bits"), s * 16 + 1, lit(16)), _.cast("string")))))
-    val seg = withSig.select(col("id"), col("bits"), posexplode(col("segs")).as(Seq("seg_idx", "seg")))
-    val a = seg.toDF("a_id", "a_bits", "seg_idx", "seg")
-    val b = seg.toDF("b_id", "b_bits", "seg_idx2", "seg2")
-    a.join(b, col("seg_idx") === col("seg_idx2") && col("seg") === col("seg2") &&
-        col("a_id") < col("b_id"))
-      .select(col("a_id").as("id1"), col("b_id").as("id2"), col("a_bits"), col("b_bits"))
-      .distinct()
+    val sigs = simhashBits(docs, idCol, textCol)
+    val seg = sigs.select(col("id"), posexplode(array((0 until 4).map { s =>
+      concat_ws(",", (0 until 16).map(k => element_at(col("bits"), s * 16 + k + 1).cast("string")): _*)
+    }: _*)).as(Seq("seg_idx", "seg")))
+    val cand = seg.toDF("a_id", "seg_idx", "seg")
+      .join(seg.toDF("b_id", "seg_idx2", "seg2"),
+        col("seg_idx") === col("seg_idx2") && col("seg") === col("seg2") &&
+          col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    cand
+      .join(sigs.select(col("id").as("a_id"), col("bits").as("a_bits")), "a_id")
+      .join(sigs.select(col("id").as("b_id"), col("bits").as("b_bits")), "b_id")
       .withColumn("hamming",
         aggregate(zip_with(col("a_bits"), col("b_bits"),
           (x, y) => when(x =!= y, 1L).otherwise(0L)), lit(0L), (acc, v) => acc + v))
       .where(col("hamming") <= maxDist)
-      .select(col("id1"), col("id2"), col("hamming"))
+      .select(col("a_id").as("id1"), col("b_id").as("id2"), col("hamming"))
   }
 }

@@ -12,6 +12,10 @@ import graft.functions.VectorFunctions._
   * then a per-query top-k window. `lshTopK` is the 100 TB path: bucket
   * both sides with random-hyperplane LSH and join on bucket, turning the
   * cross join into an equijoin whose shuffle is keyed on buckets.
+  *
+  * L2 norms are computed once per vector before the join (one fold per
+  * row instead of two extra folds per pair); the cosine denominator is
+  * still sqrt(na)*sqrt(nb), bit-identical to computing it pairwise.
   */
 object Similarity {
 
@@ -19,11 +23,15 @@ object Similarity {
     * vectors by cosine (integer micro-cosine for deterministic ties). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .withColumn("q_n", dot(col("q_vec"), col("q_vec")))
     val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
       col("label").as("n_label"))
+      .withColumn("n_n", dot(col("n_vec"), col("n_vec")))
     val scored = broadcast(q).crossJoin(c)
       .where(col("q_id") =!= col("n_id"))
-      .withColumn("cos_micro", cosineMicro(col("q_vec"), col("n_vec")))
+      .withColumn("cos_micro",
+        floor(lit(1e6) * (dot(col("q_vec"), col("n_vec")) /
+          (sqrt(col("q_n")) * sqrt(col("n_n"))))).cast("long"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_micro").desc, col("n_id"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("n_id"), col("n_label"), col("cos_micro"))
@@ -35,9 +43,11 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int = 8): DataFrame = {
     val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
       col("label").as("n_label"))
+      .withColumn("n_n", dot(col("n_vec"), col("n_vec")))
       .withColumn("bucket", lshBucket(col("n_vec"), nPlanes))
     // multi-probe: query probes its own bucket plus all 1-bit flips.
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .withColumn("q_n", dot(col("q_vec"), col("q_vec")))
       .withColumn("bucket0", lshBucket(col("q_vec"), nPlanes))
       .withColumn("probe", explode(array(
         (Seq(col("bucket0")) ++ (0 until nPlanes).map { i =>
@@ -48,7 +58,9 @@ object Similarity {
         }): _*)))
     val scored = broadcast(q).join(c, col("probe") === col("bucket"))
       .where(col("q_id") =!= col("n_id"))
-      .withColumn("cos_micro", cosineMicro(col("q_vec"), col("n_vec")))
+      .withColumn("cos_micro",
+        floor(lit(1e6) * (dot(col("q_vec"), col("n_vec")) /
+          (sqrt(col("q_n")) * sqrt(col("n_n"))))).cast("long"))
       .select(col("q_id"), col("n_id"), col("n_label"), col("cos_micro")).distinct()
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_micro").desc, col("n_id"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)

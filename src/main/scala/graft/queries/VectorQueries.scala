@@ -44,9 +44,13 @@ object VectorQueries {
     * detection; exact — the LSH-bucketed variant covers scale). */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val a = emb(spark, dir).select(col("vec_id").as("id1"), col("embedding").as("v1"))
+      .withColumn("n1", dot(col("v1"), col("v1")))
     val b = emb(spark, dir).select(col("vec_id").as("id2"), col("embedding").as("v2"))
+      .withColumn("n2", dot(col("v2"), col("v2")))
     a.join(b, col("id1") < col("id2"))
-      .withColumn("cos_micro", cosineMicro(col("v1"), col("v2")))
+      .withColumn("cos_micro",
+        floor(lit(1e6) * (dot(col("v1"), col("v2")) /
+          (sqrt(col("n1")) * sqrt(col("n2"))))).cast("long"))
       .select(col("id1"), col("id2"), col("cos_micro"))
       .orderBy(col("cos_micro").desc, col("id1"), col("id2"))
       .limit(20)
