@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
+import graft.expressions.ShingleHashes.shingleHashesNative
 
 /** Deduplication operators for LLM training-data pipelines, from exact
   * ground truth to the hash-sketch scale paths.
@@ -32,7 +33,8 @@ object Dedup {
   /** (id, sh: distinct shingle hashes, n_sh) prep used by the exact and
     * MinHash paths. */
   private def withShingles(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
+    docs.select(col(idCol).as("id"),
+        shingleHashesNative(docs.sparkSession, col(textCol)).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast("long"))
       .where(col("n_sh") > 0)
 

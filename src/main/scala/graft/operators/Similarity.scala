@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
+import graft.expressions.FloatVecDot.vecDot
 
 /** Similarity search over embedding columns (`array<float>`).
   *
@@ -22,15 +23,16 @@ object Similarity {
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors by cosine (integer micro-cosine for deterministic ties). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val spark = queries.sparkSession
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      .withColumn("q_n", dot(col("q_vec"), col("q_vec")))
+      .withColumn("q_n", vecDot(spark, col("q_vec"), col("q_vec")))
     val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
       col("label").as("n_label"))
-      .withColumn("n_n", dot(col("n_vec"), col("n_vec")))
+      .withColumn("n_n", vecDot(spark, col("n_vec"), col("n_vec")))
     val scored = broadcast(q).crossJoin(c)
       .where(col("q_id") =!= col("n_id"))
       .withColumn("cos_micro",
-        floor(lit(1e6) * (dot(col("q_vec"), col("n_vec")) /
+        floor(lit(1e6) * (vecDot(spark, col("q_vec"), col("n_vec")) /
           (sqrt(col("q_n")) * sqrt(col("n_n"))))).cast("long"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_micro").desc, col("n_id"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
@@ -41,13 +43,14 @@ object Similarity {
     * hyperplane-sign buckets (probing all single-bit-flip neighbor
     * buckets for recall), then exact rescoring per candidate. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int = 8): DataFrame = {
+    val spark = queries.sparkSession
     val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
       col("label").as("n_label"))
-      .withColumn("n_n", dot(col("n_vec"), col("n_vec")))
+      .withColumn("n_n", vecDot(spark, col("n_vec"), col("n_vec")))
       .withColumn("bucket", lshBucket(col("n_vec"), nPlanes))
     // multi-probe: query probes its own bucket plus all 1-bit flips.
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      .withColumn("q_n", dot(col("q_vec"), col("q_vec")))
+      .withColumn("q_n", vecDot(spark, col("q_vec"), col("q_vec")))
       .withColumn("bucket0", lshBucket(col("q_vec"), nPlanes))
       .withColumn("probe", explode(array(
         (Seq(col("bucket0")) ++ (0 until nPlanes).map { i =>
@@ -59,7 +62,7 @@ object Similarity {
     val scored = broadcast(q).join(c, col("probe") === col("bucket"))
       .where(col("q_id") =!= col("n_id"))
       .withColumn("cos_micro",
-        floor(lit(1e6) * (dot(col("q_vec"), col("n_vec")) /
+        floor(lit(1e6) * (vecDot(spark, col("q_vec"), col("n_vec")) /
           (sqrt(col("q_n")) * sqrt(col("n_n"))))).cast("long"))
       .select(col("q_id"), col("n_id"), col("n_label"), col("cos_micro")).distinct()
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_micro").desc, col("n_id"))

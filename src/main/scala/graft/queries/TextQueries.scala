@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
+import graft.expressions.ShingleHashes.shingleHashesNative
 import graft.operators.Dedup
 import graft.sources.TableLoader
 
@@ -49,7 +50,7 @@ object TextQueries {
     docs(spark, dir).select(
       col("doc_id"),
       rollingHash(col("text")).as("fp"),
-      size(shingleHashes(col("text"))).cast("long").as("n_shingles"))
+      size(shingleHashesNative(spark, col("text"))).cast("long").as("n_shingles"))
       .orderBy(col("doc_id"))
 
   def dedupExactQ(spark: SparkSession, dir: String): DataFrame =

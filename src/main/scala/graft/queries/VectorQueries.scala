@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
+import graft.expressions.FloatVecDot.vecDot
 import graft.operators.Similarity
 import graft.multimodal.Multimodal
 import graft.sources.TableLoader
@@ -44,12 +45,12 @@ object VectorQueries {
     * detection; exact — the LSH-bucketed variant covers scale). */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val a = emb(spark, dir).select(col("vec_id").as("id1"), col("embedding").as("v1"))
-      .withColumn("n1", dot(col("v1"), col("v1")))
+      .withColumn("n1", vecDot(spark, col("v1"), col("v1")))
     val b = emb(spark, dir).select(col("vec_id").as("id2"), col("embedding").as("v2"))
-      .withColumn("n2", dot(col("v2"), col("v2")))
+      .withColumn("n2", vecDot(spark, col("v2"), col("v2")))
     a.join(b, col("id1") < col("id2"))
       .withColumn("cos_micro",
-        floor(lit(1e6) * (dot(col("v1"), col("v2")) /
+        floor(lit(1e6) * (vecDot(spark, col("v1"), col("v2")) /
           (sqrt(col("n1")) * sqrt(col("n2"))))).cast("long"))
       .select(col("id1"), col("id2"), col("cos_micro"))
       .orderBy(col("cos_micro").desc, col("id1"), col("id2"))

@@ -31,6 +31,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got === Seq("en", "de", "de")) // all-zero scores -> first lang code
   }
 
+  test("native shingle_hashes equals the Column-composition on the corpus") {
+    import graft.expressions.ShingleHashes.shingleHashesNative
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val both = docs.select(
+      shingleHashes(col("text")).as("ref"),
+      shingleHashesNative(spark, col("text")).as("fast"))
+    assert(both.where(not(col("ref") === col("fast"))).count() === 0)
+    // plus explicit edge cases
+    val edge = Seq("", "one", "a b", "a b c", "x y z w").toDF("text")
+    val eb = edge.select(shingleHashes(col("text")).as("ref"),
+      shingleHashesNative(spark, col("text")).as("fast"))
+    assert(eb.where(not(col("ref") === col("fast"))).count() === 0)
+  }
+
   test("jaccardBp exact on known sets") {
     val df = Seq(("a b c d e f", "a b c d e x")).toDF("t1", "t2")
     val bpv = df.select(jaccardBp(shingleHashes(col("t1")), shingleHashes(col("t2"))))
