@@ -114,19 +114,13 @@ object Dedup {
 
   // ---- SimHash ----
 
-  /** 64 SimHash bit-votes as sum-aggregates over exploded distinct word
-    * tokens (xxhash64). Returns (id, bits: array of 64 0/1 longs). */
-  private def simhashBits(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol).as("id"),
-      explode(array_distinct(split(col(textCol), " "))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val voteAggs = (0 until 64).map { j =>
-      sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$j")
-    }
-    tok.groupBy(col("id")).agg(voteAggs.head, voteAggs.tail: _*)
-      .select(col("id"), array((0 until 64).map(j =>
-        when(col(s"v$j") > 0, 1L).otherwise(0L)): _*).as("bits"))
-  }
+  /** 64 SimHash bits per document via the native single-pass kernel
+    * (distinct word tokens -> xxhash64 -> +-1 votes per bit). Returns
+    * (id, bits: array of 64 0/1 longs). */
+  private def simhashBits(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.expressions.SimHashBits.simhashBitsNative(
+        docs.sparkSession, col(textCol)).as("bits"))
 
   /** SimHash near-dup pairs at Hamming distance <= maxDist (<= 3 for the
     * 4-segment blocking to be lossless by pigeonhole). Candidates
