@@ -36,12 +36,17 @@ object SparkEntry {
     "q_pivot" -> (RelationalQueries.qPivot _),
     "q_percentiles" -> (RelationalQueries.qPercentiles _),
     "q_distinct_agg" -> (RelationalQueries.qDistinctAgg _),
+    "q4_late_orders" -> (RelationalQueries.q4LateOrders _),
+    "q17_small_qty" -> (RelationalQueries.q17SmallQty _),
+    "q13_cust_distribution" -> (RelationalQueries.q13CustDistribution _),
+    "q_rich_idle" -> (RelationalQueries.qRichIdle _),
     // §2.4 events / time series
     "ev_tumbling_agg" -> (EventQueries.tumblingAgg _),
     "ev_streaming_parity" -> (EventQueries.streamingParity _),
     "ev_sessionize" -> (EventQueries.sessionize _),
     "ev_funnel" -> (EventQueries.funnel _),
     "ev_asof_join" -> (EventQueries.asofJoin _),
+    "ev_json_extract" -> (EventQueries.jsonExtract _),
     // §2.5 dedup
     "dedup_exact" -> (TextQueries.dedupExactQ _),
     "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccardQ _),

@@ -83,6 +83,16 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** JSON property extraction from the props column (semi-structured
+    * path), bucketed aggregation. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(expr("k div 10").as("k_bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("value_cents"))
+      .orderBy(col("k_bucket"))
+
   /** Batch run of the streaming tumbling aggregation (same plan shape). */
   def streamingParity(spark: SparkSession, dir: String): DataFrame =
     EventStream.tumblingAgg(events(spark, dir).drop("ts_us"))

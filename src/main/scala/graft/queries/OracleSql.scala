@@ -220,6 +220,44 @@ object OracleSql {
         | MAX(CASE WHEN rn = CEIL(cnt * 0.9) THEN price_cents END) AS p90_cents
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q4_late_orders" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_late_orders FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q17_small_qty" ->
+      s"""WITH pl AS (
+         | SELECT l_partkey, l_quantity, l_extendedprice
+         | FROM lineitem JOIN part ON l_partkey = p_partkey
+         | WHERE p_brand = 'Brand#1'),
+         |a AS (SELECT l_partkey AS ap_key, AVG(l_quantity) AS avg_qty FROM pl GROUP BY 1)
+         |SELECT ${centsR("l_extendedprice")} AS revenue_cents, COUNT(*) AS n_lines
+         |FROM pl JOIN a ON l_partkey = ap_key
+         |WHERE l_quantity < 0.5 * avg_qty""".stripMargin,
+
+    "q13_cust_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        | SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        | FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_rich_idle" ->
+      """WITH c AS (
+        | SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_cents
+        | FROM customer),
+        |s AS (SELECT CAST(SUM(acctbal_cents) AS BIGINT) AS total_cents, COUNT(*) AS n_cust FROM c)
+        |SELECT c_custkey, acctbal_cents FROM c, s
+        |WHERE acctbal_cents * n_cust > total_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "ev_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_distinct_agg" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
         | COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_lines

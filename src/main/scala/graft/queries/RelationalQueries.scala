@@ -250,4 +250,65 @@ object RelationalQueries {
         countDistinct(col("l_suppkey")).as("n_supps"),
         count(lit(1)).as("n_lines"))
       .orderBy(col("l_returnflag"))
+
+  /** TPC-H Q4 shape: EXISTS via left-semi join with an extra range
+    * predicate (orders with any line shipped >60 days after order). */
+  def q4LateOrders(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > date_add(col("o_orderdate").cast("date"), 60),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q17 shape: per-part average joined back (broadcast of the
+    * aggregated side) — small-quantity line revenue for one brand. */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val part = t(spark, dir, "part").where(col("p_brand") === "Brand#1")
+      .select(col("p_partkey"))
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val avgQty = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey").as("ap_key"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(avgQty), col("l_partkey") === col("ap_key"))
+      .where(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(centsRound(col("l_extendedprice")).as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q13 shape: orders-per-customer distribution including
+    * zero-order customers (left join + double aggregation). */
+  def q13CustDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer").select(col("c_custkey"))
+    val ord = t(spark, dir, "orders").select(col("o_custkey"), col("o_orderkey"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q22 shape: scalar-subquery threshold + anti join, kept in
+    * exact integer arithmetic (cents*count > total_cents avoids a
+    * cross-engine division). */
+  def qRichIdle(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("acctbal_cents"))
+    val stats = cust.agg(sum(col("acctbal_cents")).as("total_cents"),
+      count(lit(1)).as("n_cust"))
+    val ord = t(spark, dir, "orders").select(col("o_custkey"))
+    cust.crossJoin(broadcast(stats))
+      .where(col("acctbal_cents") * col("n_cust") > col("total_cents"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("acctbal_cents"))
+      .orderBy(col("c_custkey"))
+  }
 }
