@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions.{FloatVecDot, ShingleHashes, SimHashBits}
+
+/** SparkSessionExtensions entry point: installs the graft native
+  * functions into any session via
+  * `spark.sql.extensions=graft.GraftExtensions` — the idiomatic way to
+  * ship custom Catalyst expressions with a library (works with
+  * spark-submit/connect configs, no code-side registration needed).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - in-order double dot product of two float arrays"),
+      { exprs: Seq[Expression] => FloatVecDot(exprs(0), exprs(1)) }))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "shingle_hashes(text, n) - distinct rolling hashes of word n-grams"),
+      { exprs: Seq[Expression] =>
+        val n = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => other.eval().asInstanceOf[Int]
+        }
+        ShingleHashes(exprs(0), n)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_bits"),
+      info("simhash_bits", "simhash_bits(text) - 64 SimHash bits over word 3-gram shingles"),
+      { exprs: Seq[Expression] => SimHashBits(exprs(0)) }))
+  }
+}
