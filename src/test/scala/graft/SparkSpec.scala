@@ -12,7 +12,10 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = GraftSession.builder(cores = "4").appName("graft-test").getOrCreate()
+    val wh = java.nio.file.Files.createTempDirectory("graft-warehouse").toString
+    val s = GraftSession.builder(cores = "4").appName("graft-test")
+      .config("spark.sql.warehouse.dir", wh)
+      .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
