@@ -1,0 +1,66 @@
+package graft
+
+import java.io.{File, FileOutputStream}
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.RatingsPipeline
+import graft.sources.XmlRecordSource
+
+class RatingsPipelineSpec extends SparkSpec {
+
+  private def writeRatingsZip(dir: File, name: String, players: Seq[Map[String, String]]): Unit = {
+    val xml = XmlRecordSource.renderXml("player",
+      players.iterator.map(_.toSeq))
+    val z = new ZipOutputStream(new FileOutputStream(new File(dir, name)))
+    z.putNextEntry(new ZipEntry(name.replace(".zip", ".xml")))
+    z.write(xml.getBytes("UTF-8"))
+    z.closeEntry(); z.close()
+  }
+
+  private def player(id: Int, nameStr: String, fed: String, sex: String, rating: Int,
+                     birthday: Int): Map[String, String] = Map(
+    "fideid" -> id.toString, "name" -> nameStr, "country" -> fed, "sex" -> sex,
+    "title" -> "GM", "rating" -> rating.toString, "games" -> "10", "k" -> "20",
+    "birthday" -> birthday.toString)
+
+  test("end-to-end: zip XML -> conform -> validate -> lake -> leaderboard") {
+    val zipDir = Files.createTempDirectory("ratingszips").toFile
+    val lake = Files.createTempDirectory("ratingslake").toFile.getAbsolutePath + "/ratings"
+    writeRatingsZip(zipDir, "jan24.zip", Seq(
+      player(1, "Alice", "USA", "F", 2700, 1990),
+      player(2, "Bob", "GER", "M", 2650, 1985),
+      player(3, "Carol", "USA", "F", 2710, 1995),
+      player(3, "Carol-Dup", "USA", "F", 2711, 1995), // unique violation
+      player(4, "Dora", "XXXX", "F", 2500, 1850)      // regex + range violations
+    ))
+    val report = RatingsPipeline.ingestPeriod(spark, zipDir.getAbsolutePath + "/*.zip",
+      lake, 2024, 1)
+    val rep = report.collect().map(r => (r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(rep(("unique", "fide_id")) === 2L)
+    assert(rep(("regex", "fide_federation")) === 1L)
+    assert(rep(("range", "birth_year")) === 1L)
+    assert(rep(("range", "period_month")) === 0L)
+
+    val lakeDf = spark.read.parquet(lake)
+    assert(lakeDf.count() === 5)
+    assert(lakeDf.columns.contains("foa_title")) // add-missing column
+    assert(lakeDf.where(col("sex") === 0).count() === 4) // F -> 0 code-map
+
+    val lb = RatingsPipeline.leaderboard(spark, lake, 2024, 1, k = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(lb.toSeq.contains(("USA", 1, 3L))) // Carol (2710) tops USA
+    assert(lb.count(_._1 == "USA") === 2)
+  }
+
+  test("missingPeriods plans the backfill via anti join") {
+    val zipDir = Files.createTempDirectory("ratingszips2").toFile
+    val lake = Files.createTempDirectory("ratingslake2").toFile.getAbsolutePath + "/ratings"
+    writeRatingsZip(zipDir, "feb24.zip", Seq(player(1, "Alice", "USA", "F", 2700, 1990)))
+    RatingsPipeline.ingestPeriod(spark, zipDir.getAbsolutePath + "/*.zip", lake, 2024, 2)
+    val missing = RatingsPipeline.missingPeriods(spark, lake, 2024, 1, 2024, 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(missing === Seq((2024, 1), (2024, 3), (2024, 4)))
+  }
+}
