@@ -35,6 +35,7 @@ object SparkEntry {
     "q_rollup" -> (RelationalQueries.qRollup _),
     "q_pivot" -> (RelationalQueries.qPivot _),
     "q_percentiles" -> (RelationalQueries.qPercentiles _),
+    "q_percentiles_approx" -> (RelationalQueries.qPercentilesApprox _),
     "q_distinct_agg" -> (RelationalQueries.qDistinctAgg _),
     "q4_late_orders" -> (RelationalQueries.q4LateOrders _),
     "q17_small_qty" -> (RelationalQueries.q17SmallQty _),

@@ -251,6 +251,23 @@ object RelationalQueries {
         count(lit(1)).as("n_lines"))
       .orderBy(col("l_returnflag"))
 
+  /** Sketch percentiles (approx_percentile / t-digest-style) — the
+    * 100 TB path for q_percentiles (exact rank selection stays as the
+    * small-scale oracle; the spec bounds the sketch error vs exact). */
+  def qPercentilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    val joined = t(spark, dir, "orders")
+      .join(broadcast(t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("price_cents"))
+    joined.groupBy(col("c_mktsegment"))
+      .agg(
+        percentile_approx(col("price_cents"), lit(0.5), lit(10000)).as("p50_cents"),
+        percentile_approx(col("price_cents"), lit(0.9), lit(10000)).as("p90_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** TPC-H Q4 shape: EXISTS via left-semi join with an extra range
     * predicate (orders with any line shipped >60 days after order). */
   def q4LateOrders(spark: SparkSession, dir: String): DataFrame = {

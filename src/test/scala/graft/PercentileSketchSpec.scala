@@ -1,0 +1,19 @@
+package graft
+
+import graft.queries.RelationalQueries
+
+class PercentileSketchSpec extends SparkSpec {
+
+  test("approx percentile sketch stays within 1% of the exact rank selection") {
+    val exact = RelationalQueries.qPercentiles(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = RelationalQueries.qPercentilesApprox(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (seg, (p50, p90)) =>
+      val (a50, a90) = approx(seg)
+      assert(math.abs(a50 - p50).toDouble / p50 < 0.01, s"$seg p50 $a50 vs $p50")
+      assert(math.abs(a90 - p90).toDouble / p90 < 0.01, s"$seg p90 $a90 vs $p90")
+    }
+  }
+}
