@@ -28,26 +28,29 @@ object VectorFunctions {
   def cosineMicro(a: Column, b: Column): Column =
     floor(lit(1e6) * cosine(a, b)).cast("long")
 
-  /** Deterministic random-hyperplane sign bits for LSH bucketing: the
-    * k-th hyperplane's j-th coordinate is a fixed ±1 derived from a
-    * 64-bit mix of (k, j) — no RNG state, so every executor and every
-    * engine derives the same planes.
-    */
-  def hyperplaneSign(k: Int, j: Column): Column = {
-    // splitmix64-style integer mix, kept in Column algebra.
-    val h = (j + lit(k.toLong * 2654435761L)) * lit(-7046029254386353131L)
-    when(((h % 2) + 2) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+  /** Deterministic random-hyperplane sign for LSH bucketing: the k-th
+    * hyperplane's j-th coordinate is a fixed ±1 from a splitmix-style
+    * 64-bit mix of (k, j) — no RNG state, so every executor derives the
+    * same planes. */
+  def hyperplaneSign(k: Int, j: Int): Float = {
+    val h = (j.toLong + k.toLong * 2654435761L) * -7046029254386353131L
+    if ((((h % 2) + 2) % 2) == 0L) 1.0f else -1.0f
   }
 
-  /** LSH bucket key: sign pattern of `nPlanes` hyperplane projections.
-    * At 100 TB this turns the O(n^2) similarity cross-join into a
+  /** Precomputed ±1 hyperplane as a literal float vector (exact in
+    * float, so vec_dot folds are deterministic). */
+  def hyperplane(k: Int, dim: Int): Array[Float] =
+    Array.tabulate(dim)(j => hyperplaneSign(k, j))
+
+  /** LSH bucket key: sign pattern of `nPlanes` hyperplane projections,
+    * each projection a codegen'd vec_dot against a literal plane. At
+    * 100 TB this turns the O(n^2) similarity cross-join into a
     * shuffle-on-bucket join. */
-  def lshBucket(vec: Column, nPlanes: Int): Column = {
+  def lshBucket(spark: org.apache.spark.sql.SparkSession, vec: Column,
+                nPlanes: Int, dim: Int): Column = {
+    import graft.expressions.FloatVecDot.vecDot
     val bits = (0 until nPlanes).map { k =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0L), size(vec).cast("long") - 1),
-          (x, j) => x.cast("double") * hyperplaneSign(k, j)),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = vecDot(spark, vec, typedLit(hyperplane(k, dim)))
       when(proj >= 0, lit(1)).otherwise(lit(0)).cast("string")
     }
     concat(bits: _*)

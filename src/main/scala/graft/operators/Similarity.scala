@@ -42,16 +42,17 @@ object Similarity {
   /** LSH-bucketed approximate top-k: candidates only within matching
     * hyperplane-sign buckets (probing all single-bit-flip neighbor
     * buckets for recall), then exact rescoring per candidate. */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int = 8): DataFrame = {
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int = 8,
+              dim: Int = 64): DataFrame = {
     val spark = queries.sparkSession
     val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
       col("label").as("n_label"))
       .withColumn("n_n", vecDot(spark, col("n_vec"), col("n_vec")))
-      .withColumn("bucket", lshBucket(col("n_vec"), nPlanes))
+      .withColumn("bucket", lshBucket(spark, col("n_vec"), nPlanes, dim))
     // multi-probe: query probes its own bucket plus all 1-bit flips.
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       .withColumn("q_n", vecDot(spark, col("q_vec"), col("q_vec")))
-      .withColumn("bucket0", lshBucket(col("q_vec"), nPlanes))
+      .withColumn("bucket0", lshBucket(spark, col("q_vec"), nPlanes, dim))
       .withColumn("probe", explode(array(
         (Seq(col("bucket0")) ++ (0 until nPlanes).map { i =>
           concat(
