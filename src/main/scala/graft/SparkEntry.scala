@@ -41,6 +41,9 @@ object SparkEntry {
     "q17_small_qty" -> (RelationalQueries.q17SmallQty _),
     "q13_cust_distribution" -> (RelationalQueries.q13CustDistribution _),
     "q_rich_idle" -> (RelationalQueries.qRichIdle _),
+    "q_rank_family" -> (RelationalQueries.qRankFamily _),
+    "q_string_funcs" -> (RelationalQueries.qStringFuncs _),
+    "q_set_ops" -> (RelationalQueries.qSetOps _),
     // §2.4 events / time series
     "ev_tumbling_agg" -> (EventQueries.tumblingAgg _),
     "ev_streaming_parity" -> (EventQueries.streamingParity _),

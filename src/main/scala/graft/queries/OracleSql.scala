@@ -258,6 +258,39 @@ object OracleSql {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_rank_family" ->
+      """WITH c AS (
+        | SELECT c_nationkey, c_custkey,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_cents
+        | FROM customer)
+        |SELECT c_nationkey, c_custkey, acctbal_cents,
+        | CAST(DENSE_RANK() OVER w AS INT) AS dense_rnk,
+        | CAST(NTILE(4) OVER w AS INT) AS quartile,
+        | CAST(FLOOR(1e6 * PERCENT_RANK() OVER w) AS BIGINT) AS pct_rank_micro
+        |FROM c WINDOW w AS (PARTITION BY c_nationkey ORDER BY acctbal_cents DESC, c_custkey)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey, UPPER(p_name) AS name_upper,
+        | CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+        | SUBSTR(p_name, 1, 5) AS name_pfx,
+        | LPAD(p_brand, 10, '*') AS brand_pad,
+        | CAST(LEVENSHTEIN(p_name, 'red widget') AS BIGINT) AS lev_red_widget,
+        | p_brand || '-' || p_type AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT o_custkey, 'active_95_and_96' AS label FROM (
+        | SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+        | INTERSECT
+        | SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996)
+        |UNION ALL
+        |SELECT o_custkey, 'active_97_not_95' AS label FROM (
+        | SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+        | EXCEPT
+        | SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995)
+        |ORDER BY label, o_custkey""".stripMargin,
+
     "q_distinct_agg" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
         | COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_lines

@@ -251,6 +251,44 @@ object RelationalQueries {
         count(lit(1)).as("n_lines"))
       .orderBy(col("l_returnflag"))
 
+  /** Rank-function family: dense_rank, ntile quartiles, percent_rank
+    * (floor-scaled) over a deterministic (cents desc, key) ordering. */
+  def qRankFamily(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("acctbal_cents").desc, col("c_custkey"))
+    t(spark, dir, "customer")
+      .select(col("c_nationkey"), col("c_custkey"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("acctbal_cents"))
+      .withColumn("dense_rnk", dense_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank_micro", floor(lit(1e6) * percent_rank().over(w)).cast("long"))
+      .orderBy(col("c_nationkey"), col("c_custkey"))
+  }
+
+  /** Scalar string-function surface (upper/substr/lpad/levenshtein/
+    * concat) — cross-engine-identical semantics. */
+  def qStringFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_name"), 1, 5).as("name_pfx"),
+        lpad(col("p_brand"), 10, "*").as("brand_pad"),
+        levenshtein(col("p_name"), lit("red widget")).cast("long").as("lev_red_widget"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy(col("p_partkey"))
+
+  /** Set operations: INTERSECT / EXCEPT over per-year active customers. */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    def activeIn(y: Int) = t(spark, dir, "orders")
+      .where(year(col("o_orderdate")) === y).select(col("o_custkey"))
+    val both = activeIn(1995).intersect(activeIn(1996))
+      .withColumn("label", lit("active_95_and_96"))
+    val only97 = activeIn(1997).except(activeIn(1995))
+      .withColumn("label", lit("active_97_not_95"))
+    both.unionAll(only97).orderBy(col("label"), col("o_custkey"))
+  }
+
   /** Sketch percentiles (approx_percentile / t-digest-style) — the
     * 100 TB path for q_percentiles (exact rank selection stays as the
     * small-scale oracle; the spec bounds the sketch error vs exact). */
