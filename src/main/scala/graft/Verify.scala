@@ -14,6 +14,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // scan-split sizing: the test lake is a few single-file tables, so
+      // 4 MiB splits keep all cores busy; at production scale (128 MiB+
+      // files, thousands of them) the default 128 MiB is right — this is
+      // a local-corpus override, not a cluster recommendation.
+      .config("spark.sql.files.maxPartitionBytes", (4L * 1024 * 1024).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
