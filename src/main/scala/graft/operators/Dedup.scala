@@ -45,9 +45,21 @@ object Dedup {
     * keyed on shingle hashes, heavy-hitter shingles are the only skew
     * source and near-dup corpora keep them rare). */
   def ngramJaccardPairs(docs: DataFrame, tauBp: Long,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                        idCol: String = "doc_id", textCol: String = "text",
+                        maxShingleDf: Option[Long] = None): DataFrame = {
     val sh = withShingles(docs, idCol, textCol)
-    val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    val invAll = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    // Optional stop-shingle cap for web-scale corpora: a shingle present
+    // in K docs contributes K^2 candidate pairs, so boilerplate shingles
+    // dominate the join. Capping document frequency bounds the worst key
+    // at maxDf^2; pairs whose ONLY common shingles are boilerplate are
+    // then missed, which is the standard recall trade — leave None for
+    // the exact oracle-checked ground truth.
+    val inv = maxShingleDf.fold(invAll) { cap =>
+      val rare = invAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .where(col("df") <= cap).select(col("s").as("s_keep"))
+      invAll.join(rare, col("s") === col("s_keep")).drop("s_keep")
+    }
     val a = inv.toDF("a_id", "a_n", "s")
     val b = inv.toDF("b_id", "b_n", "s2")
     a.join(b, col("s") === col("s2") && col("a_id") < col("b_id"))

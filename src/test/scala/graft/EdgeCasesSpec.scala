@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Validate}
+import graft.sources.{TableLoader, XmlRecordSource}
+
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Validate.Enum flags out-of-domain values, passes nulls to NotNull only") {
+    val df = Seq(Some("O"), Some("F"), Some("Z"), None).toDF("st")
+    val rep = Validate.report("t", df, Seq(Validate.Enum("st", Seq("O", "F", "P"))))
+      .collect().map(r => r.getString(1) -> r.getLong(3)).toMap
+    assert(rep("enum") === 1L) // Z only; null is NotNull's business
+  }
+
+  test("XML parser ignores record-less documents and unknown nesting depth") {
+    assert(XmlRecordSource.parseRecords("<root><other>x</other></root>", "rec").isEmpty)
+    val withExtra = "<root><rec><a>1</a></rec><junk/><rec><a>2</a></rec></root>"
+    assert(XmlRecordSource.parseRecords(withExtra, "rec").map(_("a")).toSeq === Seq("1", "2"))
+  }
+
+  test("XML parser refuses external entity expansion (XXE hardening)") {
+    val xxe = """<?xml version="1.0"?><!DOCTYPE r [<!ENTITY x SYSTEM "file:///etc/hostname">]><root><rec><a>&x;</a></rec></root>"""
+    intercept[Exception] { XmlRecordSource.parseRecords(xxe, "rec").toSeq }
+  }
+
+  test("TableLoader rejects unknown tables") {
+    intercept[IllegalArgumentException] { TableLoader.load(spark, Sf, "not_a_table") }
+  }
+
+  test("ngramJaccardPairs with a stop-shingle cap still finds the near-dup") {
+    val docs = Seq(
+      (0L, "aa bb cc dd ee ff gg hh"),
+      (1L, "aa bb cc dd ee ff gg xx")).toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(docs, tauBp = 5000L, maxShingleDf = Some(10L))
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(capped === Set((0L, 1L)))
+  }
+
+  test("dedup operators ignore documents shorter than the shingle width") {
+    val docs = Seq((0L, "one two"), (1L, "one two")).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(docs, 0L).count() === 0)
+    assert(Dedup.minhashPairs(docs, 0L).count() === 0)
+  }
+}
