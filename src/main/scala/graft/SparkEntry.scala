@@ -66,6 +66,7 @@ object SparkEntry {
     "text_quality" -> (TextQueries.qualityQ _),
     "text_tokens" -> (TextQueries.tokensQ _),
     "text_fingerprint" -> (TextQueries.fingerprintQ _),
+    "text_tfidf" -> (TextQueries.tfidfQ _),
     // §2.8 multimodal plumbing
     "mm_features" -> (VectorQueries.mmFeatures _)
   )

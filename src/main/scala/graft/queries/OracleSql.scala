@@ -368,6 +368,19 @@ object OracleSql {
          | CAST(len($shingleHashesFromW) AS BIGINT) AS n_shingles
          |FROM d ORDER BY doc_id""".stripMargin,
 
+    "text_tfidf" ->
+      """WITH terms AS (
+        | SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term AS t2, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        | SELECT doc_id, term, (tf * 1000000 * n_docs) // df AS score
+        | FROM tf JOIN df ON term = t2 CROSS JOIN n),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk FROM scored)
+        |SELECT doc_id, CAST(rnk AS INT) AS rnk, term, CAST(score AS BIGINT) AS score
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
     "dedup_exact" ->
       s"""WITH h AS (SELECT doc_id, ${rh("text")} AS text_hash FROM documents)
          |SELECT text_hash, MIN(doc_id) AS doc_id, COUNT(*) AS copies

@@ -53,6 +53,27 @@ object TextQueries {
       size(shingleHashesNative(spark, col("text"))).cast("long").as("n_shingles"))
       .orderBy(col("doc_id"))
 
+  /** Top-3 characteristic terms per document by integer-exact TF-IDF
+    * (score = tf * 1e6 * N div df — no floating log, so the oracle
+    * re-derives it bit-for-bit). Two shuffles: term df, then per-doc
+    * top-k window. */
+  def tfidfQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val n = d.count() // corpus size: one scalar, computed once
+    val terms = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumnRenamed("term", "t2")
+    val scored = tf.join(df, col("term") === col("t2"))
+      .withColumn("score", expr(s"(tf * 1000000L * ${n}L) div df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   def dedupExactQ(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(docs(spark, dir)).orderBy(col("text_hash"))
 

@@ -1,0 +1,41 @@
+package graft
+
+import graft.queries.{RelationalQueries, TextQueries}
+
+/** Plan regression guards: the properties that make these queries scale
+  * (broadcast dims, pushed filters, pruned scans, bounded shuffles) are
+  * asserted so a refactor can't silently regress the physical plan. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    df.count() // materialize AQE final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q3: dims broadcast, filters pushed into scans, narrow ReadSchema") {
+    val p = plan(RelationalQueries.q3ShippingPriority(spark, Sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)")
+      || p.contains("EqualTo(c_mktsegment,BUILDING)"))
+    assert(!p.contains("l_partkey")) // column pruning on the fact scan
+  }
+
+  test("q5: star join is all-broadcast (no fact-side SMJ except orderkey)") {
+    val p = plan(RelationalQueries.q5LocalSupplier(spark, Sf))
+    assert(p.split("BroadcastHashJoin").length >= 4)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q1: aggregation scan reads only the needed lineitem columns") {
+    val p = plan(RelationalQueries.q1PricingSummary(spark, Sf))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_partkey"),
+      s"scan reads too much: $readSchema")
+  }
+
+  test("dedup_minhash: candidate generation shuffles ids only (no text columns)") {
+    val p = plan(TextQueries.dedupMinhashQ(spark, Sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+}
