@@ -60,6 +60,7 @@ object SparkEntry {
     // §2.6 similarity search
     "ann_bruteforce" -> (VectorQueries.annBruteForce _),
     "ann_lsh" -> (VectorQueries.annLsh _),
+    "ann_ivf" -> (VectorQueries.annIvf _),
     "knn_classify" -> (VectorQueries.knnClassify _),
     // §2.7 text analysis
     "text_lang_id" -> (TextQueries.langIdQ _),

@@ -34,6 +34,14 @@ object VectorQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** IVF-bucketed approximate top-10 (same query set as ann_bruteforce;
+    * recall measured in the test suite). */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir)
+    Similarity.ivfTopK(all.where(col("vec_id") % 100 === 0), all, k = 10)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** kNN (k=5) majority-label classification of vec_id % 50 == 0. */
   def knnClassify(spark: SparkSession, dir: String): DataFrame = {
     val all = emb(spark, dir)

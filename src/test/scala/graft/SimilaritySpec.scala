@@ -41,6 +41,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
+  test("IVF top-k recall@10 beats random-bucket baseline on real embeddings") {
+    val q = emb.where(col("vec_id") % 100 === 0)
+    val bf = Similarity.bruteForceTopK(q, emb, k = 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(q, emb, k = 10, nCentroids = 16, nProbe = 4)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    // the synthetic embeddings are near-uniform (no cluster structure),
+    // so IVF recall is bounded near the scanned fraction; probing 4/16
+    // buckets must still beat that random-scan baseline (~0.25) clearly.
+    assert(recall >= 0.35, s"recall=$recall")
+  }
+
   test("knnClassify produces one deterministic label per query") {
     val q = emb.where(col("vec_id") % 50 === 0)
     val out = Similarity.knnClassify(q, emb, k = 5).collect()
