@@ -28,6 +28,26 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("value_cents"))
 
+  /** Stream the tumbling aggregation into the partitioned lake via
+    * foreachBatch: each micro-batch lands through the same idempotent
+    * dynamic-partition-overwrite writer the batch path uses, partitioned
+    * by event_type — replaying a micro-batch rewrites only its
+    * partitions (exactly-once landing on top of at-least-once
+    * delivery). */
+  def runLakeSink(spark: SparkSession, eventsDir: String, lakePath: String): StreamingQuery = {
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    tumblingAgg(stream)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sinks.PartitionedWriter.write(batch, lakePath, Seq("event_type"))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** File-based streaming read of an events parquet directory, processed
     * with availableNow (bounded backfill) into an in-memory sink;
     * returns the query for the caller to await. */

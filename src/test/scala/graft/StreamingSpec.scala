@@ -34,6 +34,20 @@ class StreamingSpec extends SparkSpec {
       _.head.asInstanceOf[java.sql.Timestamp].getTime >= maxStart - 2L * 3600 * 1000))
   }
 
+  test("foreachBatch lake sink lands micro-batches via the idempotent writer") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftstream2").toFile.getAbsolutePath
+    val lake = java.nio.file.Files.createTempDirectory("graftlake2").toFile.getAbsolutePath + "/agg"
+    spark.read.parquet(s"$Sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .write.mode("overwrite").parquet(tmp)
+    val q = EventStream.runLakeSink(spark, tmp, lake)
+    q.awaitTermination(120000)
+    val landed = spark.read.parquet(lake)
+    assert(landed.count() > 0)
+    assert(landed.columns.contains("event_type")) // partition column survives
+    assert(new java.io.File(lake).listFiles().exists(_.getName.startsWith("event_type=")))
+  }
+
   test("batch streamingParity query shape matches tumblingAgg query") {
     val a = EventQueries.streamingParity(spark, Sf).collect().map(_.toSeq)
     val b = EventQueries.tumblingAgg(spark, Sf).collect().map(_.toSeq)
