@@ -64,6 +64,24 @@ object RatingsPipeline {
     report
   }
 
+  /** Ingest a directory of plain XML ratings files through the graft-xml
+    * DataSource V2 (schema inference + per-file parallelism + pruning) —
+    * the path for already-unzipped drops. Same conform/validate/write
+    * semantics as ingestPeriod. */
+  def ingestPeriodXmlDir(spark: SparkSession, xmlGlob: String, lakePath: String,
+                         periodYear: Int, periodMonth: Int,
+                         overwrite: Boolean = true): DataFrame = {
+    val raw = spark.read.format("graft-xml")
+      .option("recordTag", "player")
+      .load(xmlGlob)
+    val conformed = Conform(raw, ConformRatings.copy(enrich = Seq(
+      "period_year" -> lit(periodYear), "period_month" -> lit(periodMonth))))
+    val report = Validate.report("ratings", conformed, RatingRules)
+    PartitionedWriter.write(conformed, lakePath, Seq("period_year", "period_month"),
+      overwritePartitions = overwrite)
+    report
+  }
+
   /** Leaderboard over the lake: top-k players by rating per federation
     * for one period (the analytics the ratings lake serves). */
   def leaderboard(spark: SparkSession, lakePath: String, periodYear: Int,

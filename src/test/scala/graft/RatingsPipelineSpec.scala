@@ -54,6 +54,21 @@ class RatingsPipelineSpec extends SparkSpec {
     assert(lb.count(_._1 == "USA") === 2)
   }
 
+  test("ingestPeriodXmlDir: DSv2 path lands the same lake layout") {
+    val xmlDir = Files.createTempDirectory("ratingsxml").toFile
+    val lake = Files.createTempDirectory("ratingslake3").toFile.getAbsolutePath + "/ratings"
+    Files.writeString(new File(xmlDir, "mar24.xml").toPath,
+      XmlRecordSource.renderXml("player", Seq(
+        player(1, "Alice", "USA", "F", 2700, 1990).toSeq,
+        player(2, "Bob", "GER", "M", 2650, 1985).toSeq).iterator))
+    RatingsPipeline.ingestPeriodXmlDir(spark, xmlDir.getAbsolutePath + "/*.xml",
+      lake, 2024, 3)
+    val lakeDf = spark.read.parquet(lake)
+    assert(lakeDf.count() === 2)
+    assert(lakeDf.where(col("fide_federation") === "GER").count() === 1)
+    assert(new File(lake + "/period_year=2024/period_month=3").exists())
+  }
+
   test("missingPeriods plans the backfill via anti join") {
     val zipDir = Files.createTempDirectory("ratingszips2").toFile
     val lake = Files.createTempDirectory("ratingslake2").toFile.getAbsolutePath + "/ratings"
