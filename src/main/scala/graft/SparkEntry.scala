@@ -44,6 +44,8 @@ object SparkEntry {
     "q_rank_family" -> (RelationalQueries.qRankFamily _),
     "q_string_funcs" -> (RelationalQueries.qStringFuncs _),
     "q_set_ops" -> (RelationalQueries.qSetOps _),
+    "q_range_frame" -> (RelationalQueries.qRangeFrame _),
+    "q_cube" -> (RelationalQueries.qCube _),
     // §2.4 events / time series
     "ev_tumbling_agg" -> (EventQueries.tumblingAgg _),
     "ev_streaming_parity" -> (EventQueries.streamingParity _),

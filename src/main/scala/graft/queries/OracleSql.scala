@@ -258,6 +258,28 @@ object OracleSql {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_range_frame" ->
+      """WITH m AS (
+        | SELECT o_orderpriority,
+        |  CAST(EXTRACT(year FROM o_orderdate) * 12 + EXTRACT(month FROM o_orderdate) AS BIGINT) AS month_idx,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS month_cents,
+        |  COUNT(*) AS n_orders
+        | FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, month_idx, month_cents, n_orders,
+        | CAST(SUM(month_cents) OVER w AS BIGINT) AS trailing3_cents,
+        | CAST(SUM(n_orders) OVER w AS BIGINT) AS trailing3_orders
+        |FROM m WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month_idx
+        |  RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderpriority, month_idx""".stripMargin,
+
+    "q_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        | COALESCE(l_linestatus, 'ALL') AS linestatus,
+        | COUNT(*) AS n_lines,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
     "q_rank_family" ->
       """WITH c AS (
         | SELECT c_nationkey, c_custkey,

@@ -251,6 +251,33 @@ object RelationalQueries {
         count(lit(1)).as("n_lines"))
       .orderBy(col("l_returnflag"))
 
+  /** RANGE-frame window: trailing-3-month order volume per priority
+    * (frame defined on a month index, so gaps in the calendar are
+    * handled by value range, not row count). */
+  def qRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"),
+        ((year(col("o_orderdate")) * 12) + month(col("o_orderdate"))).cast("long").as("month_idx"))
+      .agg(cents(col("o_totalprice")).as("month_cents"), count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("month_idx"))
+      .rangeBetween(-2, Window.currentRow)
+    monthly
+      .withColumn("trailing3_cents", sum(col("month_cents")).over(w))
+      .withColumn("trailing3_orders", sum(col("n_orders")).over(w))
+      .orderBy(col("o_orderpriority"), col("month_idx"))
+  }
+
+  /** CUBE over (returnflag, linestatus): all grouping-set combinations. */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(col("l_quantity").cast("decimal(18,2)"))).cast("long").as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_lines"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
   /** Rank-function family: dense_rank, ntile quartiles, percent_rank
     * (floor-scaled) over a deterministic (cents desc, key) ordering. */
   def qRankFamily(spark: SparkSession, dir: String): DataFrame = {
