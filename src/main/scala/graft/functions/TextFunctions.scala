@@ -38,11 +38,20 @@ object TextFunctions {
   /** Polynomial rolling hash (base 31, mod 1e9+7) over char codes —
     * deterministic document/shingle fingerprint, identical in any engine
     * with 64-bit integer math. */
-  def rollingHash(c: Column): Column =
+  def rollingHash(c: Column): Column = rollingHashWith(c, 31L, HashMod)
+
+  /** Second independent family (base 131, mod 998244353) — pairing two
+    * rolling hashes gives ~60 bits of key space, enough to make
+    * exact-dedup collisions negligible at billions of documents while
+    * both hashes stay SQL-expressible for the oracle. */
+  val HashMod2 = 998244353L
+  def rollingHash2(c: Column): Column = rollingHashWith(c, 131L, HashMod2)
+
+  def rollingHashWith(c: Column, base: Long, mod: Long): Column =
     aggregate(
       transform(split(c, ""), ch => ascii(ch).cast("long")),
       lit(0L),
-      (acc, x) => (acc * 31L + x) % HashMod)
+      (acc, x) => (acc * base + x) % mod)
 
   /** Punctuation character count. */
   def punctCount(c: Column): Column =

@@ -22,12 +22,14 @@ import graft.expressions.ShingleHashes.shingleHashesNative
 object Dedup {
 
   /** Exact dedup: one survivor (min id) per distinct text. A single
-    * hash-partitioned groupBy on the text's rolling hash — at scale this
-    * shuffles 8-byte keys, not documents. */
+    * hash-partitioned groupBy on two independent rolling hashes (~60-bit
+    * combined key: collisions negligible at 1e9+ docs) — at scale this
+    * shuffles 16-byte keys, not documents. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs
       .withColumn("text_hash", rollingHash(col(textCol)))
-      .groupBy(col("text_hash"))
+      .withColumn("text_hash2", rollingHash2(col(textCol)))
+      .groupBy(col("text_hash"), col("text_hash2"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("copies"))
 
   /** (id, sh: distinct shingle hashes, n_sh) prep used by the exact and

@@ -12,9 +12,12 @@ import graft.functions.TextFunctions
   */
 object OracleSql {
   /** Rolling hash (base 31 mod 1e9+7) of a string expression. */
-  def rh(e: String): String =
+  def rh(e: String): String = rhWith(e, 31, 1000000007L)
+  /** Second family (base 131 mod 998244353) — see Dedup.exact. */
+  def rh2(e: String): String = rhWith(e, 131, 998244353L)
+  def rhWith(e: String, base: Int, mod: Long): String =
     s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($e, ''), " +
-      s"c -> ascii(c)::BIGINT)), (acc, x) -> (acc * 31 + x) % 1000000007)"
+      s"c -> ascii(c)::BIGINT)), (acc, x) -> (acc * $base + x) % $mod)"
 
   /** Distinct word-3-gram shingle hashes; expects `w` = string_split(text,' '). */
   val shingleHashesFromW: String =
@@ -404,9 +407,9 @@ object OracleSql {
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
     "dedup_exact" ->
-      s"""WITH h AS (SELECT doc_id, ${rh("text")} AS text_hash FROM documents)
-         |SELECT text_hash, MIN(doc_id) AS doc_id, COUNT(*) AS copies
-         |FROM h GROUP BY 1 ORDER BY text_hash""".stripMargin,
+      s"""WITH h AS (SELECT doc_id, ${rh("text")} AS text_hash, ${rh2("text")} AS text_hash2 FROM documents)
+         |SELECT text_hash, text_hash2, MIN(doc_id) AS doc_id, COUNT(*) AS copies
+         |FROM h GROUP BY 1, 2 ORDER BY text_hash, text_hash2""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -75,7 +75,7 @@ object TextQueries {
   }
 
   def dedupExactQ(spark: SparkSession, dir: String): DataFrame =
-    Dedup.exact(docs(spark, dir)).orderBy(col("text_hash"))
+    Dedup.exact(docs(spark, dir)).orderBy(col("text_hash"), col("text_hash2"))
 
   def dedupNgramJaccardQ(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(docs(spark, dir), tauBp = 6000L)

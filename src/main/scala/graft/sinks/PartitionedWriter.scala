@@ -23,12 +23,19 @@ object PartitionedWriter {
 
   /** Write partitioned parquet; `overwritePartitions = false` skips the
     * write entirely when the target exists (reference skip semantics),
-    * `true` uses dynamic partition overwrite (idempotent backfill). */
+    * `true` uses dynamic partition overwrite (idempotent backfill).
+    * `clusterBy` sorts rows within output files so parquet row-group
+    * min/max stats make point/range reads on those columns skip data —
+    * the cheap half of Z-ordering, worth it on every 100 TB lake. */
   def write(df: DataFrame, path: String, partitionCols: Seq[String],
-            overwritePartitions: Boolean = true): Boolean = {
+            overwritePartitions: Boolean = true,
+            clusterBy: Seq[String] = Seq.empty): Boolean = {
     if (!overwritePartitions && exists(df, path)) return false
     df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write
+    val clustered =
+      if (clusterBy.isEmpty) df
+      else df.sortWithinPartitions((partitionCols ++ clusterBy).map(org.apache.spark.sql.functions.col): _*)
+    clustered.write
       .partitionBy(partitionCols: _*)
       .mode(if (overwritePartitions) "overwrite" else "errorifexists")
       .parquet(path)

@@ -15,7 +15,8 @@ class DedupSpec extends SparkSpec {
   ).toDF("doc_id", "text")
 
   test("exact dedup keeps min-id survivor and counts copies") {
-    val out = Dedup.exact(docs).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val out = Dedup.exact(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("copies"))).toSet
     assert(out.contains((0L, 2L))) // doc 0 survives with 2 copies
     assert(out.size === 4)
   }
