@@ -22,6 +22,7 @@ object SparkEntry {
     "schema_conform" -> (IngestQueries.schemaConform _),
     "validate_constraints" -> (IngestQueries.validateConstraints _),
     "period_calendar" -> (IngestQueries.periodCalendar _),
+    "q_profile" -> (IngestQueries.profileQ _),
     // §2.3 relational analytics
     "q1_pricing_summary" -> (RelationalQueries.q1PricingSummary _),
     "q3_shipping_priority" -> (RelationalQueries.q3ShippingPriority _),
@@ -46,6 +47,7 @@ object SparkEntry {
     "q_set_ops" -> (RelationalQueries.qSetOps _),
     "q_range_frame" -> (RelationalQueries.qRangeFrame _),
     "q_cube" -> (RelationalQueries.qCube _),
+    "q_distinct_approx" -> (RelationalQueries.qDistinctApprox _),
     // §2.4 events / time series
     "ev_tumbling_agg" -> (EventQueries.tumblingAgg _),
     "ev_streaming_parity" -> (EventQueries.streamingParity _),

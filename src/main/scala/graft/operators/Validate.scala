@@ -30,6 +30,28 @@ object Validate {
     case Unique(_)    => lit(false) // handled separately
   }
 
+  /** Generic column profile: one row per (column, metric) with the value
+    * rendered as a string — the EDA/data-quality companion to `report`
+    * (null_count, distinct_count, min, max). One aggregation pass per
+    * table regardless of column count. */
+  def profile(table: String, df: DataFrame, columns: Seq[String]): DataFrame = {
+    val aggs = columns.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls:$c"),
+        countDistinct(col(c)).as(s"distinct:$c"),
+        min(col(c)).cast("string").as(s"min:$c"),
+        max(col(c)).cast("string").as(s"max:$c"))
+    }
+    val agg = df.agg(aggs.head, aggs.tail: _*)
+    val rows = columns.flatMap { c =>
+      Seq("nulls", "distinct", "min", "max").map { m =>
+        agg.select(lit(table).as("table"), lit(c).as("column"),
+          lit(m).as("metric"), col(s"`$m:$c`").cast("string").as("value"))
+      }
+    }
+    rows.reduce(_ unionAll _)
+  }
+
   /** One row per rule: (table, rule, column, violations). Row-level rules
     * fold into a single aggregate pass over the table; Unique adds one
     * groupBy on its key. */

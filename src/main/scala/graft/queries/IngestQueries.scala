@@ -78,6 +78,12 @@ object IngestQueries {
     orders.unionAll(customer).orderBy(col("table"), col("rule"), col("column"))
   }
 
+  /** Column profiling over customer (EDA/data-quality surface). */
+  def profileQ(spark: SparkSession, dir: String): DataFrame =
+    Validate.profile("customer", TableLoader.load(spark, dir, "customer"),
+      Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+      .orderBy(col("column"), col("metric"))
+
   /** Month-calendar generation (dates.py analog) left-joined with order
     * activity — includes empty months, exact cents. */
   def periodCalendar(spark: SparkSession, dir: String): DataFrame = {

@@ -104,6 +104,17 @@ object OracleSql {
         |SELECT month_start, COALESCE(n_orders, 0) AS n_orders, COALESCE(total_cents, 0) AS total_cents
         |FROM months LEFT JOIN act ON month_start = m ORDER BY month_start""".stripMargin,
 
+    "q_profile" -> {
+      val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+      cols.flatMap { c =>
+        Seq(
+          s"SELECT 'customer' AS \"table\", '$c' AS \"column\", 'nulls' AS metric, CAST((SELECT COUNT(*) FROM customer WHERE $c IS NULL) AS VARCHAR) AS value",
+          s"SELECT 'customer', '$c', 'distinct', CAST((SELECT COUNT(DISTINCT $c) FROM customer) AS VARCHAR)",
+          s"SELECT 'customer', '$c', 'min', CAST((SELECT MIN($c) FROM customer) AS VARCHAR)",
+          s"SELECT 'customer', '$c', 'max', CAST((SELECT MAX($c) FROM customer) AS VARCHAR)")
+      }.mkString("", " UNION ALL ", " ORDER BY \"column\", metric")
+    },
+
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS sum_qty,

@@ -251,6 +251,16 @@ object RelationalQueries {
         count(lit(1)).as("n_lines"))
       .orderBy(col("l_returnflag"))
 
+  /** HLL-sketch distinct counts (approx_count_distinct) — the 100 TB
+    * path for q_distinct_agg (exact stays as the oracle; spec bounds the
+    * sketch error). */
+  def qDistinctApprox(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("n_parts_approx"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("n_supps_approx"))
+      .orderBy(col("l_returnflag"))
+
   /** RANGE-frame window: trailing-3-month order volume per priority
     * (frame defined on a month index, so gaps in the calendar are
     * handled by value range, not row count). */

@@ -4,6 +4,18 @@ import graft.queries.RelationalQueries
 
 class PercentileSketchSpec extends SparkSpec {
 
+  test("approx_count_distinct sketch stays within 5% of exact") {
+    val exact = graft.queries.RelationalQueries.qDistinctAgg(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = graft.queries.RelationalQueries.qDistinctApprox(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    exact.foreach { case (flag, (p, s)) =>
+      val (ap, as_) = approx(flag)
+      assert(math.abs(ap - p).toDouble / p < 0.05, s"$flag parts $ap vs $p")
+      assert(math.abs(as_ - s).toDouble / s < 0.05, s"$flag supps $as_ vs $s")
+    }
+  }
+
   test("approx percentile sketch stays within 1% of the exact rank selection") {
     val exact = RelationalQueries.qPercentiles(spark, Sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
