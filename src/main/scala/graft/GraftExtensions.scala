@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{FloatVecDot, ShingleHashes, SimHashBits}
+import graft.expressions.{FloatVecDot, RollingHash, ShingleHashes, SimHashBits}
 
 /** SparkSessionExtensions entry point: installs the graft native
   * functions into any session via
@@ -30,6 +30,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => other.eval().asInstanceOf[Int]
         }
         ShingleHashes(exprs(0), n)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      info("rolling_hash", "rolling_hash(text, base, mod) - polynomial rolling hash over char codes"),
+      { exprs: Seq[Expression] =>
+        def longOf(e: Expression): Long = e.eval() match {
+          case i: Int => i.toLong
+          case l: Long => l
+        }
+        RollingHash(exprs(0), longOf(exprs(1)), longOf(exprs(2)))
       }))
     ext.injectFunction((
       new FunctionIdentifier("simhash_bits"),

@@ -25,12 +25,15 @@ object Dedup {
     * hash-partitioned groupBy on two independent rolling hashes (~60-bit
     * combined key: collisions negligible at 1e9+ docs) — at scale this
     * shuffles 16-byte keys, not documents. */
-  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.expressions.RollingHash.rollingHashNative
+    val spark = docs.sparkSession
     docs
-      .withColumn("text_hash", rollingHash(col(textCol)))
-      .withColumn("text_hash2", rollingHash2(col(textCol)))
+      .withColumn("text_hash", rollingHashNative(spark, col(textCol), 31L, HashMod))
+      .withColumn("text_hash2", rollingHashNative(spark, col(textCol), 131L, HashMod2))
       .groupBy(col("text_hash"), col("text_hash2"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("copies"))
+  }
 
   /** (id, sh: distinct shingle hashes, n_sh) prep used by the exact and
     * MinHash paths. */

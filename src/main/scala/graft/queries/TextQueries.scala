@@ -49,7 +49,7 @@ object TextQueries {
   def fingerprintQ(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       col("doc_id"),
-      rollingHash(col("text")).as("fp"),
+      graft.expressions.RollingHash.rollingHashNative(spark, col("text"), 31L, HashMod).as("fp"),
       size(shingleHashesNative(spark, col("text"))).cast("long").as("n_shingles"))
       .orderBy(col("doc_id"))
 

@@ -31,6 +31,17 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got === Seq("en", "de", "de")) // all-zero scores -> first lang code
   }
 
+  test("native rolling_hash equals the Column-composition on the corpus") {
+    import graft.expressions.RollingHash.rollingHashNative
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val both = docs.select(
+      rollingHash(col("text")).as("ref"),
+      rollingHashNative(spark, col("text"), 31L, HashMod).as("fast"),
+      rollingHashWith(col("text"), 131L, HashMod2).as("ref2"),
+      rollingHashNative(spark, col("text"), 131L, HashMod2).as("fast2"))
+    assert(both.where(col("ref") =!= col("fast") || col("ref2") =!= col("fast2")).count() === 0)
+  }
+
   test("native shingle_hashes equals the Column-composition on the corpus") {
     import graft.expressions.ShingleHashes.shingleHashesNative
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
