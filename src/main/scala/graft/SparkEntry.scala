@@ -72,6 +72,9 @@ object SparkEntry {
     "text_tokens" -> (TextQueries.tokensQ _),
     "text_fingerprint" -> (TextQueries.fingerprintQ _),
     "text_tfidf" -> (TextQueries.tfidfQ _),
+    "text_normalize" -> (TextQueries.normalizeQ _),
+    "text_redact" -> (TextQueries.redactQ _),
+    "text_corpus_stats" -> (TextQueries.corpusStatsQ _),
     // §2.8 multimodal plumbing
     "mm_features" -> (VectorQueries.mmFeatures _)
   )

@@ -404,6 +404,28 @@ object OracleSql {
          | CAST(len($shingleHashesFromW) AS BIGINT) AS n_shingles
          |FROM d ORDER BY doc_id""".stripMargin,
 
+    "text_normalize" -> {
+      val norm = "trim(regexp_replace(regexp_replace(lower(text), '[.!?,;:]', '', 'g'), ' +', ' ', 'g'))"
+      s"""SELECT doc_id, ${rh(norm)} AS norm_hash,
+         | CAST(length(text) - length($norm) AS BIGINT) AS chars_removed
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "text_redact" -> {
+      val red = "regexp_replace(text, '[0-9]+', '#', 'g')"
+      s"""SELECT doc_id, ${rh(red)} AS redacted_hash,
+         | CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_redactions
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "text_corpus_stats" ->
+      """SELECT COUNT(*) AS n_docs,
+        | CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        | CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+        | COUNT(DISTINCT lang) AS n_langs,
+        | CAST(SUM(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_mismatches
+        |FROM documents""".stripMargin,
+
     "text_tfidf" ->
       """WITH terms AS (
         | SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),

@@ -53,6 +53,45 @@ object TextQueries {
       size(shingleHashesNative(spark, col("text"))).cast("long").as("n_shingles"))
       .orderBy(col("doc_id"))
 
+  /** Text normalization: lowercase, strip punctuation, collapse runs of
+    * whitespace — emitted as the normalized text's rolling hash plus
+    * how much the normalization changed (train-data canonicalization). */
+  def normalizeQ(spark: SparkSession, dir: String): DataFrame = {
+    val normalized = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[.!?,;:]", ""), " +", " "))
+    docs(spark, dir).select(
+      col("doc_id"),
+      graft.expressions.RollingHash.rollingHashNative(spark, normalized, 31L, HashMod)
+        .as("norm_hash"),
+      (length(col("text")) - length(normalized)).cast("long").as("chars_removed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII-style pattern redaction: digit runs masked with '#'; reports
+    * the redacted hash and match count (training-data scrubbing shape —
+    * swap the pattern for emails/SSNs in production). */
+  def redactQ(spark: SparkSession, dir: String): DataFrame = {
+    val redacted = regexp_replace(col("text"), "[0-9]+", "#")
+    docs(spark, dir).select(
+      col("doc_id"),
+      graft.expressions.RollingHash.rollingHashNative(spark, redacted, 31L, HashMod)
+        .as("redacted_hash"),
+      size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).cast("long")
+        .as("n_redactions"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Whole-corpus statistics in one aggregation pass, including the
+    * n_chars metadata-consistency check (cross-field data quality). */
+  def corpusStatsQ(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).agg(
+      count(lit(1)).as("n_docs"),
+      sum(wsTokenCount(col("text"))).as("total_tokens"),
+      sum(length(col("text")).cast("long")).as("total_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(when(length(col("text")) =!= col("n_chars"), 1L).otherwise(0L))
+        .as("n_chars_mismatches"))
+
   /** Top-3 characteristic terms per document by integer-exact TF-IDF
     * (score = tf * 1e6 * N div df — no floating log, so the oracle
     * re-derives it bit-for-bit). Two shuffles: term df, then per-doc
