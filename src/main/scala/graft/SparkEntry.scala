@@ -48,6 +48,7 @@ object SparkEntry {
     "q_range_frame" -> (RelationalQueries.qRangeFrame _),
     "q_cube" -> (RelationalQueries.qCube _),
     "q_distinct_approx" -> (RelationalQueries.qDistinctApprox _),
+    "q_parts_stats" -> (RelationalQueries.qPartsStats _),
     // §2.4 events / time series
     "ev_tumbling_agg" -> (EventQueries.tumblingAgg _),
     "ev_streaming_parity" -> (EventQueries.streamingParity _),
@@ -75,6 +76,7 @@ object SparkEntry {
     "text_normalize" -> (TextQueries.normalizeQ _),
     "text_redact" -> (TextQueries.redactQ _),
     "text_corpus_stats" -> (TextQueries.corpusStatsQ _),
+    "text_by_source" -> (TextQueries.bySourceQ _),
     // §2.8 multimodal plumbing
     "mm_features" -> (VectorQueries.mmFeatures _)
   )

@@ -19,7 +19,7 @@ object EventQueries {
     * `ts`. The parquet files carry TIMESTAMP(NANOS), which Spark only
     * reads as raw longs (`spark.sql.legacy.parquet.nanosAsLong`) — the
     * integer `div 1000` truncation matches DuckDB's epoch_us exactly. */
-  private[queries] def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = TableLoader.load(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -327,6 +327,12 @@ object OracleSql {
         | SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995)
         |ORDER BY label, o_custkey""".stripMargin,
 
+    "q_parts_stats" ->
+      """SELECT p_brand, COUNT(*) AS n_parts, MIN(p_size) AS min_size, MAX(p_size) AS max_size,
+        | CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS retail_cents,
+        | COUNT(DISTINCT p_type) AS n_types
+        |FROM part GROUP BY 1 ORDER BY p_brand""".stripMargin,
+
     "q_distinct_agg" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
         | COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_lines
@@ -425,6 +431,13 @@ object OracleSql {
         | COUNT(DISTINCT lang) AS n_langs,
         | CAST(SUM(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_mismatches
         |FROM documents""".stripMargin,
+
+    "text_by_source" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        | CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        | COUNT(DISTINCT lang) AS n_langs,
+        | CAST(MAX(length(text)) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
 
     "text_tfidf" ->
       """WITH terms AS (

@@ -251,6 +251,17 @@ object RelationalQueries {
         count(lit(1)).as("n_lines"))
       .orderBy(col("l_returnflag"))
 
+  /** Part-dimension stats (brand rollup over size/price). */
+  def qPartsStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        min(col("p_size")).as("min_size"),
+        max(col("p_size")).as("max_size"),
+        (sum(col("p_retailprice").cast("decimal(18,2)")) * 100).cast("long").as("retail_cents"),
+        countDistinct(col("p_type")).as("n_types"))
+      .orderBy(col("p_brand"))
+
   /** HLL-sketch distinct counts (approx_count_distinct) — the 100 TB
     * path for q_distinct_agg (exact stays as the oracle; spec bounds the
     * sketch error). */

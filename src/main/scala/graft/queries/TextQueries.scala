@@ -113,6 +113,16 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** Per-source corpus rollup (provenance dimension — the slice a
+    * training-data pipeline filters/reweights by). */
+  def bySourceQ(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(wsTokenCount(col("text"))).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        max(length(col("text")).cast("long")).as("max_chars"))
+      .orderBy(col("source"))
+
   def dedupExactQ(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(docs(spark, dir)).orderBy(col("text_hash"), col("text_hash2"))
 
