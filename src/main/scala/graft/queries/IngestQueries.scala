@@ -58,6 +58,10 @@ object IngestQueries {
       addMissing = Seq("loyalty_tier" -> "string"),
       enrich = Seq("period_year" -> lit(1995), "period_month" -> lit(6)))
     Conform(TableLoader.load(spark, dir, "customer"), spec)
+      // exact integer cents in the OUTPUT (decimal stays internal): the
+      // oracle comparator sees only engine-agnostic BIGINTs.
+      .withColumn("acctbal_cents", (col("acctbal") * 100).cast("long"))
+      .drop("acctbal")
       .orderBy(col("customer_id"))
   }
 

@@ -65,10 +65,11 @@ object OracleSql {
 
     "schema_conform" ->
       """SELECT CAST(c_custkey AS BIGINT) AS customer_id, c_name AS customer_name,
-        | c_nationkey AS nation_id, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal,
+        | c_nationkey AS nation_id,
         | CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 0 WHEN 'BUILDING' THEN 1
         |   WHEN 'FURNITURE' THEN 2 WHEN 'HOUSEHOLD' THEN 3 WHEN 'MACHINERY' THEN 4 END AS segment_code,
-        | CAST(NULL AS VARCHAR) AS loyalty_tier, 1995 AS period_year, 6 AS period_month
+        | CAST(NULL AS VARCHAR) AS loyalty_tier, 1995 AS period_year, 6 AS period_month,
+        | CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_cents
         |FROM customer ORDER BY customer_id""".stripMargin,
 
     "validate_constraints" -> {

@@ -54,7 +54,8 @@ object RelationalQueries {
     val cust = t(spark, dir, "customer").where(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey"))
     val ord = t(spark, dir, "orders").where(col("o_orderdate") < lit(cutoff).cast("date"))
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
     val li = t(spark, dir, "lineitem").where(col("l_shipdate") > lit(cutoff).cast("date"))
       .select(col("l_orderkey"), discPrice.as("rev"))
     broadcast(cust).join(ord, col("c_custkey") === col("o_custkey"))
