@@ -77,6 +77,7 @@ object SparkEntry {
     "text_redact" -> (TextQueries.redactQ _),
     "text_corpus_stats" -> (TextQueries.corpusStatsQ _),
     "text_by_source" -> (TextQueries.bySourceQ _),
+    "text_sample_split" -> (TextQueries.sampleSplitQ _),
     // §2.8 multimodal plumbing
     "mm_features" -> (VectorQueries.mmFeatures _)
   )

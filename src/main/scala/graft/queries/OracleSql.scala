@@ -440,6 +440,15 @@ object OracleSql {
         | CAST(MAX(length(text)) AS BIGINT) AS max_chars
         |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
 
+    "text_sample_split" ->
+      s"""WITH h AS (
+         | SELECT doc_id, lang, ${rh("text")} % 100 AS bucket FROM documents)
+         |SELECT doc_id, lang, bucket,
+         | CASE WHEN bucket % 5 = 0 THEN 'test' ELSE 'train' END AS split
+         |FROM h
+         |WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+         |ORDER BY doc_id""".stripMargin,
+
     "text_tfidf" ->
       """WITH terms AS (
         | SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),

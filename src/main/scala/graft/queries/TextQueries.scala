@@ -113,6 +113,24 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** Deterministic stratified sampling + train/test split: membership
+    * comes from the text's rolling hash (not rand()), so the sample is
+    * reproducible run-to-run and engine-to-engine — the only sampling
+    * that belongs in a training-data pipeline. Rates: en 10%, other
+    * languages 50%; split 80/20 within the kept sample. */
+  def sampleSplitQ(spark: SparkSession, dir: String): DataFrame = {
+    val h = graft.expressions.RollingHash
+      .rollingHashNative(spark, col("text"), 31L, HashMod)
+    val bucket = pmod(h, lit(100L))
+    val rate = when(col("lang") === "en", 10L).otherwise(50L)
+    docs(spark, dir)
+      .withColumn("bucket", bucket)
+      .where(col("bucket") < rate)
+      .withColumn("split", when(pmod(col("bucket"), lit(5L)) === 0, "test").otherwise("train"))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source corpus rollup (provenance dimension — the slice a
     * training-data pipeline filters/reweights by). */
   def bySourceQ(spark: SparkSession, dir: String): DataFrame =
