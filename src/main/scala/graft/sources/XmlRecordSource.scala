@@ -46,15 +46,37 @@ object XmlRecordSource {
     out.iterator
   }
 
+  /** Permissive parse: malformed documents yield no records instead of
+    * failing the task (the reference's monthly drops occasionally ship
+    * truncated files; a 100 TB backfill must not die on one). Pair with
+    * `malformedCount` to monitor. */
+  def parseRecordsPermissive(xml: String, recordTag: String): Iterator[Map[String, String]] =
+    try parseRecords(xml, recordTag).toIndexedSeq.iterator
+    catch { case _: Exception => Iterator.empty }
+
   /** Parse a Dataset of XML document strings into a DataFrame with the
     * given string fields (cast downstream with Conform). Runs per
-    * partition on executors. */
-  def read(docs: Dataset[String], recordTag: String, fields: Seq[String]): DataFrame = {
+    * partition on executors. `permissive = true` skips malformed
+    * documents instead of failing. */
+  def read(docs: Dataset[String], recordTag: String, fields: Seq[String],
+           permissive: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     val schema = StructType(fields.map(f => StructField(f, StringType, nullable = true)))
-    val rows = docs.rdd.mapPartitions(_.flatMap(parseRecords(_, recordTag))
+    val parse: String => Iterator[Map[String, String]] =
+      if (permissive) parseRecordsPermissive(_, recordTag) else parseRecords(_, recordTag)
+    val rows = docs.rdd.mapPartitions(_.flatMap(parse)
       .map(m => Row.fromSeq(fields.map(m.get(_).orNull))))
     spark.createDataFrame(rows, schema)
+  }
+
+  /** Count malformed documents in a collection (monitoring side of the
+    * permissive path). */
+  def malformedCount(docs: Dataset[String], recordTag: String): Long = {
+    import docs.sparkSession.implicits._
+    docs.map { xml =>
+      try { parseRecords(xml, recordTag).foreach(_ => ()); 0L }
+      catch { case _: Exception => 1L }
+    }.reduce(_ + _)
   }
 
   /** Render rows as a flat-record XML document (used by tests and the

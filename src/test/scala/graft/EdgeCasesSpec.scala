@@ -25,6 +25,19 @@ class EdgeCasesSpec extends SparkSpec {
     intercept[Exception] { XmlRecordSource.parseRecords(xxe, "rec").toSeq }
   }
 
+  test("permissive XML read skips malformed documents and counts them") {
+    val good = XmlRecordSource.renderXml("rec", Iterator(Seq("a" -> "1")))
+    val bad = "<root><rec><a>unclosed"
+    val docs = Seq(good, bad, good).toDS()
+    val out = XmlRecordSource.read(docs, "rec", Seq("a"), permissive = true)
+    assert(out.count() === 2)
+    assert(XmlRecordSource.malformedCount(docs, "rec") === 1L)
+    // strict mode still fails loudly
+    intercept[Exception] {
+      XmlRecordSource.read(docs, "rec", Seq("a")).count()
+    }
+  }
+
   test("TableLoader rejects unknown tables") {
     intercept[IllegalArgumentException] { TableLoader.load(spark, Sf, "not_a_table") }
   }
