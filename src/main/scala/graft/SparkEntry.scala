@@ -59,6 +59,7 @@ object SparkEntry {
     // §2.5 dedup
     "dedup_exact" -> (TextQueries.dedupExactQ _),
     "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccardQ _),
+    "dedup_survivors" -> (TextQueries.dedupSurvivorsQ _),
     "dedup_minhash" -> (TextQueries.dedupMinhashQ _),
     "dedup_simhash" -> (TextQueries.dedupSimhashQ _),
     "dedup_embedding" -> (VectorQueries.dedupEmbedding _),

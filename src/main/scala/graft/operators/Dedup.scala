@@ -76,6 +76,37 @@ object Dedup {
       .select(col("a_id").as("id1"), col("b_id").as("id2"), col("jaccard_bp"))
   }
 
+  /** Connected components over near-dup pairs: label propagation to the
+    * minimum id, iterated to fixpoint — turns a pair list into
+    * (id, canonical) survivor assignments (keep rows whose id equals
+    * their canonical). Candidate graphs after dedup pairing are tiny
+    * relative to the corpus, so a handful of join+agg iterations is the
+    * right cost; for genuinely huge dup graphs switch to the
+    * large-star/small-star formulation (same DataFrame ops, fewer
+    * rounds). `localCheckpoint` truncates lineage each round. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val neighborMin = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("comp")).as("ncomp"))
+      val updated = labels.join(neighborMin, col("id") === col("dst"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp2"))
+        .localCheckpoint(true)
+      changed = updated.where(col("comp2") =!= col("comp")).count()
+      labels = updated.select(col("id"), col("comp2").as("comp"))
+      rounds += 1
+    }
+    labels
+  }
+
   // ---- MinHash ----
 
   /** Deterministic affine hash family over shingle hashes:

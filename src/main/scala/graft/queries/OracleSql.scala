@@ -477,6 +477,25 @@ object OracleSql {
          |WHERE 10000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 6000
          |ORDER BY id1, id2""".stripMargin,
 
+    "dedup_survivors" ->
+      s"""WITH RECURSIVE
+         |d0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |d AS (SELECT doc_id, $shingleHashesFromW AS sh FROM d0),
+         |dd AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
+         |p AS (
+         | SELECT a.doc_id AS id1, b.doc_id AS id2
+         | FROM dd a JOIN dd b ON a.doc_id < b.doc_id
+         | WHERE 10000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 6000),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM p UNION SELECT id2, id1 FROM p),
+         |reach(src, dst) AS (
+         | SELECT src, dst FROM edges
+         | UNION
+         | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges)
+         |SELECT n.id AS doc_id, LEAST(n.id, MIN(r.dst)) AS canonical
+         |FROM nodes n LEFT JOIN reach r ON r.src = n.id
+         |GROUP BY n.id ORDER BY doc_id""".stripMargin,
+
     "dedup_embedding" ->
       s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
          |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -148,6 +148,14 @@ object TextQueries {
     Dedup.ngramJaccardPairs(docs(spark, dir), tauBp = 6000L)
       .orderBy(col("id1"), col("id2"))
 
+  /** Survivor assignment: connected components over the exact near-dup
+    * pairs — each duplicated document mapped to its canonical (min id)
+    * representative. */
+  def dedupSurvivorsQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(Dedup.ngramJaccardPairs(docs(spark, dir), tauBp = 6000L))
+      .select(col("id").as("doc_id"), col("comp").as("canonical"))
+      .orderBy(col("doc_id"))
+
   def dedupMinhashQ(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(docs(spark, dir), tauBp = 6000L)
       .orderBy(col("id1"), col("id2"))

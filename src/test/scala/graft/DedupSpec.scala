@@ -48,6 +48,13 @@ class DedupSpec extends SparkSpec {
     assert(mh.size.toDouble / truth.size >= 0.9)
   }
 
+  test("connectedComponents collapses transitive chains to min-id canonical") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("simhash flags identical docs at hamming 0") {
     val pairs = Dedup.simhashPairs(docs, maxDist = 3)
       .select("id1", "id2", "hamming").as[(Long, Long, Long)].collect()
