@@ -49,6 +49,7 @@ object SparkEntry {
     "q_cube" -> (RelationalQueries.qCube _),
     "q_distinct_approx" -> (RelationalQueries.qDistinctApprox _),
     "q_parts_stats" -> (RelationalQueries.qPartsStats _),
+    "q_collect_list" -> (RelationalQueries.qCollectList _),
     // §2.4 events / time series
     "ev_tumbling_agg" -> (EventQueries.tumblingAgg _),
     "ev_streaming_parity" -> (EventQueries.streamingParity _),

@@ -328,6 +328,14 @@ object OracleSql {
         | SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995)
         |ORDER BY label, o_custkey""".stripMargin,
 
+    "q_collect_list" ->
+      """WITH r AS (
+        | SELECT c_nationkey, c_custkey,
+        |  ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        | FROM customer)
+        |SELECT c_nationkey, string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey) AS top_customers
+        |FROM r WHERE rnk <= 3 GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+
     "q_parts_stats" ->
       """SELECT p_brand, COUNT(*) AS n_parts, MIN(p_size) AS min_size, MAX(p_size) AS max_size,
         | CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS retail_cents,

@@ -252,6 +252,18 @@ object RelationalQueries {
         count(lit(1)).as("n_lines"))
       .orderBy(col("l_returnflag"))
 
+  /** Collection aggregation: per-nation sorted roster of its top-3
+    * customers (collect_list -> sort_array), emitted comma-joined so the
+    * output stays a comparator-safe string. */
+  def qCollectList(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(spark, dir, "customer")
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= 3)
+      .groupBy(col("c_nationkey"))
+      .agg(concat_ws(",", sort_array(collect_list(col("c_custkey")))).as("top_customers"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** Part-dimension stats (brand rollup over size/price). */
   def qPartsStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "part")
