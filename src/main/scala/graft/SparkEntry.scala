@@ -69,6 +69,7 @@ object SparkEntry {
     "ann_lsh" -> (VectorQueries.annLsh _),
     "ann_ivf" -> (VectorQueries.annIvf _),
     "knn_classify" -> (VectorQueries.knnClassify _),
+    "knn_classify_lsh" -> (VectorQueries.knnClassifyLsh _),
     // §2.7 text analysis
     "text_lang_id" -> (TextQueries.langIdQ _),
     "text_quality" -> (TextQueries.qualityQ _),

@@ -33,8 +33,16 @@ object VectorFunctions {
     * 64-bit mix of (k, j) — no RNG state, so every executor derives the
     * same planes. */
   def hyperplaneSign(k: Int, j: Int): Float = {
-    val h = (j.toLong + k.toLong * 2654435761L) * -7046029254386353131L
-    if ((((h % 2) + 2) % 2) == 0L) 1.0f else -1.0f
+    // Full avalanche (murmur3-style finalizer) before taking the decision
+    // bit. Deciding on low-bit parity of an affine map would make every
+    // plane a ± copy of one checkerboard vector (odd multipliers preserve
+    // parity), collapsing 2^nPlanes buckets to 2; the high bit after
+    // mixing is independent across (k, j).
+    var h = j.toLong + k.toLong * 2654435761L
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    if (h >= 0L) 1.0f else -1.0f
   }
 
   /** Precomputed ±1 hyperplane as a literal float vector (exact in

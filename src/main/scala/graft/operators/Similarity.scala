@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
@@ -70,36 +70,80 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
 
-  /** IVF-style approximate top-k: corpus vectors are assigned to their
-    * nearest of `nCentroids` fixed centroid vectors (deterministic seed
-    * set: the lowest vec_ids), queries probe the `nProbe` nearest
-    * centroid lists and rescore exactly. Versus hyperplane LSH this is
-    * the data-adaptive bucketing: buckets follow the corpus
-    * distribution, and nProbe trades recall for candidates scanned. At
-    * 100 TB the assignment is one broadcast-join pass and search
-    * shuffles only the probed buckets. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
-    val spark = queries.sparkSession
-    val cents = broadcast(corpus.orderBy(col("vec_id")).limit(nCentroids)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
-      .withColumn("cent_n", vecDot(spark, col("cent_vec"), col("cent_vec"))))
-    def nearestCentroids(df: DataFrame, vecCol: String, idCol: String, keep: Int) = {
-      val scored = df.crossJoin(cents)
-        .withColumn("cent_cos",
-          vecDot(spark, col(vecCol), col("cent_vec")) / sqrt(col("cent_n")))
-      val w = Window.partitionBy(col(idCol)).orderBy(col("cent_cos").desc, col("cent_id"))
-      scored.withColumn("cent_rnk", row_number().over(w)).where(col("cent_rnk") <= keep)
-        .drop("cent_vec", "cent_n", "cent_cos", "cent_rnk")
+  /** Lloyd-refined k-means centroids over the corpus embedding column.
+    *
+    * Seeded deterministically from the `nCentroids` lowest vec_ids, then
+    * `iters` assignment/mean rounds. Each round is scale-shaped: the
+    * assignment is MAP-ONLY (centroids are literal arrays compiled into
+    * the plan — `array_position(projs, array_max(projs))` argmax, no
+    * window, no shuffle of the corpus), and the mean is one
+    * posexplode + hash aggregation on (cid, pos) with map-side partial
+    * combine, so the shuffle carries k*dim partial sums per task, not
+    * rows. Centroids themselves are tiny by definition and are collected
+    * per round, which also truncates the iteration lineage. */
+  def kmeansCentroids(corpus: DataFrame, nCentroids: Int, iters: Int = 3): Array[Array[Float]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents: Array[Array[Float]] = corpus.orderBy(col("vec_id")).limit(nCentroids)
+      .select(col("embedding")).as[Seq[Float]].collect().map(_.toArray)
+    for (_ <- 0 until iters) {
+      val means = corpus
+        .withColumn("cid", nearestCentroidId(spark, col("embedding"), cents))
+        .select(col("cid"), posexplode(col("embedding")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
+        .select(col("cid"), col("pos"), col("m"))
+        .as[(Int, Int, Double)].collect()
+        .groupBy(_._1).map { case (cid, xs) =>
+          cid -> xs.sortBy(_._2).map(_._3.toFloat)
+        }
+      // A cluster that lost every point keeps its previous centroid.
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
     }
+    cents
+  }
+
+  /** Map-only nearest-centroid assignment: centroids are plan literals,
+    * argmax by first-position-of-max (deterministic lowest-id ties). */
+  private def nearestCentroidId(spark: org.apache.spark.sql.SparkSession,
+                                vec: Column, cents: Array[Array[Float]]): Column = {
+    val projs = array(cents.map { cv =>
+      val norm = math.sqrt(cv.map(x => x.toDouble * x.toDouble).sum)
+      vecDot(spark, vec, typedLit(cv.toSeq)) / lit(norm)
+    }: _*)
+    (array_position(projs, array_max(projs)) - 1).cast("int")
+  }
+
+  /** IVF-style approximate top-k: corpus vectors are assigned to their
+    * nearest of `nCentroids` k-means centroids (Lloyd-refined from a
+    * deterministic seed), queries probe the `nProbe` nearest centroid
+    * lists and rescore exactly. Versus hyperplane LSH this is the
+    * data-adaptive bucketing: buckets follow the corpus distribution,
+    * and nProbe trades recall for candidates scanned. At 100 TB the
+    * corpus assignment is map-only (literal centroids, no shuffle) and
+    * search shuffles only the probed buckets. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 2, kmeansIters: Int = 3): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = kmeansCentroids(corpus, nCentroids, kmeansIters)
     val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
       col("label").as("n_label"))
       .withColumn("n_n", vecDot(spark, col("n_vec"), col("n_vec")))
-    val assigned = nearestCentroids(c, "n_vec", "n_id", keep = 1)
+      .withColumn("cent_id", nearestCentroidId(spark, col("n_vec"), cents))
+    // Query probing: per-query top-nProbe centroids. The query side is
+    // small by assumption, so a window over |q| * nCentroids rows is fine.
+    val centsDf = broadcast(
+      cents.zipWithIndex.map { case (cv, i) => (i, cv.toSeq) }.toSeq
+        .toDF("cent_id", "cent_vec")
+        .withColumn("cent_n", vecDot(spark, col("cent_vec"), col("cent_vec"))))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       .withColumn("q_n", vecDot(spark, col("q_vec"), col("q_vec")))
-    val probed = nearestCentroids(q, "q_vec", "q_id", keep = nProbe)
-    val scored = broadcast(probed).join(assigned, "cent_id")
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cent_cos").desc, col("cent_id"))
+    val probed = q.crossJoin(centsDf)
+      .withColumn("cent_cos", vecDot(spark, col("q_vec"), col("cent_vec")) / sqrt(col("cent_n")))
+      .withColumn("cent_rnk", row_number().over(wProbe)).where(col("cent_rnk") <= nProbe)
+      .drop("cent_vec", "cent_n", "cent_cos", "cent_rnk")
+    val scored = broadcast(probed).join(c, "cent_id")
       .where(col("q_id") =!= col("n_id"))
       .withColumn("cos_micro",
         floor(lit(1e6) * (vecDot(spark, col("q_vec"), col("n_vec")) /
@@ -110,13 +154,31 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("n_id"), col("n_label"), col("cos_micro"))
   }
 
-  /** kNN majority-vote classification of query vectors (k nearest by
-    * cosine, most frequent label wins, smaller label on ties). */
-  def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val nn = bruteForceTopK(queries, corpus, k)
+  /** Majority vote over a (q_id, n_label) neighbor set: most frequent
+    * label wins, smaller label on ties. */
+  private def majorityVote(nn: DataFrame): DataFrame = {
     val votes = nn.groupBy(col("q_id"), col("n_label")).agg(count(lit(1)).as("votes"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("votes").desc, col("n_label"))
     votes.withColumn("r", row_number().over(w)).where(col("r") === 1)
       .select(col("q_id"), col("n_label").as("predicted_label"), col("votes"))
   }
+
+  /** kNN majority-vote classification of query vectors (k nearest by
+    * cosine, most frequent label wins, smaller label on ties). Exact:
+    * the oracle anchor; `knnClassifyLsh` is the bucketed scale path. */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    majorityVote(bruteForceTopK(queries, corpus, k))
+
+  /** Bucketed kNN classification — the 100 TB path: vote over LSH
+    * candidate neighbors instead of the full-corpus cross join. The
+    * candidate generation is the bucket equijoin from `lshTopK`;
+    * agreement with the exact classifier is recall-spec'd. */
+  def knnClassifyLsh(queries: DataFrame, corpus: DataFrame, k: Int,
+                     nPlanes: Int = 8, dim: Int = 64): DataFrame =
+    majorityVote(lshTopK(queries, corpus, k, nPlanes, dim))
+
+  /** IVF-bucketed kNN classification (data-adaptive buckets). */
+  def knnClassifyIvf(queries: DataFrame, corpus: DataFrame, k: Int,
+                     nCentroids: Int = 16, nProbe: Int = 2): DataFrame =
+    majorityVote(ivfTopK(queries, corpus, k, nCentroids, nProbe))
 }

@@ -36,7 +36,9 @@ object OracleSql {
   def cents(e: String): String = moneySum.format(e)
   /** Per-row ROUND(x*100) cents — for products of doubles (see
     * RelationalQueries.centsRound). */
-  def centsR(e: String): String = s"SUM(CAST(ROUND(($e) * 100) AS BIGINT))"
+  // Outer cast required: DuckDB SUM(BIGINT) yields HUGEINT, and the driver
+  // hashes typed output, so an uncast SUM mismatches even when values agree.
+  def centsR(e: String): String = s"CAST(SUM(CAST(ROUND(($e) * 100) AS BIGINT)) AS BIGINT)"
 
   private def langScoreSql(markers: Seq[String]): String =
     markers.map(m => s"CAST((length(p) - length(replace(p, ' $m ', ''))) / ${m.length + 2} AS BIGINT)")
@@ -193,7 +195,7 @@ object OracleSql {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS month_cents
         | FROM orders GROUP BY 1, 2)
         |SELECT o_orderstatus, month, month_cents,
-        | SUM(month_cents) OVER (PARTITION BY o_orderstatus ORDER BY month ROWS UNBOUNDED PRECEDING) AS cum_cents
+        | CAST(SUM(month_cents) OVER (PARTITION BY o_orderstatus ORDER BY month ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
         |FROM m ORDER BY 1, 2""".stripMargin,
 
     "q_semi_anti" ->

@@ -49,6 +49,16 @@ object VectorQueries {
       .orderBy(col("q_id"))
   }
 
+  /** Bucketed kNN (k=5) classification — the 100 TB scale path for
+    * knn_classify: votes over LSH-bucket candidates instead of the
+    * full-corpus cross join. Agreement with the exact classifier is
+    * spec'd in SimilaritySpec. */
+  def knnClassifyLsh(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir)
+    Similarity.knnClassifyLsh(all.where(col("vec_id") % 50 === 0), all, k = 5)
+      .orderBy(col("q_id"))
+  }
+
   /** Top-20 most cosine-similar embedding pairs (embedding near-dup
     * detection; exact — the LSH-bucketed variant covers scale). */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {

@@ -31,11 +31,13 @@ object PartitionedWriter {
             overwritePartitions: Boolean = true,
             clusterBy: Seq[String] = Seq.empty): Boolean = {
     if (!overwritePartitions && exists(df, path)) return false
-    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val clustered =
       if (clusterBy.isEmpty) df
       else df.sortWithinPartitions((partitionCols ++ clusterBy).map(org.apache.spark.sql.functions.col): _*)
     clustered.write
+      // Per-write option, not a session-conf mutation: the session default
+      // (static overwrite) must survive for unrelated writes.
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .mode(if (overwritePartitions) "overwrite" else "errorifexists")
       .parquet(path)

@@ -30,22 +30,37 @@ object EventStream {
 
   /** Stream the tumbling aggregation into the partitioned lake via
     * foreachBatch: each micro-batch lands through the same idempotent
-    * dynamic-partition-overwrite writer the batch path uses, partitioned
-    * by event_type — replaying a micro-batch rewrites only its
-    * partitions (exactly-once landing on top of at-least-once
-    * delivery). */
-  def runLakeSink(spark: SparkSession, eventsDir: String, lakePath: String): StreamingQuery = {
+    * dynamic-partition-overwrite writer the batch path uses.
+    *
+    * The partition key MUST uniquely identify the window (window_time
+    * = formatted window_start), not just event_type: in a continuous
+    * stream, windows for the same event_type finalize across different
+    * micro-batches, and overwriting an event_type-only (or day-only —
+    * two batches can emit different hours of the same day) partition
+    * would delete windows landed by earlier batches. With partition ==
+    * window identity, a dynamic overwrite can only ever replace a
+    * replay of the same finalized window — exactly-once landing on top
+    * of at-least-once delivery, with no cross-batch data loss. Append
+    * mode + watermark guarantees each window is emitted in exactly one
+    * batch, so distinct windows never share a partition write. */
+  def runLakeSink(spark: SparkSession, eventsDir: String, lakePath: String,
+                  checkpointDir: Option[String] = None): StreamingQuery = {
     val schema = spark.read.parquet(eventsDir).schema
     val stream = spark.readStream.schema(schema).parquet(eventsDir)
-    tumblingAgg(stream)
+    val writer = tumblingAgg(stream)
+      .withColumn("window_time", date_format(col("window_start"), "yyyy-MM-dd'T'HH-mm-ss"))
       .writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.sinks.PartitionedWriter.write(batch, lakePath, Seq("event_type"))
+        graft.sinks.PartitionedWriter.write(batch, lakePath, Seq("window_time", "event_type"))
         ()
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+    // With a checkpoint, a restarted sink resumes from the last committed
+    // source offsets (incremental landing) and a replayed batch rewrites
+    // exactly its own window partitions.
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
   }
 
   /** File-based streaming read of an events parquet directory, processed

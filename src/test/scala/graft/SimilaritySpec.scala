@@ -28,17 +28,31 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("n_id") != 0L))
   }
 
-  test("LSH top-k recall@10 vs brute force is reasonable on real embeddings") {
+  test("LSH buckets are near-uniformly occupied across 2^nPlanes keys") {
+    // Regression guard for the hyperplane hash: a parity-preserving mix
+    // collapses 256 buckets to 2 (every plane a ± checkerboard copy).
+    // With full avalanche, 500 near-uniform vectors spread over most of
+    // the 256 keys with small maximum occupancy.
+    val occ = emb.withColumn("b",
+        VectorFunctions.lshBucket(spark, col("embedding"), 8, 64))
+      .groupBy("b").count().select("count").as[Long].collect()
+    assert(occ.length >= 128, s"distinct buckets=${occ.length}")
+    assert(occ.max <= 20, s"max bucket=${occ.max}")
+  }
+
+  test("LSH top-k recall@10 beats the scanned-fraction baseline on uniform embeddings") {
     val q = emb.where(col("vec_id") % 100 === 0)
     val bf = Similarity.bruteForceTopK(q, emb, k = 10)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
-    val lsh = Similarity.lshTopK(q, emb, k = 10, nPlanes = 8)
+    val lsh = Similarity.lshTopK(q, emb, k = 10, nPlanes = 6)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val recall = (bf intersect lsh).size.toDouble / bf.size
-    // 8-plane single-table multi-probe on near-uniform synthetic vectors:
-    // recall is modest by design; the scale path trades recall for the
-    // O(n^2)->O(n/2^p) candidate cut. Guard against regression only.
-    assert(recall >= 0.2, s"recall=$recall")
+    // The synthetic embeddings are near-uniform (little cluster
+    // structure), so absolute recall is bounded by candidates scanned:
+    // 6 planes + 1-bit multi-probe scans ~7/64 = 11% of the corpus. The
+    // hyperplane buckets must still concentrate true neighbors clearly
+    // above that random-scan baseline (measured ~0.24).
+    assert(recall >= 0.15, s"recall=$recall")
   }
 
   test("IVF top-k recall@10 beats random-bucket baseline on real embeddings") {
@@ -48,10 +62,10 @@ class SimilaritySpec extends SparkSpec {
     val ivf = Similarity.ivfTopK(q, emb, k = 10, nCentroids = 16, nProbe = 4)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val recall = (bf intersect ivf).size.toDouble / bf.size
-    // the synthetic embeddings are near-uniform (no cluster structure),
-    // so IVF recall is bounded near the scanned fraction; probing 4/16
-    // buckets must still beat that random-scan baseline (~0.25) clearly.
-    assert(recall >= 0.35, s"recall=$recall")
+    // probing 4/16 Lloyd-refined buckets on near-uniform vectors: must
+    // clearly beat the ~0.25 random-scan baseline (measured ~0.6 with
+    // k-means centroids vs ~0.45 with arbitrary seed centroids).
+    assert(recall >= 0.5, s"recall=$recall")
   }
 
   test("knnClassify produces one deterministic label per query") {
@@ -59,5 +73,49 @@ class SimilaritySpec extends SparkSpec {
     val out = Similarity.knnClassify(q, emb, k = 5).collect()
     assert(out.length === q.count())
     assert(out.map(_.getAs[Long]("q_id")).distinct.length === out.length)
+  }
+
+  // -- clustered synthetic data: the regime LSH/IVF bucketing exists for.
+  // 10 tight clusters in 64-dim, coordinates hash-derived (no RNG state).
+  private def mix(z0: Long): Double = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 53).toDouble - 0.5
+  }
+  private lazy val clustered = (0 until 550).map { i =>
+    val c = i % 10
+    val base = Array.tabulate(64)(j => mix(c.toLong * 64 + j))
+    val noise = Array.tabulate(64)(j => 0.05 * mix(1000000L + i.toLong * 64 + j))
+    (i.toLong, base.zip(noise).map { case (b, e) => (b + e).toFloat }.toSeq, c.toLong)
+  }.toDF("vec_id", "embedding", "label")
+
+  test("on clustered data LSH recall@10 is near-exact") {
+    val q = clustered.where(col("vec_id") >= 500)
+    val corp = clustered.where(col("vec_id") < 500)
+    val bf = Similarity.bruteForceTopK(q, corp, k = 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(q, corp, k = 10, nPlanes = 8)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect lsh).size.toDouble / bf.size
+    assert(recall >= 0.9, s"recall=$recall") // measured 0.998
+  }
+
+  test("bucketed kNN classifiers agree with the exact classifier on clustered data") {
+    val q = clustered.where(col("vec_id") >= 500)
+    val corp = clustered.where(col("vec_id") < 500)
+    val exact = Similarity.knnClassify(q, corp, k = 5)
+      .select("q_id", "predicted_label").as[(Long, Long)].collect().toMap
+    val lsh = Similarity.knnClassifyLsh(q, corp, k = 5)
+      .select("q_id", "predicted_label").as[(Long, Long)].collect().toMap
+    val ivf = Similarity.knnClassifyIvf(q, corp, k = 5, nCentroids = 16, nProbe = 2)
+      .select("q_id", "predicted_label").as[(Long, Long)].collect().toMap
+    assert(lsh.size === exact.size, "LSH classifier dropped queries")
+    assert(ivf.size === exact.size, "IVF classifier dropped queries")
+    val aLsh = exact.keys.count(k => lsh.get(k).contains(exact(k))).toDouble / exact.size
+    val aIvf = exact.keys.count(k => ivf.get(k).contains(exact(k))).toDouble / exact.size
+    assert(aLsh >= 0.9, s"LSH agreement=$aLsh") // measured 1.0
+    assert(aIvf >= 0.9, s"IVF agreement=$aIvf") // measured 1.0
   }
 }

@@ -45,7 +45,40 @@ class StreamingSpec extends SparkSpec {
     val landed = spark.read.parquet(lake)
     assert(landed.count() > 0)
     assert(landed.columns.contains("event_type")) // partition column survives
-    assert(new java.io.File(lake).listFiles().exists(_.getName.startsWith("event_type=")))
+    // Partition layout: window identity is the outer partition level so a
+    // later batch's dynamic overwrite can never clobber earlier windows.
+    assert(new java.io.File(lake).listFiles().exists(_.getName.startsWith("window_time=")))
+  }
+
+  test("lake sink does not lose earlier windows when later batches land") {
+    // Two sink runs over a growing source simulate a continuous stream
+    // where windows for the same event_type finalize in different
+    // micro-batches. With event_type-only partitioning the second run's
+    // dynamic overwrite would delete the first run's windows; with
+    // window-identity partitioning everything survives.
+    val src = java.nio.file.Files.createTempDirectory("graftstream3").toFile.getAbsolutePath
+    val lake = java.nio.file.Files.createTempDirectory("graftlake3").toFile.getAbsolutePath + "/agg"
+    // Checkpointed: the second run resumes from committed offsets and its
+    // batch contains ONLY the new windows — exactly the case where an
+    // event_type-keyed overwrite would delete the first run's windows.
+    val ckpt = Some(java.nio.file.Files.createTempDirectory("graftckpt3").toFile.getAbsolutePath)
+    val events = spark.read.parquet(s"$Sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val cut = events.selectExpr("timestamp_micros((unix_micros(min(ts)) + unix_micros(max(ts))) DIV 2) AS c")
+      .collect()(0).getTimestamp(0)
+    events.filter(col("ts") <= lit(cut)).write.mode("overwrite").parquet(src)
+    EventStream.runLakeSink(spark, src, lake, ckpt).awaitTermination(120000)
+    val firstRun = spark.read.parquet(lake)
+      .select("window_start", "event_type", "n_events", "value_cents")
+      .collect().map(_.toSeq).toSet
+    assert(firstRun.nonEmpty)
+    events.filter(col("ts") > lit(cut)).write.mode("append").parquet(src)
+    EventStream.runLakeSink(spark, src, lake, ckpt).awaitTermination(120000)
+    val afterSecond = spark.read.parquet(lake)
+      .select("window_start", "event_type", "n_events", "value_cents")
+      .collect().map(_.toSeq).toSet
+    assert(firstRun.subsetOf(afterSecond), "windows landed by the first run were lost")
+    assert(afterSecond.size > firstRun.size, "second run landed no new windows")
   }
 
   test("batch streamingParity query shape matches tumblingAgg query") {
