@@ -18,7 +18,10 @@ final case class ConformSpec(
     casts: Map[String, String] = Map.empty,
     codeMaps: Map[String, Map[String, Int]] = Map.empty,
     addMissing: Seq[(String, String)] = Seq.empty, // (name, typeName) -> null column
-    enrich: Seq[(String, Column)] = Seq.empty)
+    enrich: Seq[(String, Column)] = Seq.empty,
+    // Sentinel-to-null per source column, applied before the cast — the
+    // reference nulls birth_year 0 before use (ingest_web_to_gcs.py:117).
+    nullIf: Map[String, String] = Map.empty)
 
 object Conform {
   def apply(df: DataFrame, spec: ConformSpec): DataFrame = {
@@ -32,7 +35,8 @@ object Conform {
           }
         case None => src
       }
-      val casted = spec.casts.get(c).fold(mapped)(t => mapped.cast(t))
+      val nulled = spec.nullIf.get(c).fold(mapped)(v => nullif(mapped, lit(v)))
+      val casted = spec.casts.get(c).fold(nulled)(t => nulled.cast(t))
       casted.as(renamed)
     }
     val missing = spec.addMissing

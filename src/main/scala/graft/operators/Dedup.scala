@@ -76,35 +76,56 @@ object Dedup {
       .select(col("a_id").as("id1"), col("b_id").as("id2"), col("jaccard_bp"))
   }
 
-  /** Connected components over near-dup pairs: label propagation to the
-    * minimum id, iterated to fixpoint — turns a pair list into
-    * (id, canonical) survivor assignments (keep rows whose id equals
-    * their canonical). Candidate graphs after dedup pairing are tiny
-    * relative to the corpus, so a handful of join+agg iterations is the
-    * right cost; for genuinely huge dup graphs switch to the
-    * large-star/small-star formulation (same DataFrame ops, fewer
-    * rounds). `localCheckpoint` truncates lineage each round. */
+  /** Connected components over near-dup pairs via alternating
+    * large-star/small-star rounds (the two-phase min-star formulation
+    * from the MapReduce CC literature): converges in O(log n) rounds
+    * versus the O(component diameter) of plain min-label propagation,
+    * which is what keeps long duplicate chains tractable at 100 TB.
+    * Each round is two equijoin+aggregate passes shuffling (node, node)
+    * pairs only — no adjacency lists are ever collected. Output:
+    * (id, comp) for every node in `pairs`, comp = component minimum;
+    * survivors are the rows with id == comp. `localCheckpoint`
+    * truncates the iteration lineage; convergence is a fixpoint of the
+    * (edge count, edge fingerprint) pair, one action per round. */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-      .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
-    var changed = 1L
+    // Materialize the (usually expensive) candidate-pair plan once: the
+    // symmetric union and the nodes/edges branches below would otherwise
+    // each recompute it.
+    val p = pairs.select(col("id1"), col("id2")).localCheckpoint(true)
+    val sym = p.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionAll(p.select(col("id2").as("src"), col("id1").as("dst")))
+    val nodes = sym.select(col("src").as("id")).distinct().localCheckpoint(true)
+    // Invariant throughout: edges oriented large -> small, no self loops.
+    var edges = sym.where(col("src") > col("dst")).distinct().localCheckpoint(true)
+    var prev = (-1L, -1L)
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
-      val neighborMin = edges.join(labels, col("src") === col("id"))
-        .groupBy(col("dst")).agg(min(col("comp")).as("ncomp"))
-      val updated = labels.join(neighborMin, col("id") === col("dst"), "left")
-        .select(col("id"), col("comp"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp2"))
+    var done = false
+    while (!done && rounds < 25) {
+      // Large-star: every neighbor v > u points to m = min(N(u) + {u}).
+      val symE = edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val lsMin = symE.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      val ls = symE.join(lsMin, "src").where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+      // Small-star: u and all its smaller neighbors point to their min.
+      val ssMin = ls.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val ss = ls.join(ssMin, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .unionAll(ssMin.select(col("src"), col("m").as("dst")))
+        .distinct()
         .localCheckpoint(true)
-      changed = updated.where(col("comp2") =!= col("comp")).count()
-      labels = updated.select(col("id"), col("comp2").as("comp"))
+      val stat = ss.agg(count(lit(1)), sum(xxhash64(col("src"), col("dst")))).collect()(0)
+      val cur = (stat.getLong(0), if (stat.isNullAt(1)) 0L else stat.getLong(1))
+      done = cur == prev
+      prev = cur
+      edges = ss
       rounds += 1
     }
-    labels
+    val lab = edges.groupBy(col("src")).agg(min(col("dst")).as("comp"))
+    nodes.join(lab, nodes("id") === lab("src"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
   // ---- MinHash ----

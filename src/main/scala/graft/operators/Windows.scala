@@ -53,12 +53,16 @@ object Windows {
     val lAligned = l.select(
       (leftCols.map(col) :+ lit(0).as("_is_right") :+ lit(null).cast("long").as("_rid")) ++
         payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"asof_$p")): _*)
+    // Tie-break among right rows sharing (key, ts) must be deterministic
+    // across runs AND partitionings, so it is derived from row content
+    // (monotonically_increasing_id depends on partition layout).
     val rAligned = r.select(
       (leftCols.map(c => if (c == key || c == tsCol) col(c) else lit(null).cast(left.schema(c).dataType).as(c)) :+
-        lit(1).as("_is_right") :+ monotonically_increasing_id().as("_rid")) ++
+        lit(1).as("_is_right") :+
+        xxhash64((Seq(key, tsCol) ++ payload).map(col): _*).as("_rid")) ++
         payload.map(p => col(p).as(s"asof_$p")): _*)
     val w = Window.partitionBy(col(key))
-      .orderBy(col(tsCol), col("_is_right").desc)
+      .orderBy(col(tsCol), col("_is_right").desc, col("_rid").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payload.foldLeft(lAligned.unionByName(rAligned)) { (df, p) =>
       df.withColumn(s"asof_$p", last(col(s"asof_$p"), ignoreNulls = true).over(w))

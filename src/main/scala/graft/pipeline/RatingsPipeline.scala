@@ -34,7 +34,11 @@ object RatingsPipeline {
     casts = Map("fideid" -> "long", "rating" -> "int", "games" -> "int",
       "k" -> "int", "birthday" -> "int"),
     codeMaps = Map("sex" -> Map("F" -> 0, "M" -> 1)),
-    addMissing = Seq("foa_title" -> "string"))
+    addMissing = Seq("foa_title" -> "string"),
+    // birth_year 0 (common in FIDE drops) means unknown, not year 0:
+    // null it before the cast so it is neither counted as a Range
+    // violation nor used in age math (reference preprocess semantics).
+    nullIf = Map("birthday" -> "0"))
 
   val RatingRules: Seq[Validate.Rule] = Seq(
     Validate.Unique("fide_id"),
@@ -61,6 +65,24 @@ object RatingsPipeline {
     val report = Validate.report("ratings", conformed, RatingRules)
     PartitionedWriter.write(conformed, lakePath, Seq("period_year", "period_month"),
       overwritePartitions = overwrite)
+    report
+  }
+
+  /** `ingestPeriod` with the reference's task semantics layered on:
+    * the source listing + ingest is retried with backoff (flaky object
+    * stores), and the whole period is memoized on an input fingerprint
+    * (file paths/sizes/mtimes) so re-running a backfill skips periods
+    * whose source archives have not changed. Returns Some(report) when
+    * the ingest actually ran, None when memoization skipped it. */
+  def ingestPeriodCached(spark: SparkSession, zipGlob: String, lakePath: String,
+                         periodYear: Int, periodMonth: Int, cacheDir: String,
+                         attempts: Int = 3): Option[DataFrame] = {
+    val fp = TaskRunner.retry(attempts)(() => TaskRunner.inputFingerprint(spark, zipGlob))
+    var report: Option[DataFrame] = None
+    TaskRunner.memoize(spark, cacheDir, s"ingest_${periodYear}_$periodMonth", fp) {
+      report = Some(TaskRunner.retry(attempts)(() =>
+        ingestPeriod(spark, zipGlob, lakePath, periodYear, periodMonth)))
+    }
     report
   }
 

@@ -269,6 +269,13 @@ object OracleSql {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
 
+    // the oracle is the PLAIN groupBy: salting must be invisible
+    "q_skew_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n_lines,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS sum_qty,
+        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "ev_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
         | COUNT(*) AS n_events,

@@ -427,4 +427,25 @@ object RelationalQueries {
       .select(col("c_custkey"), col("acctbal_cents"))
       .orderBy(col("c_custkey"))
   }
+
+  /** Heavy-hitter aggregation through the salted two-phase shape
+    * (`Skew.saltedAggregate`): l_returnflag has 3 values, so a plain
+    * groupBy lands the whole fact on 3 reducers at 100 TB; the salt
+    * spreads each key over 32 partials first. Results are exactly the
+    * plain-groupBy answer (the DuckDB oracle IS the plain groupBy) —
+    * salting must be semantically invisible. */
+  def qSkewAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .withColumn("cents", (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+    graft.operators.Skew.saltedAggregate(
+      li, keys = Seq("l_returnflag"), salts = 32,
+      tieBreakers = Seq(col("l_orderkey"), col("l_linenumber")),
+      partials = Map(
+        "n_lines" -> count(lit(1)),
+        "sum_qty" -> sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)"),
+        "sum_cents" -> sum(col("cents"))))
+      .select(col("l_returnflag"), col("n_lines"),
+        col("sum_qty").cast("long").as("sum_qty"), col("sum_cents"))
+      .orderBy(col("l_returnflag"))
+  }
 }

@@ -98,14 +98,17 @@ object TextQueries {
     * top-k window. */
   def tfidfQ(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val n = d.count() // corpus size: one scalar, computed once
+    // Corpus size as a broadcast scalar inside the one plan — no separate
+    // driver-side count() job.
+    val nDf = d.agg(count(lit(1)).as("n_docs"))
     val terms = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = terms.select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .withColumnRenamed("term", "t2")
     val scored = tf.join(df, col("term") === col("t2"))
-      .withColumn("score", expr(s"(tf * 1000000L * ${n}L) div df"))
+      .crossJoin(broadcast(nDf))
+      .withColumn("score", expr("(tf * 1000000L * n_docs) div df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 3)

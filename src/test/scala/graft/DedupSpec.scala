@@ -55,6 +55,18 @@ class DedupSpec extends SparkSpec {
     assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("connectedComponents resolves a 300-node chain (diameter >> rounds)") {
+    // A path graph is the worst case for min-label propagation
+    // (O(diameter) rounds); the large-star/small-star alternation must
+    // collapse it to one min-rooted star within its O(log n) round cap.
+    val n = 300
+    val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(cc.length === n)
+    assert(cc.forall(_._2 == 1L), s"unresolved labels: ${cc.filter(_._2 != 1L).take(5).toSeq}")
+  }
+
   test("simhash flags identical docs at hamming 0") {
     val pairs = Dedup.simhashPairs(docs, maxDist = 3)
       .select("id1", "id2", "hamming").as[(Long, Long, Long)].collect()

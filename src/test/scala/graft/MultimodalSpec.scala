@@ -37,6 +37,47 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.collect().forall(f => f.payload.length <= 32 && f.frame_idx % 2 == 0))
   }
 
+  test("imageMeta decodes real PNG pixels via javax.imageio") {
+    import graft.multimodal.MediaOps
+    // 40x20 image: left half black, right half white -> mean luma ~50%.
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", png(40, 20)),
+      Multimodal.MediaRow(2L, "image", png(8, 8)),
+      Multimodal.MediaRow(3L, "not_image", "plain text".getBytes("UTF-8"))).toDS()
+    val out = MediaOps.imageMeta(media).collect().map(m => m.media_id -> m).toMap
+    assert(out.size === 2, "non-image payload must be dropped")
+    assert(out(1L).width === 40 && out(1L).height === 20 && out(1L).channels === 3)
+    assert(out(2L).width === 8 && out(2L).height === 8)
+    // white pixel luma = (77+150+29)*255>>8 = 254; half white -> floor(10000*254/(2*255))
+    val lumaWhite = (77 * 255 + 150 * 255 + 29 * 255) >> 8
+    val expectBp = math.floor(10000.0 * (400L * lumaWhite) / (800L * 255)).toLong
+    assert(out(1L).mean_luma_bp === expectBp)
+  }
+
+  test("resizeImage scales down through a real re-encode and passes non-images through") {
+    import graft.multimodal.MediaOps
+    val img = new java.awt.image.BufferedImage(64, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 64) img.setRGB(x, y, (x * 4) << 16)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", bos.toByteArray),
+      Multimodal.MediaRow(2L, "not_image", "plain".getBytes("UTF-8"))).toDS()
+    val out = MediaOps.resizeImage(media, maxSide = 16).collect().map(m => m.media_id -> m).toMap
+    val resized = MediaOps.decodeImage(out(1L).payload)
+    assert(resized.isDefined, "resized payload must re-decode as an image")
+    assert(resized.get.getWidth === 16 && resized.get.getHeight === 8)
+    assert(java.util.Arrays.equals(out(2L).payload, "plain".getBytes("UTF-8")))
+  }
+
   test("syntheticMedia preserves ids and carries UTF-8 payloads") {
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
     val media = Multimodal.syntheticMedia(spark, docs)

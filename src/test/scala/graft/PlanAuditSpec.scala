@@ -38,4 +38,13 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(TextQueries.dedupMinhashQ(spark, Sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q_skew_agg: salted two-phase shape (partial agg keyed on salt)") {
+    val p = plan(RelationalQueries.qSkewAgg(spark, Sf))
+    // phase 1 groups on (l_returnflag, _salt): the heavy key is spread
+    // over 32 partials before the 3-key final aggregation.
+    assert(p.contains("_salt"), "salt column missing from the plan")
+    assert(p.split("HashAggregate").length >= 4, // partial+final per phase
+      "expected two aggregation phases")
+  }
 }

@@ -69,6 +69,58 @@ class RatingsPipelineSpec extends SparkSpec {
     assert(new File(lake + "/period_year=2024/period_month=3").exists())
   }
 
+  test("birth_year 0 conforms to null, not a range violation") {
+    val zipDir = Files.createTempDirectory("ratingszips4").toFile
+    val lake = Files.createTempDirectory("ratingslake4").toFile.getAbsolutePath + "/ratings"
+    writeRatingsZip(zipDir, "apr24.zip", Seq(
+      player(1, "Alice", "USA", "F", 2700, 1990),
+      player(2, "Unknown", "GER", "M", 2500, 0))) // FIDE unknown-birth-year sentinel
+    val report = RatingsPipeline.ingestPeriod(spark, zipDir.getAbsolutePath + "/*.zip",
+      lake, 2024, 4)
+    val rep = report.collect().map(r => (r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(rep(("range", "birth_year")) === 0L) // 0 is unknown, not year 0
+    val lakeDf = spark.read.parquet(lake)
+    assert(lakeDf.where(col("fide_id") === 2 && col("birth_year").isNull).count() === 1)
+  }
+
+  test("retry runs until success and surfaces the last error after exhaustion") {
+    import graft.pipeline.TaskRunner
+    var calls = 0
+    val slept = collection.mutable.ArrayBuffer.empty[Long]
+    val out = TaskRunner.retry(attempts = 3, backoffMs = 100, sleep = slept.+=(_)) { () =>
+      calls += 1
+      if (calls < 3) sys.error(s"flaky $calls")
+      "ok"
+    }
+    assert(out === "ok" && calls === 3)
+    assert(slept.toSeq === Seq(100L, 200L)) // exponential backoff
+    val ex = intercept[RuntimeException] {
+      TaskRunner.retry(attempts = 2, backoffMs = 1, sleep = _ => ())(() => sys.error("always"))
+    }
+    assert(ex.getMessage === "always")
+  }
+
+  test("ingestPeriodCached skips unchanged input and re-runs on changed input") {
+    import graft.pipeline.TaskRunner
+    val zipDir = Files.createTempDirectory("ratingszips5").toFile
+    val lake = Files.createTempDirectory("ratingslake5").toFile.getAbsolutePath + "/ratings"
+    val cache = Files.createTempDirectory("ratingscache5").toFile.getAbsolutePath
+    val glob = zipDir.getAbsolutePath + "/*.zip"
+    writeRatingsZip(zipDir, "may24.zip", Seq(player(1, "Alice", "USA", "F", 2700, 1990)))
+    val first = RatingsPipeline.ingestPeriodCached(spark, glob, lake, 2024, 5, cache)
+    assert(first.isDefined, "first run must ingest")
+    assert(spark.read.parquet(lake).count() === 1)
+    val second = RatingsPipeline.ingestPeriodCached(spark, glob, lake, 2024, 5, cache)
+    assert(second.isEmpty, "unchanged input must be memoized")
+    // a new archive changes the listing fingerprint -> re-ingest
+    writeRatingsZip(zipDir, "may24b.zip", Seq(player(2, "Bob", "GER", "M", 2650, 1985)))
+    assert(TaskRunner.inputFingerprint(spark, glob) !==
+      TaskRunner.inputFingerprint(spark, zipDir.getAbsolutePath + "/may24.zip"))
+    val third = RatingsPipeline.ingestPeriodCached(spark, glob, lake, 2024, 5, cache)
+    assert(third.isDefined, "changed input must re-run")
+    assert(spark.read.parquet(lake).count() === 2)
+  }
+
   test("missingPeriods plans the backfill via anti join") {
     val zipDir = Files.createTempDirectory("ratingszips2").toFile
     val lake = Files.createTempDirectory("ratingslake2").toFile.getAbsolutePath + "/ratings"
