@@ -58,6 +58,7 @@ object SparkEntry {
     "ev_funnel" -> (EventQueries.funnel _),
     "ev_asof_join" -> (EventQueries.asofJoin _),
     "ev_json_extract" -> (EventQueries.jsonExtract _),
+    "ev_interval_join" -> (EventQueries.intervalJoin _),
     // §2.5 dedup
     "dedup_exact" -> (TextQueries.dedupExactQ _),
     "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccardQ _),
@@ -65,6 +66,7 @@ object SparkEntry {
     "dedup_minhash" -> (TextQueries.dedupMinhashQ _),
     "dedup_simhash" -> (TextQueries.dedupSimhashQ _),
     "dedup_embedding" -> (VectorQueries.dedupEmbedding _),
+    "dedup_embedding_lsh" -> (VectorQueries.dedupEmbeddingLsh _),
     // §2.6 similarity search
     "ann_bruteforce" -> (VectorQueries.annBruteForce _),
     "ann_lsh" -> (VectorQueries.annLsh _),
@@ -83,7 +85,8 @@ object SparkEntry {
     "text_by_source" -> (TextQueries.bySourceQ _),
     "text_sample_split" -> (TextQueries.sampleSplitQ _),
     // §2.8 multimodal plumbing
-    "mm_features" -> (VectorQueries.mmFeatures _)
+    "mm_features" -> (VectorQueries.mmFeatures _),
+    "mm_image_meta" -> (VectorQueries.mmImageMeta _)
   )
 
   /** DuckDB-equivalent SQL per query (omitted for hash-family ops whose

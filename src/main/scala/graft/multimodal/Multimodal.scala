@@ -55,6 +55,28 @@ object Multimodal {
     }
   }
 
+  /** Deterministic synthetic PNG per document: dimensions and fill
+    * color are pure arithmetic on doc_id, then a REAL PNG encode on the
+    * executors. Downstream `MediaOps.imageMeta` must recover exactly
+    * the arithmetic values by decoding actual pixels — which makes the
+    * whole real-codec path oracle-checkable (the oracle re-derives the
+    * expected metadata from doc_id in SQL). */
+  def syntheticImages(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      val w = 8 + (id % 16).toInt
+      val h = 8 + ((id / 16) % 8).toInt
+      val rgb = ((id * 2654435761L) & 0xffffffL).toInt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      MediaRow(id, "image", bos.toByteArray)
+    }
+  }
+
   /** Build a deterministic synthetic media table from the documents table
     * (UTF-8 text bytes as stand-in payloads) — exercises the exact
     * plumbing a parquet `binary` column takes. */

@@ -154,6 +154,29 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("n_id"), col("n_label"), col("cos_micro"))
   }
 
+  /** LSH-bucketed embedding near-dup pairs — the scale path for the
+    * exact all-pairs embedding dedup: only pairs sharing a hyperplane
+    * bucket are scored, so the join is an equijoin on the bucket key
+    * (corpus/2^nPlanes-sized buckets) instead of an O(n^2) cross join.
+    * Near-identical vectors land in the same bucket with probability
+    * ~(1 - angle/pi)^nPlanes, so recall at high cosine is high; spec'd
+    * against the exact pairs on clustered data. */
+  def lshNearDupPairs(corpus: DataFrame, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("n", vecDot(spark, col("embedding"), col("embedding")))
+      .withColumn("bucket", lshBucket(spark, col("embedding"), nPlanes, dim))
+    val a = c.select(col("vec_id").as("id1"), col("embedding").as("v1"),
+      col("n").as("n1"), col("bucket"))
+    val b = c.select(col("vec_id").as("id2"), col("embedding").as("v2"),
+      col("n").as("n2"), col("bucket").as("bucket2"))
+    a.join(b, col("bucket") === col("bucket2") && col("id1") < col("id2"))
+      .withColumn("cos_micro",
+        floor(lit(1e6) * (vecDot(spark, col("v1"), col("v2")) /
+          (sqrt(col("n1")) * sqrt(col("n2"))))).cast("long"))
+      .select(col("id1"), col("id2"), col("cos_micro"))
+  }
+
   /** Majority vote over a (q_id, n_label) neighbor set: most frequent
     * label wins, smaller label on ties. */
   private def majorityVote(nn: DataFrame): DataFrame = {

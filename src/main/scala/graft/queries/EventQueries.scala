@@ -93,6 +93,28 @@ object EventQueries {
         (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("value_cents"))
       .orderBy(col("k_bucket"))
 
+  /** Batch interval join: each purchase counts the same-user clicks in
+    * its trailing hour. An equijoin on user_id with the range predicate
+    * evaluated inside the join — the shuffle is keyed on the user, so
+    * at 100 TB this stays a hash/sort-merge join, never a time-range
+    * cross product. Batch twin of the stream-stream interval join in
+    * graft.streaming.StreamJoin. */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts_us").as("click_us"))
+    purchases.join(clicks,
+        col("user_id") === col("cu") &&
+          col("click_us") >= col("ts_us") - lit(3600L * 1000000L) &&
+          col("click_us") <= col("ts_us"), "left")
+      .groupBy(col("event_id"), col("user_id"), col("ts_us"))
+      .agg(count(col("click_us")).as("n_clicks_1h"),
+        min(col("click_us")).as("first_click_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** Batch run of the streaming tumbling aggregation (same plan shape). */
   def streamingParity(spark: SparkSession, dir: String): DataFrame =
     EventStream.tumblingAgg(events(spark, dir).drop("ts_us"))

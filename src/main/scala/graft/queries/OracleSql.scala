@@ -276,6 +276,32 @@ object OracleSql {
         | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "ev_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS cu, ts_us AS click_us FROM e WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        | COUNT(c.click_us) AS n_clicks_1h, MIN(c.click_us) AS first_click_us
+        |FROM p LEFT JOIN c ON p.user_id = c.cu
+        | AND c.click_us >= p.ts_us - 3600000000 AND c.click_us <= p.ts_us
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    // re-derives the synthetic-PNG metadata purely arithmetically; the
+    // Spark side must recover identical values by decoding real pixels
+    "mm_image_meta" ->
+      """WITH m AS (
+        | SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (doc_id // 16) % 8 AS h,
+        |  (doc_id * 2654435761) & 16777215 AS rgb
+        | FROM documents),
+        |l AS (
+        | SELECT doc_id, w, h,
+        |  (77 * (rgb >> 16) + 150 * ((rgb >> 8) & 255) + 29 * (rgb & 255)) >> 8 AS luma
+        | FROM m)
+        |SELECT doc_id AS media_id, 'image' AS kind,
+        | CAST(w AS INT) AS width, CAST(h AS INT) AS height, CAST(3 AS INT) AS channels,
+        | CAST(FLOOR(10000.0 * (w * h * luma) / (w * h * 255)) AS BIGINT) AS mean_luma_bp
+        |FROM l ORDER BY media_id""".stripMargin,
+
     "ev_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
         | COUNT(*) AS n_events,

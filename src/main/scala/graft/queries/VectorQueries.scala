@@ -75,10 +75,27 @@ object VectorQueries {
       .limit(20)
   }
 
+  /** LSH-bucketed embedding near-dup pairs (scale path for
+    * dedup_embedding): top-20 bucket-cojoined pairs by cosine. */
+  def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearDupPairs(emb(spark, dir))
+      .orderBy(col("cos_micro").desc, col("id1"), col("id2"))
+      .limit(20)
+
   /** Multimodal feature extraction over synthetic binary payloads —
     * real binary-column plumbing, documented stub decode. */
   def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.syntheticMedia(spark, TableLoader.load(spark, dir, "documents"))
     Multimodal.extractFeatures(media).toDF().orderBy(col("media_id"))
+  }
+
+  /** Real-codec round trip, oracle-checked: synthetic PNGs whose
+    * dimensions/color are arithmetic on doc_id are ENCODED and then
+    * DECODED (javax.imageio) on the executors; the DuckDB oracle
+    * re-derives the same metadata purely arithmetically. A hash match
+    * proves actual pixels flowed through the real decode path. */
+  def mmImageMeta(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticImages(spark, TableLoader.load(spark, dir, "documents"))
+    graft.multimodal.MediaOps.imageMeta(media).toDF().orderBy(col("media_id"))
   }
 }
