@@ -43,6 +43,7 @@ object SparkEntry {
     "q13_cust_distribution" -> (RelationalQueries.q13CustDistribution _),
     "q_rich_idle" -> (RelationalQueries.qRichIdle _),
     "q_skew_agg" -> (RelationalQueries.qSkewAgg _),
+    "q_full_outer" -> (RelationalQueries.qFullOuter _),
     "q_rank_family" -> (RelationalQueries.qRankFamily _),
     "q_string_funcs" -> (RelationalQueries.qStringFuncs _),
     "q_set_ops" -> (RelationalQueries.qSetOps _),

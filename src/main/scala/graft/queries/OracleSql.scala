@@ -269,6 +269,22 @@ object OracleSql {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
 
+    "q_full_outer" ->
+      """WITH c AS (
+        | SELECT c_nationkey, COUNT(*) AS n_rich_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS cust_cents
+        | FROM customer WHERE c_acctbal > 7500 GROUP BY 1),
+        |s AS (
+        | SELECT s_nationkey, COUNT(*) AS n_rich_supp,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS supp_cents
+        | FROM supplier WHERE s_acctbal > 7500 GROUP BY 1)
+        |SELECT COALESCE(c_nationkey, s_nationkey) AS nation_id,
+        | COALESCE(n_rich_cust, 0) AS n_rich_cust, COALESCE(cust_cents, 0) AS cust_cents,
+        | COALESCE(n_rich_supp, 0) AS n_rich_supp, COALESCE(supp_cents, 0) AS supp_cents,
+        | COALESCE(cust_cents, 0) - COALESCE(supp_cents, 0) AS gap_cents
+        |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+        |ORDER BY nation_id""".stripMargin,
+
     // the oracle is the PLAIN groupBy: salting must be invisible
     "q_skew_agg" ->
       """SELECT l_returnflag, COUNT(*) AS n_lines,

@@ -428,6 +428,33 @@ object RelationalQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** FULL OUTER join surface: per-nation aggregates of high-balance
+    * customers vs high-balance suppliers — the filters leave some
+    * nations one-sided, so both null-sides of the full outer join are
+    * exercised; COALESCE merges the key and integer cents difference
+    * stays exact. */
+  def qFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .where(col("c_acctbal") > 7500)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_rich_cust"),
+        (sum(col("c_acctbal").cast("decimal(18,2)")) * 100).cast("long").as("cust_cents"))
+    val supp = t(spark, dir, "supplier")
+      .where(col("s_acctbal") > 7500)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_rich_supp"),
+        (sum(col("s_acctbal").cast("decimal(18,2)")) * 100).cast("long").as("supp_cents"))
+    cust.join(supp, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nation_id"),
+        coalesce(col("n_rich_cust"), lit(0L)).as("n_rich_cust"),
+        coalesce(col("cust_cents"), lit(0L)).as("cust_cents"),
+        coalesce(col("n_rich_supp"), lit(0L)).as("n_rich_supp"),
+        coalesce(col("supp_cents"), lit(0L)).as("supp_cents"))
+      .withColumn("gap_cents", col("cust_cents") - col("supp_cents"))
+      .orderBy(col("nation_id"))
+  }
+
   /** Heavy-hitter aggregation through the salted two-phase shape
     * (`Skew.saltedAggregate`): l_returnflag has 3 values, so a plain
     * groupBy lands the whole fact on 3 reducers at 100 TB; the salt
