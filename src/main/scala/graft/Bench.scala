@@ -29,7 +29,7 @@ object Bench {
     // Run-to-run variance at sf0.1 is ~±20%, so a single trial is not a
     // trustworthy number: run >=3 full passes and report per-query
     // MEDIANS (total = sum of medians).
-    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
+    val trials = math.max(1, sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val times = collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
     for (_ <- 1 to trials; (name, fn) <- names) {

@@ -39,18 +39,16 @@ object MediaOps {
     media.mapPartitions(_.grouped(batchSize).flatMap(_.iterator.flatMap { m =>
       decodeImage(m.payload).map { img =>
         val (w, h) = (img.getWidth, img.getHeight)
+        // bulk getRGB: one array fetch instead of w*h ColorModel
+        // dispatches per pixel (PNG decodes as TYPE_3BYTE_BGR)
+        val pixels = img.getRGB(0, 0, w, h, null, 0, w)
         var lumaSum = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            // integer Rec.601-ish luma in /256 fixed point
-            val l = (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) + 29 * (rgb & 0xff)) >> 8
-            lumaSum += l
-            x += 1
-          }
-          y += 1
+        var i = 0
+        while (i < pixels.length) {
+          val rgb = pixels(i)
+          // integer Rec.601-ish luma in /256 fixed point
+          lumaSum += (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) + 29 * (rgb & 0xff)) >> 8
+          i += 1
         }
         val meanBp = if (w * h == 0) 0L else math.floor(10000.0 * lumaSum / (w.toLong * h * 255)).toLong
         ImageMeta(m.media_id, m.kind, w, h, img.getColorModel.getNumComponents, meanBp)

@@ -20,6 +20,14 @@ import graft.expressions.FloatVecDot.vecDot
   */
 object Similarity {
 
+  /** floor(1e6 * cosine) from precomputed squared norms — the ONE place
+    * the bit-exactness contract (floor at 1e6, sqrt(n1)*sqrt(n2)
+    * denominator order) lives; exact, bucketed, and dedup paths all
+    * share it so they can never drift apart. */
+  def cosMicro(spark: org.apache.spark.sql.SparkSession,
+               v1: Column, n1: Column, v2: Column, n2: Column): Column =
+    floor(lit(1e6) * (vecDot(spark, v1, v2) / (sqrt(n1) * sqrt(n2)))).cast("long")
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors by cosine (integer micro-cosine for deterministic ties). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
@@ -32,8 +40,7 @@ object Similarity {
     val scored = broadcast(q).crossJoin(c)
       .where(col("q_id") =!= col("n_id"))
       .withColumn("cos_micro",
-        floor(lit(1e6) * (vecDot(spark, col("q_vec"), col("n_vec")) /
-          (sqrt(col("q_n")) * sqrt(col("n_n"))))).cast("long"))
+        cosMicro(spark, col("q_vec"), col("q_n"), col("n_vec"), col("n_n")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_micro").desc, col("n_id"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("n_id"), col("n_label"), col("cos_micro"))
@@ -63,8 +70,7 @@ object Similarity {
     val scored = broadcast(q).join(c, col("probe") === col("bucket"))
       .where(col("q_id") =!= col("n_id"))
       .withColumn("cos_micro",
-        floor(lit(1e6) * (vecDot(spark, col("q_vec"), col("n_vec")) /
-          (sqrt(col("q_n")) * sqrt(col("n_n"))))).cast("long"))
+        cosMicro(spark, col("q_vec"), col("q_n"), col("n_vec"), col("n_n")))
       .select(col("q_id"), col("n_id"), col("n_label"), col("cos_micro")).distinct()
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_micro").desc, col("n_id"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
@@ -146,8 +152,7 @@ object Similarity {
     val scored = broadcast(probed).join(c, "cent_id")
       .where(col("q_id") =!= col("n_id"))
       .withColumn("cos_micro",
-        floor(lit(1e6) * (vecDot(spark, col("q_vec"), col("n_vec")) /
-          (sqrt(col("q_n")) * sqrt(col("n_n"))))).cast("long"))
+        cosMicro(spark, col("q_vec"), col("q_n"), col("n_vec"), col("n_n")))
       .select(col("q_id"), col("n_id"), col("n_label"), col("cos_micro")).distinct()
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_micro").desc, col("n_id"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
@@ -172,8 +177,7 @@ object Similarity {
       col("n").as("n2"), col("bucket").as("bucket2"))
     a.join(b, col("bucket") === col("bucket2") && col("id1") < col("id2"))
       .withColumn("cos_micro",
-        floor(lit(1e6) * (vecDot(spark, col("v1"), col("v2")) /
-          (sqrt(col("n1")) * sqrt(col("n2"))))).cast("long"))
+        cosMicro(spark, col("v1"), col("n1"), col("v2"), col("n2")))
       .select(col("id1"), col("id2"), col("cos_micro"))
   }
 

@@ -79,7 +79,8 @@ object RatingsPipeline {
                          attempts: Int = 3): Option[DataFrame] = {
     val fp = TaskRunner.retry(attempts)(() => TaskRunner.inputFingerprint(spark, zipGlob))
     var report: Option[DataFrame] = None
-    TaskRunner.memoize(spark, cacheDir, s"ingest_${periodYear}_$periodMonth", fp) {
+    TaskRunner.memoize(spark, cacheDir, s"ingest_${periodYear}_$periodMonth", fp,
+      revalidate = () => TaskRunner.inputFingerprint(spark, zipGlob)) {
       report = Some(TaskRunner.retry(attempts)(() =>
         ingestPeriod(spark, zipGlob, lakePath, periodYear, periodMonth)))
     }

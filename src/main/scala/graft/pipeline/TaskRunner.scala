@@ -20,6 +20,7 @@ object TaskRunner {
     * backoff. `sleep` is injectable for tests. */
   def retry[T](attempts: Int = 3, backoffMs: Long = 200,
                sleep: Long => Unit = Thread.sleep)(f: () => T): T = {
+    require(attempts >= 1, s"attempts must be >= 1, got $attempts")
     var tryNo = 0
     var lastErr: Throwable = null
     while (tryNo < attempts) {
@@ -56,17 +57,26 @@ object TaskRunner {
     * Returns true if `body` ran. A changed input produces a new
     * fingerprint, so backfills re-run exactly when inputs changed —
     * the reference's cache_key_fn semantics on top of the idempotent
-    * partition overwrite (re-running is safe, skipping is cheap). */
+    * partition overwrite (re-running is safe, skipping is cheap).
+    *
+    * `revalidate` closes the fingerprint-then-read race: if the input
+    * changed while `body` ran (recomputed fingerprint differs), the
+    * marker is NOT written, so the next run re-ingests instead of
+    * permanently skipping data the body never saw. */
   def memoize(spark: SparkSession, cacheDir: String, taskName: String,
-              fingerprint: String)(body: => Unit): Boolean = {
+              fingerprint: String, revalidate: () => String = null)
+             (body: => Unit): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
     val marker = new Path(new Path(cacheDir, taskName), fingerprint)
     val fs = marker.getFileSystem(conf)
     if (fs.exists(marker)) return false
     body
-    fs.mkdirs(marker.getParent)
-    val out = fs.create(marker, true)
-    out.close()
+    val stillCurrent = revalidate == null || revalidate() == fingerprint
+    if (stillCurrent) {
+      fs.mkdirs(marker.getParent)
+      val out = fs.create(marker, true)
+      out.close()
+    }
     true
   }
 }

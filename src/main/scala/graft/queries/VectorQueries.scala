@@ -68,8 +68,7 @@ object VectorQueries {
       .withColumn("n2", vecDot(spark, col("v2"), col("v2")))
     a.join(b, col("id1") < col("id2"))
       .withColumn("cos_micro",
-        floor(lit(1e6) * (vecDot(spark, col("v1"), col("v2")) /
-          (sqrt(col("n1")) * sqrt(col("n2"))))).cast("long"))
+        Similarity.cosMicro(spark, col("v1"), col("n1"), col("v2"), col("n2")))
       .select(col("id1"), col("id2"), col("cos_micro"))
       .orderBy(col("cos_micro").desc, col("id1"), col("id2"))
       .limit(20)

@@ -121,6 +121,21 @@ class RatingsPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(lake).count() === 2)
   }
 
+  test("memoize withholds the marker when the input changed under the body") {
+    import graft.pipeline.TaskRunner
+    val cache = Files.createTempDirectory("memocache").toFile.getAbsolutePath
+    var runs = 0
+    // revalidate disagrees with the pre-fingerprint -> no marker written
+    assert(TaskRunner.memoize(spark, cache, "t", "fp0", () => "fp1") { runs += 1 })
+    assert(runs === 1)
+    // next call must run again (input changed mid-body, nothing recorded)
+    assert(TaskRunner.memoize(spark, cache, "t", "fp0", () => "fp0") { runs += 1 })
+    assert(runs === 2)
+    // now the marker stuck -> third call skips
+    assert(!TaskRunner.memoize(spark, cache, "t", "fp0", () => "fp0") { runs += 1 })
+    assert(runs === 2)
+  }
+
   test("missingPeriods plans the backfill via anti join") {
     val zipDir = Files.createTempDirectory("ratingszips2").toFile
     val lake = Files.createTempDirectory("ratingslake2").toFile.getAbsolutePath + "/ratings"
