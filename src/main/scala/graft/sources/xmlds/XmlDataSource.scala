@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull, IsNull}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -30,6 +30,12 @@ import graft.sources.XmlRecordSource
   * - Column pruning is pushed into the reader
   *   (SupportsPushDownRequiredColumns): unprojected fields are never
   *   materialised into rows.
+  * - Record-level filter pushdown (SupportsPushDownFilters): EqualTo /
+  *   In / IsNull / IsNotNull predicates are evaluated on the parsed
+  *   field map BEFORE a row is materialised, so non-matching records
+  *   cost a parse but never an InternalRow or downstream CPU. Pushed
+  *   filters are still re-evaluated by Spark (returned as residuals),
+  *   so pushdown is purely an optimisation, never a correctness risk.
   * - Files are opened through the Hadoop FS API, so any object-store
   *   scheme Spark can reach works unchanged.
   */
@@ -84,28 +90,59 @@ class XmlTable(schema: StructType, options: CaseInsensitiveStringMap, files: Seq
 }
 
 class XmlScanBuilder(fullSchema: StructType, tag: String, files: Seq[Path])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new XmlScan(required, tag, files)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(XmlFilterEval.supported)
+    // Everything is returned as residual: Spark re-evaluates, the
+    // source-side skip is purely an optimisation.
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new XmlScan(required, tag, files, pushed)
 }
 
-class XmlScan(readSchema: StructType, tag: String, files: Seq[Path]) extends Scan with Batch {
+/** Record-level evaluation of the pushable subset of source filters
+  * over the parsed (field -> value) map. All XML fields are strings. */
+object XmlFilterEval {
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(_, v) => v == null || v.isInstanceOf[String]
+    case In(_, vs) => vs != null && vs.forall(v => v == null || v.isInstanceOf[String])
+    case IsNotNull(_) | IsNull(_) => true
+    case _ => false
+  }
+  def eval(f: Filter, rec: Map[String, String]): Boolean = f match {
+    case EqualTo(a, null) => false // SQL null semantics: never matches
+    case EqualTo(a, v) => rec.get(a).contains(v.asInstanceOf[String])
+    case In(a, vs) => rec.get(a).exists(x => vs.exists(v => v != null && v == x))
+    case IsNotNull(a) => rec.contains(a)
+    case IsNull(a) => !rec.contains(a)
+    case _ => true
+  }
+}
+
+class XmlScan(readSchema: StructType, tag: String, files: Seq[Path],
+              pushed: Array[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = readSchema
   override def toBatch: Batch = this
-  override def description(): String = s"graft-xml tag=$tag cols=${readSchema.fieldNames.mkString(",")}"
+  override def description(): String =
+    s"graft-xml tag=$tag cols=${readSchema.fieldNames.mkString(",")} " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
   override def planInputPartitions(): Array[InputPartition] =
     files.map(p => XmlFilePartition(p.toString): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new XmlReaderFactory(readSchema.fieldNames, tag,
       SparkSession.active.sparkContext.hadoopConfiguration.iterator().asScala
-        .map(e => e.getKey -> e.getValue).toMap)
+        .map(e => e.getKey -> e.getValue).toMap, pushed)
 }
 
 case class XmlFilePartition(path: String) extends InputPartition
 
-class XmlReaderFactory(fields: Array[String], tag: String, confMap: Map[String, String])
+class XmlReaderFactory(fields: Array[String], tag: String, confMap: Map[String, String],
+                       pushed: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = new Path(partition.asInstanceOf[XmlFilePartition].path)
@@ -115,6 +152,7 @@ class XmlReaderFactory(fields: Array[String], tag: String, confMap: Map[String, 
     val in = fs.open(p)
     val xml = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     val it = XmlRecordSource.parseRecords(xml, tag)
+      .filter(rec => pushed.forall(XmlFilterEval.eval(_, rec)))
     new PartitionReader[InternalRow] {
       private var current: Map[String, String] = _
       override def next(): Boolean = { val h = it.hasNext; if (h) current = it.next(); h }

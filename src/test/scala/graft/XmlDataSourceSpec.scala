@@ -39,4 +39,25 @@ class XmlDataSourceSpec extends SparkSpec {
     assert(scan.contains("cols=rating"), s"pruning not pushed:\n$scan")
     assert(df.head.getString(0) === "2700")
   }
+
+  test("DSv2 graft-xml: record-level filter pushdown reaches the scan and filters correctly") {
+    val dir = Files.createTempDirectory("xmlds3").toFile
+    writeXml(dir, "a.xml", Seq(
+      Seq("fideid" -> "1", "name" -> "Alice", "country" -> "USA"),
+      Seq("fideid" -> "2", "name" -> "Bob", "country" -> "GER"),
+      Seq("fideid" -> "3", "name" -> "Carol", "country" -> "USA"),
+      Seq("fideid" -> "4", "name" -> "NoFed")))
+    val base = spark.read.format("graft-xml").option("recordTag", "player")
+      .load(dir.getAbsolutePath + "/*.xml")
+    val usa = base.where(col("country") === "USA")
+    val scan = usa.queryExecution.executedPlan.toString
+    assert(scan.contains("EqualTo(country,USA)"), s"filter not pushed:\n$scan")
+    assert(usa.select("fideid").collect().map(_.getString(0)).sorted.toSeq === Seq("1", "3"))
+    // In / IsNull / IsNotNull are also pushable and must stay correct
+    assert(base.where(col("country").isin("USA", "GER")).count() === 3)
+    assert(base.where(col("country").isNull).select("fideid").head.getString(0) === "4")
+    assert(base.where(col("country").isNotNull).count() === 3)
+    // unsupported predicates (e.g. startsWith) still work via residual evaluation
+    assert(base.where(col("name").startsWith("Al")).count() === 1)
+  }
 }
