@@ -44,6 +44,8 @@ object SparkEntry {
     "q_rich_idle" -> (RelationalQueries.qRichIdle _),
     "q_skew_agg" -> (RelationalQueries.qSkewAgg _),
     "q_full_outer" -> (RelationalQueries.qFullOuter _),
+    "q_distinct_hll_sketch" -> (RelationalQueries.qDistinctHllSketch _),
+    "q_heavy_hitters_approx" -> (RelationalQueries.qHeavyHittersApprox _),
     "q_rank_family" -> (RelationalQueries.qRankFamily _),
     "q_string_funcs" -> (RelationalQueries.qStringFuncs _),
     "q_set_ops" -> (RelationalQueries.qSetOps _),

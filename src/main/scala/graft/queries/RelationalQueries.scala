@@ -455,6 +455,34 @@ object RelationalQueries {
       .orderBy(col("nation_id"))
   }
 
+  /** Mergeable distinct-count sketches (Datasketches HLL): per-month
+    * sketches of distinct customers per priority are built once, then
+    * UNIONED to a per-priority estimate — the incremental formulation a
+    * 100 TB lake needs (daily sketch columns merge without rescanning
+    * history; approx_count_distinct sketches are not exposed for
+    * merging). Tolerance-spec'd vs exact distinct counts. */
+  def qDistinctHllSketch(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"),
+        date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+    monthly.groupBy(col("o_orderpriority"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").as("approx_custs"),
+        count(lit(1)).as("n_months"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Approximate heavy hitters (top customers by order count) via
+    * approx_top_k — the sketch that answers "which keys dominate"
+    * with bounded per-partition state instead of a full groupBy
+    * shuffle of all keys. Spec'd against the exact top-k. */
+  def qHeavyHittersApprox(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .agg(expr("approx_top_k(o_custkey, 10, 10000)").as("tops"))
+      .select(explode(col("tops")).as("t"))
+      .select(col("t.item").as("custkey"), col("t.count").as("n_orders"))
+      .orderBy(col("n_orders").desc, col("custkey"))
+
   /** Heavy-hitter aggregation through the salted two-phase shape
     * (`Skew.saltedAggregate`): l_returnflag has 3 values, so a plain
     * groupBy lands the whole fact on 3 reducers at 100 TB; the salt

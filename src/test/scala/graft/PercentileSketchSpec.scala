@@ -16,6 +16,36 @@ class PercentileSketchSpec extends SparkSpec {
     }
   }
 
+  test("merged HLL sketches stay within 5% of exact distinct counts") {
+    import org.apache.spark.sql.functions._
+    val exact = spark.read.parquet(s"$Sf/orders.parquet")
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = RelationalQueries.qDistinctHllSketch(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (prio, d) =>
+      assert(math.abs(approx(prio) - d).toDouble / d < 0.05,
+        s"$prio: merged-sketch ${approx(prio)} vs exact $d")
+    }
+  }
+
+  test("approx_top_k heavy hitters match exact counts when capacity covers the keys") {
+    import org.apache.spark.sql.functions._
+    val exactCounts = spark.read.parquet(s"$Sf/orders.parquet")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val top = RelationalQueries.qHeavyHittersApprox(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(top.length === 10)
+    // every reported key carries its exact count (capacity >= distinct keys)
+    top.foreach { case (k, n) => assert(exactCounts(k) === n, s"cust $k: $n") }
+    // and the reported count multiset equals the exact top-10 multiset
+    val exactTop10 = exactCounts.values.toSeq.sorted.reverse.take(10)
+    assert(top.map(_._2).toSeq.sorted.reverse === exactTop10)
+  }
+
   test("approx percentile sketch stays within 1% of the exact rank selection") {
     val exact = RelationalQueries.qPercentiles(spark, Sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
