@@ -29,6 +29,38 @@ class ScaleOpsSpec extends SparkSpec {
     assert(repl === plain)
   }
 
+  test("upsert merges latest-wins and rewrites only touched partitions") {
+    import graft.sinks.UpsertWriter
+    val lake = java.nio.file.Files.createTempDirectory("upsertlake").toFile.getAbsolutePath + "/t"
+    val v1 = Seq(
+      (1L, 2700, 1, 100L), (2L, 2650, 1, 100L), // period 1
+      (3L, 2500, 2, 100L), (4L, 2400, 2, 100L)  // period 2
+    ).toDF("fide_id", "rating", "period", "version")
+    assert(UpsertWriter.upsert(v1, lake, Seq("fide_id"), Seq("period"), "version") === 2L)
+    val p1File = new java.io.File(lake + "/period=1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSeq
+
+    // corrected drop for period 2 only: update id 3, add id 5, stale id 4 update loses
+    val v2 = Seq(
+      (3L, 2555, 2, 200L),  // newer version wins
+      (4L, 2999, 2, 50L),   // OLDER version must lose to existing 100
+      (5L, 2450, 2, 200L)   // brand-new record
+    ).toDF("fide_id", "rating", "period", "version")
+    assert(UpsertWriter.upsert(v2, lake, Seq("fide_id"), Seq("period"), "version") === 1L)
+
+    val after = spark.read.parquet(lake)
+      .collect().map(r => r.getAs[Long]("fide_id") ->
+        ((r.getAs[Int]("rating"), r.getAs[Long]("version")))).toMap
+    assert(after(3L) === ((2555, 200L)), "newer incoming version must win")
+    assert(after(4L) === ((2400, 100L)), "stale incoming version must lose")
+    assert(after(5L) === ((2450, 200L)), "new record must be inserted")
+    assert(after(1L) === ((2700, 100L)) && after(2L) === ((2650, 100L)))
+    // untouched partition files were not rewritten
+    val p1After = new java.io.File(lake + "/period=1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSeq
+    assert(p1After === p1File, "period=1 files must be untouched")
+  }
+
   test("bucketed join plan has no shuffle exchange") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val ord = spark.read.parquet(s"$Sf/orders.parquet").select("o_orderkey", "o_custkey")
