@@ -87,13 +87,22 @@ object Similarity {
     * combine, so the shuffle carries k*dim partial sums per task, not
     * rows. Centroids themselves are tiny by definition and are collected
     * per round, which also truncates the iteration lineage. */
-  def kmeansCentroids(corpus: DataFrame, nCentroids: Int, iters: Int = 3): Array[Array[Float]] = {
+  def kmeansCentroids(corpus: DataFrame, nCentroids: Int, iters: Int = 3,
+                      maxTrainRows: Long = 100000L): Array[Array[Float]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    var cents: Array[Array[Float]] = corpus.orderBy(col("vec_id")).limit(nCentroids)
+    // Centroid TRAINING runs on a deterministic hash sample bounded by
+    // maxTrainRows — at 100 TB you train k-means on a sample and assign
+    // the full corpus once, you never iterate Lloyd over 10^11 vectors.
+    // The sample is hash-stable (no rand()), so centroids are
+    // reproducible run-to-run.
+    val train = corpus.where(
+      pmod(xxhash64(col("vec_id")), lit(TrainSampleMod(corpus, maxTrainRows))) === 0)
+      .localCheckpoint(true)
+    var cents: Array[Array[Float]] = train.orderBy(col("vec_id")).limit(nCentroids)
       .select(col("embedding")).as[Seq[Float]].collect().map(_.toArray)
     for (_ <- 0 until iters) {
-      val means = corpus
+      val means = train
         .withColumn("cid", nearestCentroidId(spark, col("embedding"), cents))
         .select(col("cid"), posexplode(col("embedding")))
         .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
@@ -106,6 +115,13 @@ object Similarity {
       cents = cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
     }
     cents
+  }
+
+  /** Sampling modulus keeping the expected training rows under the cap:
+    * keep vec_ids with hash % mod == 0. */
+  private def TrainSampleMod(corpus: DataFrame, maxTrainRows: Long): Long = {
+    val n = corpus.count()
+    math.max(1L, n / math.max(1L, maxTrainRows))
   }
 
   /** Map-only nearest-centroid assignment: centroids are plan literals,
