@@ -45,6 +45,7 @@ object SparkEntry {
     "q_skew_agg" -> (RelationalQueries.qSkewAgg _),
     "q_full_outer" -> (RelationalQueries.qFullOuter _),
     "q_distinct_hll_sketch" -> (RelationalQueries.qDistinctHllSketch _),
+    "text_term_freq_cms" -> (TextQueries.termFreqCmsQ _),
     "q_heavy_hitters_approx" -> (RelationalQueries.qHeavyHittersApprox _),
     "q_rank_family" -> (RelationalQueries.qRankFamily _),
     "q_string_funcs" -> (RelationalQueries.qStringFuncs _),

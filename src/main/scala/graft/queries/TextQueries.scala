@@ -83,6 +83,27 @@ object TextQueries {
 
   /** Whole-corpus statistics in one aggregation pass, including the
     * n_chars metadata-consistency check (cross-field data quality). */
+  /** Count-min-sketch term frequencies: one mergeable binary sketch of
+    * ALL terms (fixed seed — counter sums are order-independent, so the
+    * sketch is deterministic), probed for the exact top-20 terms. The
+    * sketch answers point-frequency queries over an unbounded key space
+    * in O(eps^-1 * ln(1/delta)) memory — at 100 TB the groupBy of every
+    * term is the thing you cannot afford; the sketch column is the
+    * thing you can keep per shard and merge. CMS guarantees
+    * overestimate-only error <= eps*N, spec-asserted. */
+  def termFreqCmsQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = docs(spark, dir).select(explode(split(col("text"), " ")).as("term"))
+    val skBytes = terms
+      .agg(expr("count_min_sketch(term, 0.0001d, 0.99d, 42)")).head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes))
+    val top = terms.groupBy(col("term")).agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("term")).limit(20).collect()
+      .map(r => (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
+    top.toSeq.toDF("term", "exact_count", "cms_count").orderBy(col("term"))
+  }
+
   def corpusStatsQ(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).agg(
       count(lit(1)).as("n_docs"),

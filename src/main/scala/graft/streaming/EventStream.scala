@@ -63,6 +63,34 @@ object EventStream {
     writer.start()
   }
 
+  /** Streaming MERGE sink: the tumbling aggregation in UPDATE mode,
+    * each micro-batch's refreshed rows upserted into the lake by window
+    * identity (last-writer-wins on batch id). Unlike the append sink,
+    * the lake always holds the CURRENT value of every window — in-flight
+    * windows are refreshed in place as late-but-within-watermark events
+    * arrive, and a checkpointed restart keeps aggregation state, so the
+    * lake converges to exactly the batch answer. Merge cost per batch
+    * follows the touched day-partitions, not lake size. */
+  def runUpsertSink(spark: SparkSession, eventsDir: String, lakePath: String,
+                    checkpointDir: Option[String] = None): StreamingQuery = {
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val writer = tumblingAgg(stream)
+      .withColumn("window_date", to_date(col("window_start")))
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sinks.UpsertWriter.upsert(
+          batch.withColumn("_v", lit(batchId)), lakePath,
+          keyCols = Seq("window_start", "event_type"),
+          partitionCols = Seq("window_date"), versionCol = "_v")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+
   /** File-based streaming read of an events parquet directory, processed
     * with availableNow (bounded backfill) into an in-memory sink;
     * returns the query for the caller to await. */

@@ -46,6 +46,20 @@ class PercentileSketchSpec extends SparkSpec {
     assert(top.map(_._2).toSeq.sorted.reverse === exactTop10)
   }
 
+  test("count-min sketch overestimates only, within eps*N of exact") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.TextQueries.termFreqCmsQ(spark, Sf).collect()
+    assert(rows.length === 20)
+    val totalTerms = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(explode(split(col("text"), " "))).count()
+    val bound = math.ceil(0.0001 * totalTerms * 2.718).toLong // eps*e slack
+    rows.foreach { r =>
+      val (exact, cms) = (r.getAs[Long]("exact_count"), r.getAs[Long]("cms_count"))
+      assert(cms >= exact, s"${r.getString(0)}: CMS must never underestimate")
+      assert(cms - exact <= math.max(1L, bound), s"${r.getString(0)}: $cms vs $exact")
+    }
+  }
+
   test("approx percentile sketch stays within 1% of the exact rank selection") {
     val exact = RelationalQueries.qPercentiles(spark, Sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -81,6 +81,29 @@ class StreamingSpec extends SparkSpec {
     assert(afterSecond.size > firstRun.size, "second run landed no new windows")
   }
 
+  test("streaming upsert sink converges the lake to the exact batch answer") {
+    val src = java.nio.file.Files.createTempDirectory("graftstream4").toFile.getAbsolutePath
+    val lake = java.nio.file.Files.createTempDirectory("graftlake4").toFile.getAbsolutePath + "/agg"
+    val ckpt = Some(java.nio.file.Files.createTempDirectory("graftckpt4").toFile.getAbsolutePath)
+    val events = spark.read.parquet(s"$Sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val cut = events.selectExpr("timestamp_micros((unix_micros(min(ts)) + unix_micros(max(ts))) DIV 2) AS c")
+      .collect()(0).getTimestamp(0)
+    // two checkpointed incremental runs: update-mode state carries over,
+    // so windows straddling the cut are REFRESHED in place by run 2
+    events.filter(col("ts") <= lit(cut)).write.mode("overwrite").parquet(src)
+    EventStream.runUpsertSink(spark, src, lake, ckpt).awaitTermination(120000)
+    events.filter(col("ts") > lit(cut)).write.mode("append").parquet(src)
+    EventStream.runUpsertSink(spark, src, lake, ckpt).awaitTermination(120000)
+    val lakeRows = spark.read.parquet(lake)
+      .select("window_start", "event_type", "n_events", "value_cents")
+      .collect().map(_.toSeq).toSet
+    val batch = EventStream.tumblingAgg(events)
+      .collect().map(_.toSeq).toSet
+    assert(lakeRows === batch,
+      s"lake diverged: missing=${(batch -- lakeRows).size} extra=${(lakeRows -- batch).size}")
+  }
+
   test("batch streamingParity query shape matches tumblingAgg query") {
     val a = EventQueries.streamingParity(spark, Sf).collect().map(_.toSeq)
     val b = EventQueries.tumblingAgg(spark, Sf).collect().map(_.toSeq)
