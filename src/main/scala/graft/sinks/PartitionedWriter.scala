@@ -29,7 +29,8 @@ object PartitionedWriter {
     * the cheap half of Z-ordering, worth it on every 100 TB lake. */
   def write(df: DataFrame, path: String, partitionCols: Seq[String],
             overwritePartitions: Boolean = true,
-            clusterBy: Seq[String] = Seq.empty): Boolean = {
+            clusterBy: Seq[String] = Seq.empty,
+            codec: String = "zstd"): Boolean = {
     if (!overwritePartitions && exists(df, path)) return false
     val clustered =
       if (clusterBy.isEmpty) df
@@ -38,6 +39,10 @@ object PartitionedWriter {
       // Per-write option, not a session-conf mutation: the session default
       // (static overwrite) must survive for unrelated writes.
       .option("partitionOverwriteMode", "dynamic")
+      // zstd over the default snappy: ~20-30% smaller files at similar
+      // scan speed — at 100 TB the bytes on disk and over the wire are
+      // the bill, and parquet scan is rarely decompress-bound.
+      .option("compression", codec)
       .partitionBy(partitionCols: _*)
       .mode(if (overwritePartitions) "overwrite" else "errorifexists")
       .parquet(path)

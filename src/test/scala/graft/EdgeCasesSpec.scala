@@ -51,6 +51,12 @@ class EdgeCasesSpec extends SparkSpec {
     assert(capped === Set((0L, 1L)))
   }
 
+  test("connectedComponents on an empty pair set returns an empty labeling") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(graft.operators.Dedup.connectedComponents(empty).count() === 0)
+  }
+
   test("dedup operators ignore documents shorter than the shingle width") {
     val docs = Seq((0L, "one two"), (1L, "one two")).toDF("doc_id", "text")
     assert(Dedup.ngramJaccardPairs(docs, 0L).count() === 0)

@@ -39,6 +39,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("ev_interval_join: range predicate stays inside an equijoin (no cross product)") {
+    val p = plan(graft.queries.EventQueries.intervalJoin(spark, Sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join degenerated to a cross product:\n${p.take(800)}")
+  }
+
   test("q_skew_agg: salted two-phase shape (partial agg keyed on salt)") {
     val p = plan(RelationalQueries.qSkewAgg(spark, Sf))
     // phase 1 groups on (l_returnflag, _salt): the heavy key is spread
