@@ -17,6 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator planner strategy (tier c): native top-k-per-group
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - in-order double dot product of two float arrays"),

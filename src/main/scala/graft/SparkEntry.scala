@@ -30,6 +30,7 @@ object SparkEntry {
     "q7_period_volume" -> (RelationalQueries.q7PeriodVolume _),
     "q_market_share" -> (RelationalQueries.qMarketShare _),
     "q_topk_per_group" -> (RelationalQueries.qTopKPerGroup _),
+    "q_topk_native" -> (RelationalQueries.qTopKNative _),
     "q_delta_mom" -> (RelationalQueries.qDeltaMom _),
     "q_running_total" -> (RelationalQueries.qRunningTotal _),
     "q_semi_anti" -> (RelationalQueries.qSemiAnti _),

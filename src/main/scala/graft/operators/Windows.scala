@@ -24,6 +24,36 @@ object Windows {
     df.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
 
+  /** Native whole-operator top-k per group (custom LogicalPlan +
+    * Strategy + Exec, see graft.plans.TopKPerGroup): same output
+    * contract as `topKPerGroup`, but the shuffle carries at most
+    * k rows per group per input partition instead of every row —
+    * the map-side partial the window formulation cannot express.
+    * The planner strategy self-registers on first use. */
+  def topKPerGroupNative(df: DataFrame, k: Int, part: Seq[Column], order: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder => CSortOrder}
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerGroupStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKPerGroupStrategy
+    val child = df.queryExecution.analyzed
+    val resolver = (name: String) =>
+      child.output.find(_.name.equalsIgnoreCase(name))
+        .getOrElse(sys.error(s"topKPerGroupNative: column $name not in ${child.output.map(_.name)}"))
+    def resolve(e: org.apache.spark.sql.catalyst.expressions.Expression) = e.transformUp {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => resolver(u.name)
+    }
+    val groupExprs = part.map(c => resolve(GraftSqlBridge.expression(c)))
+    val orderExprs = order.map { c =>
+      GraftSqlBridge.expression(c) match {
+        case so: CSortOrder => so.copy(child = resolve(so.child))
+        case e => CSortOrder(resolve(e), Ascending)
+      }
+    }
+    GraftSqlBridge.ofRows(spark, graft.plans.TopKPerGroup(k, groupExprs, orderExprs, child))
+  }
+
   /** Gap-based sessionization: new session when the gap to the previous
     * event of the same user exceeds `gap` (in the units of the numeric
     * `tsCol`, e.g. epoch micros). `tieCol` breaks ordering ties so the

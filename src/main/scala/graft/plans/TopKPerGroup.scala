@@ -1,0 +1,121 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.IntegerType
+
+/** Whole-operator top-k-per-group — the tier-(c) extension path
+  * (custom LogicalPlan + SparkStrategy + SparkPlan) for the one
+  * leaderboard shape Spark's built-ins can't plan optimally.
+  *
+  * The window formulation (`row_number().over(partitionBy(g).orderBy(o))
+  * WHERE rnk <= k`) shuffles EVERY row to its group's reducer and sorts
+  * the full partition before discarding all but k rows per group. This
+  * operator instead keeps a bounded heap of k rows per group per input
+  * partition map-side (the agg-style partial), so the shuffle carries at
+  * most k * numInputPartitions rows per group — at 100 TB with k=100
+  * that is the difference between shuffling the fact table and shuffling
+  * a rounding error. The final exec merges the survivors per group and
+  * emits `rnk`.
+  *
+  * Planned via `TopKPerGroupStrategy` (registered through
+  * `GraftExtensions` or `spark.experimental.extraStrategies`);
+  * EnsureRequirements inserts the group-keyed exchange between the
+  * partial and final execs from `requiredChildDistribution`.
+  */
+case class TopKPerGroup(
+    k: Int,
+    groupExprs: Seq[Expression],
+    orderExprs: Seq[SortOrder],
+    child: LogicalPlan,
+    rankAttr: AttributeReference = AttributeReference("rnk", IntegerType, nullable = false)())
+  extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
+    copy(child = newChild)
+}
+
+object TopKPerGroupStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case t: TopKPerGroup =>
+      val partial = TopKPerGroupExec(t.k, t.groupExprs, t.orderExprs,
+        rankAttr = None, child = planLater(t.child))
+      TopKPerGroupExec(t.k, t.groupExprs, t.orderExprs,
+        rankAttr = Some(t.rankAttr), child = partial) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Bounded-heap top-k exec. With `rankAttr = None` this is the PARTIAL
+  * stage (any distribution, emits survivors without ranks); with
+  * `rankAttr = Some(_)` it is the FINAL stage (requires clustering on
+  * the group keys, emits ranked rows). */
+case class TopKPerGroupExec(
+    k: Int,
+    groupExprs: Seq[Expression],
+    orderExprs: Seq[SortOrder],
+    rankAttr: Option[AttributeReference],
+    child: SparkPlan)
+  extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr.toSeq)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (rankAttr.isEmpty) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val gExprs = groupExprs
+    val oExprs = orderExprs
+    val kk = k
+    val rank = rankAttr
+    val fullOutput = output
+    child.execute().mapPartitions { it =>
+      val groupProj = UnsafeProjection.create(gExprs, childOutput)
+      val rowProj = UnsafeProjection.create(childOutput.map(a => a: Expression), childOutput)
+      val ord = RowOrdering.create(oExprs, childOutput)
+      // per group: max-heap by sort order — root is the WORST kept row,
+      // evicted when a better (ordering-smaller) row arrives.
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
+      while (it.hasNext) {
+        val row = it.next()
+        val key = groupProj(row)
+        heaps.get(key) match {
+          case Some(h) =>
+            if (h.size < kk) h.enqueue(rowProj(row).copy())
+            else if (ord.compare(row, h.head) < 0) { h.dequeue(); h.enqueue(rowProj(row).copy()) }
+          case None =>
+            val h = mutable.PriorityQueue.empty[UnsafeRow](ord.on(identity[UnsafeRow]))
+            h.enqueue(rowProj(row).copy())
+            heaps.put(key.copy(), h)
+        }
+      }
+      rank match {
+        case None => // partial: emit survivors unranked
+          heaps.valuesIterator.flatMap(_.iterator)
+        case Some(r) => // final: best-first with rank appended
+          val outProj = UnsafeProjection.create(
+            fullOutput.map(a => a: Expression), childOutput :+ r)
+          val joined = new JoinedRow
+          heaps.valuesIterator.flatMap { h =>
+            val worstFirst: Seq[UnsafeRow] = h.dequeueAll[UnsafeRow]
+            worstFirst.reverseIterator.zipWithIndex.map { case (row, i) =>
+              outProj(joined(row, new GenericInternalRow(Array[Any](i + 1))))
+            }
+          }
+      }
+    }
+  }
+}

@@ -180,6 +180,16 @@ object OracleSql {
         |SELECT c_nationkey, CAST(rnk AS INT) AS rnk, c_custkey, acctbal_cents
         |FROM r WHERE rnk <= 3 ORDER BY c_nationkey, rnk""".stripMargin,
 
+    // the native whole-operator must agree bit-for-bit with the window SQL
+    "q_topk_native" ->
+      """WITH r AS (
+        | SELECT c_nationkey, c_custkey,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_cents,
+        |  ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        | FROM customer)
+        |SELECT c_nationkey, CAST(rnk AS INT) AS rnk, c_custkey, acctbal_cents
+        |FROM r WHERE rnk <= 3 ORDER BY c_nationkey, rnk""".stripMargin,
+
     "q_delta_mom" ->
       """WITH m AS (
         | SELECT o_orderpriority, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,

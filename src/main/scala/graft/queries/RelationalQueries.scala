@@ -152,6 +152,18 @@ object RelationalQueries {
       .orderBy(col("c_nationkey"), col("rnk"))
   }
 
+  /** The same leaderboard through the NATIVE whole-operator top-k
+    * (graft.plans.TopKPerGroup: custom LogicalPlan + Strategy + Exec —
+    * bounded per-partition heaps, shuffle carries at most k rows per
+    * group per input partition). Shares q_topk_per_group's oracle:
+    * the operators must agree bit-for-bit. */
+  def qTopKNative(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Windows.topKPerGroupNative(t(spark, dir, "customer"), 3,
+        Seq(col("c_nationkey")), Seq(col("c_acctbal").desc, col("c_custkey")))
+      .select(col("c_nationkey"), col("rnk"), col("c_custkey"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("acctbal_cents"))
+      .orderBy(col("c_nationkey"), col("rnk"))
+
   /** Month-over-month delta of order totals per priority (the reference's
     * rating-progress-over-periods analog). */
   def qDeltaMom(spark: SparkSession, dir: String): DataFrame = {

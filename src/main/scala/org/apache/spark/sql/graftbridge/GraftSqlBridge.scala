@@ -1,0 +1,22 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, Dataset, SparkSession => ClassicSession}
+
+/** Minimal bridge to the two `private[sql]` seams an external
+  * whole-operator library needs: Column -> Catalyst Expression, and
+  * LogicalPlan -> DataFrame. Lives under the `org.apache.spark.sql`
+  * namespace purely for Scala access control; contains only forwarding
+  * calls (the standard extension-library pattern for pre-Connect plan
+  * construction).
+  */
+object GraftSqlBridge {
+  /** Eager ColumnNode -> Catalyst conversion. (ExpressionUtils returns a
+    * lazy ColumnNodeExpression wrapper that still references the
+    * non-serializable ColumnNode tree — unusable inside task closures.) */
+  def expression(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Windows
+
+class TopKNativeSpec extends SparkSpec {
+
+  private def keyed(df: org.apache.spark.sql.DataFrame) =
+    df.select("c_nationkey", "rnk", "c_custkey")
+      .collect().map(_.toSeq).toSet
+
+  test("native whole-operator top-k matches the window formulation exactly") {
+    val df = spark.read.parquet(s"$Sf/customer.parquet")
+    val part = Seq(col("c_nationkey"))
+    val order = Seq(col("c_acctbal").desc, col("c_custkey"))
+    val win = keyed(Windows.topKPerGroup(df, 3, part, order))
+    val nat = keyed(Windows.topKPerGroupNative(df, 3, part, order))
+    assert(nat === win)
+    assert(nat.nonEmpty)
+  }
+
+  test("native top-k handles groups smaller than k and k=1") {
+    val df = spark.read.parquet(s"$Sf/customer.parquet")
+    val order = Seq(col("c_acctbal").desc, col("c_custkey"))
+    // region has 5 nations; group by custkey%1000 makes sparse groups
+    val sparse = df.withColumn("g", col("c_custkey") % 997)
+    val win = Windows.topKPerGroup(sparse, 2, Seq(col("g")), order)
+      .select("g", "rnk", "c_custkey").collect().map(_.toSeq).toSet
+    val nat = Windows.topKPerGroupNative(sparse, 2, Seq(col("g")), order)
+      .select("g", "rnk", "c_custkey").collect().map(_.toSeq).toSet
+    assert(nat === win)
+    val one = Windows.topKPerGroupNative(df, 1, Seq(col("c_nationkey")), order)
+    assert(one.collect().forall(_.getAs[Int]("rnk") === 1))
+  }
+
+  test("native top-k plans partial+final execs with the exchange between (no Window, no full sort)") {
+    val df = spark.read.parquet(s"$Sf/customer.parquet")
+    val nat = Windows.topKPerGroupNative(df, 3,
+      Seq(col("c_nationkey")), Seq(col("c_acctbal").desc, col("c_custkey")))
+    nat.collect()
+    val p = nat.queryExecution.executedPlan.toString
+    assert(p.split("TopKPerGroup").length >= 3, s"expected partial+final execs:\n$p")
+    assert(p.contains("Exchange"), "group-keyed exchange must sit between the stages")
+    assert(!p.contains("Window"), "must not fall back to the window formulation")
+    assert(!p.contains("Sort "), s"must not full-sort the data:\n$p")
+  }
+}
