@@ -106,10 +106,13 @@ object RatingsPipeline {
   }
 
   /** Leaderboard over the lake: top-k players by rating per federation
-    * for one period (the analytics the ratings lake serves). */
+    * for one period (the analytics the ratings lake serves). Uses the
+    * native whole-operator top-k (graft.plans.TopKPerGroup) — the
+    * exchange carries at most k players per federation per input
+    * partition, not the whole period. */
   def leaderboard(spark: SparkSession, lakePath: String, periodYear: Int,
                   periodMonth: Int, k: Int): DataFrame =
-    Windows.topKPerGroup(
+    Windows.topKPerGroupNative(
       spark.read.parquet(lakePath)
         .where(col("period_year") === periodYear && col("period_month") === periodMonth),
       k, Seq(col("fide_federation")), Seq(col("rating").desc, col("fide_id")))
