@@ -47,6 +47,7 @@ object SparkEntry {
     "q_full_outer" -> (RelationalQueries.qFullOuter _),
     "q_distinct_hll_sketch" -> (RelationalQueries.qDistinctHllSketch _),
     "text_term_freq_cms" -> (TextQueries.termFreqCmsQ _),
+    "text_chunk" -> (TextQueries.chunkQ(_, _)),
     "q_heavy_hitters_approx" -> (RelationalQueries.qHeavyHittersApprox _),
     "q_rank_family" -> (RelationalQueries.qRankFamily _),
     "q_string_funcs" -> (RelationalQueries.qStringFuncs _),

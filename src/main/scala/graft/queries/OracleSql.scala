@@ -295,6 +295,17 @@ object OracleSql {
         |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
         |ORDER BY nation_id""".stripMargin,
 
+    "text_chunk" -> {
+      val rhChunk = rh("array_to_string(chunk, ' ')")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |s AS (SELECT doc_id, w, unnest(range(0, greatest(len(w), 1), 24)) AS start FROM d),
+         |c AS (SELECT doc_id, CAST(start // 24 AS INT) AS chunk_idx,
+         |  w[start+1:start+32] AS chunk FROM s)
+         |SELECT doc_id, chunk_idx, CAST(len(chunk) AS INT) AS n_tokens,
+         | $rhChunk AS chunk_hash
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+    },
+
     // the oracle is the PLAIN groupBy: salting must be invisible
     "q_skew_agg" ->
       """SELECT l_returnflag, COUNT(*) AS n_lines,

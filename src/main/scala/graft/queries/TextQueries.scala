@@ -81,8 +81,28 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Whole-corpus statistics in one aggregation pass, including the
-    * n_chars metadata-consistency check (cross-field data quality). */
+  /** Document chunking: overlapping token windows (size 32, stride 24 =
+    * 8-token overlap) with per-chunk token count and content
+    * fingerprint — the operator that turns raw documents into
+    * training-context rows. Map-only (sequence + slice are codegen'd
+    * collection expressions, the explode is the only row expansion);
+    * chunk identity travels as (doc_id, chunk_idx), content as a
+    * rolling-hash fingerprint so the output stays narrow. */
+  def chunkQ(spark: SparkSession, dir: String,
+             chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    import graft.expressions.RollingHash.rollingHashNative
+    docs(spark, dir)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("start",
+        explode(sequence(lit(0), greatest(size(col("w")) - 1, lit(0)), lit(stride))))
+      .withColumn("chunk_text", concat_ws(" ", slice(col("w"), col("start") + 1, lit(chunkSize))))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("int").as("chunk_idx"),
+        size(slice(col("w"), col("start") + 1, lit(chunkSize))).as("n_tokens"),
+        rollingHashNative(spark, col("chunk_text"), 31L, HashMod).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Count-min-sketch term frequencies: one mergeable binary sketch of
     * ALL terms (fixed seed — counter sums are order-independent, so the
     * sketch is deterministic), probed for the exact top-20 terms. The
@@ -104,6 +124,8 @@ object TextQueries {
     top.toSeq.toDF("term", "exact_count", "cms_count").orderBy(col("term"))
   }
 
+  /** Whole-corpus statistics in one aggregation pass, including the
+    * n_chars metadata-consistency check (cross-field data quality). */
   def corpusStatsQ(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).agg(
       count(lit(1)).as("n_docs"),
