@@ -105,6 +105,10 @@ object Dedup {
       val symE = edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       val lsMin = symE.groupBy(col("src")).agg(min(col("dst")).as("mn"))
         .select(col("src"), least(col("mn"), col("src")).as("m"))
+      // The distinct is load-bearing beyond dedup: it is a shuffle
+      // boundary whose output Spark REUSES for ls's two consumers
+      // (ssMin's groupBy and the ss join) — removing it recomputes the
+      // large-star join twice and measures slower, not faster.
       val ls = symE.join(lsMin, "src").where(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .distinct()
