@@ -92,7 +92,8 @@ object SparkEntry {
     "text_sample_split" -> (TextQueries.sampleSplitQ _),
     // §2.8 multimodal plumbing
     "mm_features" -> (VectorQueries.mmFeatures _),
-    "mm_image_meta" -> (VectorQueries.mmImageMeta _)
+    "mm_image_meta" -> (VectorQueries.mmImageMeta _),
+    "mm_audio_meta" -> (VectorQueries.mmAudioMeta _)
   )
 
   /** DuckDB-equivalent SQL per query (omitted for hash-family ops whose

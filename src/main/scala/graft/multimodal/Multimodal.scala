@@ -77,6 +77,31 @@ object Multimodal {
     }
   }
 
+  /** Deterministic synthetic WAV per document: 8-bit mono PCM square
+    * wave whose frame count and amplitude are pure arithmetic on
+    * doc_id, written as a REAL RIFF/WAVE container on the executors.
+    * `MediaOps.audioMeta` must recover exactly those values by decoding
+    * the container through javax.sound — making the audio path
+    * oracle-checkable like the image path. */
+  def syntheticWavs(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      val sampleRate = 8000
+      val n = 400 + (id % 100).toInt * 4                   // even frame count
+      val amp = 32 + (id % 64).toInt                       // |sample - 128|
+      val data = new Array[Byte](n)
+      var i = 0
+      while (i < n) { data(i) = (128 + (if (i % 2 == 0) amp else -amp)).toByte; i += 1 }
+      val bos = new java.io.ByteArrayOutputStream()
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 8, 1, false, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      MediaRow(id, "audio", bos.toByteArray)
+    }
+  }
+
   /** Build a deterministic synthetic media table from the documents table
     * (UTF-8 text bytes as stand-in payloads) — exercises the exact
     * plumbing a parquet `binary` column takes. */

@@ -323,6 +323,16 @@ object OracleSql {
         | AND c.click_us >= p.ts_us - 3600000000 AND c.click_us <= p.ts_us
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
 
+    // re-derives the synthetic-WAV metadata purely arithmetically; the
+    // Spark side must recover identical values by decoding the real
+    // RIFF/WAVE container through javax.sound
+    "mm_audio_meta" ->
+      """SELECT doc_id AS media_id, 'audio' AS kind,
+        | CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        | CAST(400 + (doc_id % 100) * 4 AS BIGINT) AS n_frames,
+        | CAST(32 + doc_id % 64 AS BIGINT) AS mean_abs
+        |FROM documents ORDER BY media_id""".stripMargin,
+
     // re-derives the synthetic-PNG metadata purely arithmetically; the
     // Spark side must recover identical values by decoding real pixels
     "mm_image_meta" ->

@@ -88,6 +88,15 @@ object VectorQueries {
     Multimodal.extractFeatures(media).toDF().orderBy(col("media_id"))
   }
 
+  /** Real audio-codec round trip, oracle-checked (the WAV twin of
+    * mm_image_meta): synthetic 8-bit PCM square waves whose frame count
+    * and amplitude are arithmetic on doc_id are written as real
+    * RIFF/WAVE containers and decoded back through javax.sound. */
+  def mmAudioMeta(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticWavs(spark, TableLoader.load(spark, dir, "documents"))
+    graft.multimodal.MediaOps.audioMeta(media).toDF().orderBy(col("media_id"))
+  }
+
   /** Real-codec round trip, oracle-checked: synthetic PNGs whose
     * dimensions/color are arithmetic on doc_id are ENCODED and then
     * DECODED (javax.imageio) on the executors; the DuckDB oracle

@@ -78,6 +78,23 @@ class MultimodalSpec extends SparkSpec {
     assert(java.util.Arrays.equals(out(2L).payload, "plain".getBytes("UTF-8")))
   }
 
+  test("audioMeta decodes real WAV containers via javax.sound") {
+    import graft.multimodal.MediaOps
+    val docs = spark.read.parquet(s"$Sf/documents.parquet").limit(10)
+    val media = Multimodal.syntheticWavs(spark, docs)
+    val out = MediaOps.audioMeta(media).collect().map(m => m.media_id -> m).toMap
+    assert(out.size === 10)
+    docs.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      val m = out(id)
+      assert(m.sample_rate === 8000 && m.channels === 1)
+      assert(m.n_frames === 400L + (id % 100) * 4)
+      assert(m.mean_abs === 32L + id % 64, s"doc $id amplitude")
+    }
+    // non-audio payloads are dropped
+    val junk = Seq(Multimodal.MediaRow(99L, "not_audio", "hello".getBytes)).toDS()
+    assert(MediaOps.audioMeta(junk).count() === 0)
+  }
+
   test("syntheticMedia preserves ids and carries UTF-8 payloads") {
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
     val media = Multimodal.syntheticMedia(spark, docs)
