@@ -93,7 +93,8 @@ object SparkEntry {
     // §2.8 multimodal plumbing
     "mm_features" -> (VectorQueries.mmFeatures _),
     "mm_image_meta" -> (VectorQueries.mmImageMeta _),
-    "mm_audio_meta" -> (VectorQueries.mmAudioMeta _)
+    "mm_audio_meta" -> (VectorQueries.mmAudioMeta _),
+    "mm_video_meta" -> (VectorQueries.mmVideoMeta _)
   )
 
   /** DuckDB-equivalent SQL per query (omitted for hash-family ops whose

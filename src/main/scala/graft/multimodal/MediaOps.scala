@@ -114,6 +114,56 @@ object MediaOps {
     }))
   }
 
+  case class VideoMeta(media_id: Long, kind: String, timescale: Long,
+                       duration_units: Long, duration_ms: Long, n_boxes: Int)
+
+  /** Real MP4/ISO-BMFF container metadata: walks the box structure
+    * (size + fourcc headers) to moov/mvhd and reads timescale +
+    * duration — pure byte arithmetic on the public ISO base-media
+    * layout, no codec required. FRAME DECODE remains the documented
+    * stub (`frameSample`); this covers the metadata half of the video
+    * path for real. Returns None for payloads that are not ISO-BMFF. */
+  def parseMp4Meta(payload: Array[Byte]): Option[(Long, Long, Int)] = {
+    def be32(o: Int): Long =
+      ((payload(o) & 0xffL) << 24) | ((payload(o + 1) & 0xffL) << 16) |
+        ((payload(o + 2) & 0xffL) << 8) | (payload(o + 3) & 0xffL)
+    def fourcc(o: Int): String = new String(payload, o + 4, 4, "ISO-8859-1")
+    var boxes = 0
+    var mvhd: Option[(Long, Long)] = None
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val size = be32(off)
+        if (size < 8 || off + size > end) return
+        boxes += 1
+        val name = fourcc(off)
+        if ((name == "moov" || name == "trak" || name == "mdia") && depth < 4)
+          walk(off + 8, off + size.toInt, depth + 1)
+        else if (name == "mvhd" && size >= 8 + 4 + 16) {
+          // version(1)+flags(3), then v0: ctime(4) mtime(4) timescale(4) duration(4)
+          val body = off + 8
+          if (payload(body) == 0)
+            mvhd = Some((be32(body + 12), be32(body + 16)))
+        }
+        off += size.toInt
+      }
+    }
+    if (payload.length >= 12 && fourcc(0) == "ftyp") {
+      walk(0, payload.length, 0)
+      mvhd.map { case (ts, dur) => (ts, dur, boxes) }
+    } else None
+  }
+
+  def videoMeta(media: Dataset[Multimodal.MediaRow], batchSize: Int = 64): Dataset[VideoMeta] = {
+    implicit val enc = Encoders.product[VideoMeta]
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.iterator.flatMap { m =>
+      parseMp4Meta(m.payload).map { case (ts, dur, boxes) =>
+        VideoMeta(m.media_id, m.kind, ts, dur,
+          if (ts == 0) 0L else dur * 1000L / ts, boxes)
+      }
+    }))
+  }
+
   /** STUB decode: deterministic metadata from byte statistics (a real
     * impl reads the container header). */
   def decodeMetaStub(m: Multimodal.MediaRow): MediaMeta = {

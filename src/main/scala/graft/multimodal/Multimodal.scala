@@ -102,6 +102,33 @@ object Multimodal {
     }
   }
 
+  /** Deterministic minimal-but-valid MP4 (ISO-BMFF) container per
+    * document: ftyp + moov/mvhd with timescale/duration arithmetic on
+    * doc_id. `MediaOps.videoMeta` must recover the values by actually
+    * walking the box structure — the metadata half of the video path,
+    * oracle-checkable like images and audio. */
+  def syntheticMp4s(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      val timescale = 600L
+      val duration = 600L + (id % 1000) * 3
+      def be32(v: Long): Array[Byte] = Array(
+        ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      val ftyp = be32(16) ++ "ftyp".getBytes("ISO-8859-1") ++
+        "isom".getBytes("ISO-8859-1") ++ be32(0)
+      // mvhd v0: version/flags + ctime mtime timescale duration + rate
+      // volume/reserved + matrix + predefined + next_track = 100-byte body
+      val mvhdBody = be32(0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++ be32(duration) ++
+        be32(0x00010000L) ++ Array.fill[Byte](10)(0) ++ Array[Byte](0x01, 0) ++
+        Array.fill[Byte](36 - 8)(0) ++ be32(0x00010000L) ++ be32(0x40000000L) ++
+        Array.fill[Byte](24)(0) ++ be32(2)
+      val mvhd = be32(8L + mvhdBody.length) ++ "mvhd".getBytes("ISO-8859-1") ++ mvhdBody
+      val moov = be32(8L + mvhd.length) ++ "moov".getBytes("ISO-8859-1") ++ mvhd
+      MediaRow(id, "video", ftyp ++ moov)
+    }
+  }
+
   /** Build a deterministic synthetic media table from the documents table
     * (UTF-8 text bytes as stand-in payloads) — exercises the exact
     * plumbing a parquet `binary` column takes. */

@@ -323,6 +323,17 @@ object OracleSql {
         | AND c.click_us >= p.ts_us - 3600000000 AND c.click_us <= p.ts_us
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
 
+    // re-derives the synthetic-MP4 metadata purely arithmetically; the
+    // Spark side must recover identical values by walking real ISO-BMFF
+    // box structure
+    "mm_video_meta" ->
+      """SELECT doc_id AS media_id, 'video' AS kind,
+        | CAST(600 AS BIGINT) AS timescale,
+        | CAST(600 + (doc_id % 1000) * 3 AS BIGINT) AS duration_units,
+        | CAST((600 + (doc_id % 1000) * 3) * 1000 // 600 AS BIGINT) AS duration_ms,
+        | CAST(3 AS INT) AS n_boxes
+        |FROM documents ORDER BY media_id""".stripMargin,
+
     // re-derives the synthetic-WAV metadata purely arithmetically; the
     // Spark side must recover identical values by decoding the real
     // RIFF/WAVE container through javax.sound

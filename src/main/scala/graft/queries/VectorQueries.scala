@@ -88,6 +88,15 @@ object VectorQueries {
     Multimodal.extractFeatures(media).toDF().orderBy(col("media_id"))
   }
 
+  /** Real ISO-BMFF container round trip, oracle-checked (the MP4 twin
+    * of mm_image_meta): synthetic ftyp+moov/mvhd containers whose
+    * timescale/duration are arithmetic on doc_id are parsed back by
+    * walking actual box structure. */
+  def mmVideoMeta(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticMp4s(spark, TableLoader.load(spark, dir, "documents"))
+    graft.multimodal.MediaOps.videoMeta(media).toDF().orderBy(col("media_id"))
+  }
+
   /** Real audio-codec round trip, oracle-checked (the WAV twin of
     * mm_image_meta): synthetic 8-bit PCM square waves whose frame count
     * and amplitude are arithmetic on doc_id are written as real

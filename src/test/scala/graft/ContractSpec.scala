@@ -14,7 +14,7 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query count matches the SURVEY inventory claim") {
-    // 70 query entries as of round 2; update alongside SURVEY §2.
-    assert(SparkEntry.queries.size === 70, s"got ${SparkEntry.queries.size}")
+    // 71 query entries as of round 2; update alongside SURVEY §2.
+    assert(SparkEntry.queries.size === 71, s"got ${SparkEntry.queries.size}")
   }
 }

@@ -95,6 +95,24 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaOps.audioMeta(junk).count() === 0)
   }
 
+  test("videoMeta walks real ISO-BMFF box structure") {
+    import graft.multimodal.MediaOps
+    val docs = spark.read.parquet(s"$Sf/documents.parquet").limit(10)
+    val media = Multimodal.syntheticMp4s(spark, docs)
+    val out = MediaOps.videoMeta(media).collect().map(m => m.media_id -> m).toMap
+    assert(out.size === 10)
+    docs.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      val m = out(id)
+      assert(m.timescale === 600L)
+      assert(m.duration_units === 600L + (id % 1000) * 3)
+      assert(m.duration_ms === m.duration_units * 1000 / 600)
+      assert(m.n_boxes === 3) // ftyp + moov + mvhd
+    }
+    // non-BMFF payloads are dropped
+    val junk = Seq(Multimodal.MediaRow(99L, "not_video", "hello world!".getBytes)).toDS()
+    assert(MediaOps.videoMeta(junk).count() === 0)
+  }
+
   test("syntheticMedia preserves ids and carries UTF-8 payloads") {
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
     val media = Multimodal.syntheticMedia(spark, docs)
