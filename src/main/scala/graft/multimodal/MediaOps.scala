@@ -6,15 +6,17 @@ import org.apache.spark.sql.{Dataset, Encoders}
   * frame-sample — the operator surface an image/audio/video training
   * pipeline needs.
   *
-  * IMAGES ARE REAL: `imageMeta`/`resizeImage` decode and re-encode
-  * PNG/JPEG/GIF/BMP through in-JDK javax.imageio on the executors —
-  * actual pixels, no external library. AUDIO/VIDEO CODECS REMAIN
-  * DETERMINISTIC STUBS (no ffmpeg in this environment): `decodeMetaStub`
-  * derives metadata from payload bytes, `frameSample` subsets bytes
-  * deterministically. Everything around the stubs is the real
+  * REAL paths (in-JDK, no external library): `imageMeta`/`resizeImage`
+  * decode and re-encode PNG/JPEG/GIF/BMP pixels through javax.imageio;
+  * `audioMeta` parses WAV/AIFF/AU containers and PCM frames through
+  * javax.sound.sampled; `videoMeta` walks actual ISO-BMFF (MP4) box
+  * structure for container metadata. The ONLY remaining stub is video
+  * FRAME decode (`frameSample` subsets bytes deterministically — no
+  * ffmpeg in this environment); `decodeMetaStub` stays as the generic
+  * byte-statistics fallback. Everything around the stub is the real
   * distributed shape — typed Datasets, per-partition batched iteration,
   * explicit output schemas — so swapping in an ffmpeg binding changes
-  * only the function bodies marked STUB.
+  * only the function body marked STUB.
   */
 object MediaOps {
   case class MediaMeta(media_id: Long, kind: String, width: Int, height: Int,

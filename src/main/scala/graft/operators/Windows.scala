@@ -34,15 +34,15 @@ object Windows {
     import org.apache.spark.sql.graftbridge.GraftSqlBridge
     import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder => CSortOrder}
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerGroupStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ graft.plans.TopKPerGroupStrategy
+    graft.plans.TopKPerGroupStrategy.ensureRegistered(spark)
     val child = df.queryExecution.analyzed
-    val resolver = (name: String) =>
-      child.output.find(_.name.equalsIgnoreCase(name))
-        .getOrElse(sys.error(s"topKPerGroupNative: column $name not in ${child.output.map(_.name)}"))
+    // Plan-based resolution (handles qualified refs like "t.col" and
+    // respects the session's case-sensitivity setting).
     def resolve(e: org.apache.spark.sql.catalyst.expressions.Expression) = e.transformUp {
-      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => resolver(u.name)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        child.resolve(u.nameParts, GraftSqlBridge.resolver(spark))
+          .getOrElse(sys.error(
+            s"topKPerGroupNative: cannot resolve ${u.name} against ${child.output.map(_.name)}"))
     }
     val groupExprs = part.map(c => resolve(GraftSqlBridge.expression(c)))
     val orderExprs = order.map { c =>

@@ -36,6 +36,7 @@ case class TopKPerGroup(
     child: LogicalPlan,
     rankAttr: AttributeReference = AttributeReference("rnk", IntegerType, nullable = false)())
   extends UnaryNode {
+  require(k >= 1, s"TopKPerGroup requires k >= 1, got $k")
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
@@ -45,11 +46,25 @@ case class TopKPerGroup(
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case t: TopKPerGroup =>
-      val partial = TopKPerGroupExec(t.k, t.groupExprs, t.orderExprs,
+      // Normalize floating-point group keys (0.0 vs -0.0, NaN bit
+      // patterns) exactly as the optimizer does for Aggregate/Window
+      // keys — its rule doesn't know this node, so without this a
+      // double group key would split groups the window formulation
+      // merges.
+      val gExprs = t.groupExprs.map(
+        org.apache.spark.sql.graftbridge.GraftSqlBridge.normalizeFloat)
+      val partial = TopKPerGroupExec(t.k, gExprs, t.orderExprs,
         rankAttr = None, child = planLater(t.child))
-      TopKPerGroupExec(t.k, t.groupExprs, t.orderExprs,
+      TopKPerGroupExec(t.k, gExprs, t.orderExprs,
         rankAttr = Some(t.rankAttr), child = partial) :: Nil
     case _ => Nil
+  }
+
+  /** Idempotent, thread-safe registration into a session's experimental
+    * strategies (for sessions not configured with GraftExtensions). */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraStrategies.contains(this))
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ this
   }
 }
 

@@ -59,6 +59,15 @@ object OracleSql {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  private val topkSql: String =
+    """WITH r AS (
+      | SELECT c_nationkey, c_custkey,
+      |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_cents,
+      |  ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      | FROM customer)
+      |SELECT c_nationkey, CAST(rnk AS INT) AS rnk, c_custkey, acctbal_cents
+      |FROM r WHERE rnk <= 3 ORDER BY c_nationkey, rnk""".stripMargin
+
   val all: Map[String, String] = Map(
     "xml_ingest" ->
       """SELECT c_custkey, c_name, c_nationkey,
@@ -171,24 +180,10 @@ object OracleSql {
         | CAST(FLOOR(10000.0 * CAST(SUM(nat_cents) AS BIGINT) / CAST(SUM(r_cents) AS BIGINT)) AS BIGINT) AS share_bp
         |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "q_topk_per_group" ->
-      """WITH r AS (
-        | SELECT c_nationkey, c_custkey,
-        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_cents,
-        |  ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
-        | FROM customer)
-        |SELECT c_nationkey, CAST(rnk AS INT) AS rnk, c_custkey, acctbal_cents
-        |FROM r WHERE rnk <= 3 ORDER BY c_nationkey, rnk""".stripMargin,
-
-    // the native whole-operator must agree bit-for-bit with the window SQL
-    "q_topk_native" ->
-      """WITH r AS (
-        | SELECT c_nationkey, c_custkey,
-        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_cents,
-        |  ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
-        | FROM customer)
-        |SELECT c_nationkey, CAST(rnk AS INT) AS rnk, c_custkey, acctbal_cents
-        |FROM r WHERE rnk <= 3 ORDER BY c_nationkey, rnk""".stripMargin,
+    "q_topk_per_group" -> topkSql,
+    // the native whole-operator must agree bit-for-bit with the window
+    // SQL — one shared definition so the oracles can never drift
+    "q_topk_native" -> topkSql,
 
     "q_delta_mom" ->
       """WITH m AS (

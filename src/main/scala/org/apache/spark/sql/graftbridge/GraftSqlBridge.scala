@@ -19,4 +19,13 @@ object GraftSqlBridge {
   def expression(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+
+  /** Optimizer-identical floating-point key normalization (0.0/-0.0,
+    * NaN canonicalization) for custom grouping operators. */
+  def normalizeFloat(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+
+  /** The session's name resolver (case sensitivity per config). */
+  def resolver(spark: SparkSession): org.apache.spark.sql.catalyst.analysis.Resolver =
+    spark.asInstanceOf[ClassicSession].sessionState.conf.resolver
 }

@@ -33,6 +33,27 @@ class TopKNativeSpec extends SparkSpec {
     assert(one.collect().forall(_.getAs[Int]("rnk") === 1))
   }
 
+  test("native top-k normalizes floating group keys (0.0 and -0.0 are one group)") {
+    import spark.implicits._
+    val df = Seq((0.0, 1L), (-0.0, 2L), (0.0, 3L), (1.5, 4L)).toDF("g", "id")
+    val order = Seq(col("id"))
+    val win = Windows.topKPerGroup(df, 2, Seq(col("g")), order)
+      .select("id", "rnk").collect().map(_.toSeq).toSet
+    val nat = Windows.topKPerGroupNative(df, 2, Seq(col("g")), order)
+      .select("id", "rnk").collect().map(_.toSeq).toSet
+    assert(nat === win, "0.0/-0.0 must land in the same group, as the window version does")
+  }
+
+  test("native top-k resolves qualified column references and rejects k < 1") {
+    val df = spark.read.parquet(s"$Sf/customer.parquet").alias("c")
+    val nat = Windows.topKPerGroupNative(df, 1,
+      Seq(col("c.c_nationkey")), Seq(col("c.c_acctbal").desc, col("c.c_custkey")))
+    assert(nat.count() > 0)
+    intercept[IllegalArgumentException] {
+      Windows.topKPerGroupNative(df, 0, Seq(col("c_nationkey")), Seq(col("c_custkey")))
+    }
+  }
+
   test("native top-k plans partial+final execs with the exchange between (no Window, no full sort)") {
     val df = spark.read.parquet(s"$Sf/customer.parquet")
     val nat = Windows.topKPerGroupNative(df, 3,
