@@ -128,7 +128,7 @@ object Similarity {
     * argmax by first-position-of-max (deterministic lowest-id ties). */
   private def nearestCentroidId(spark: org.apache.spark.sql.SparkSession,
                                 vec: Column, cents: Array[Array[Float]]): Column = {
-    val projs = array(cents.map { cv =>
+    val projs = array(cents.toSeq.map { cv =>
       val norm = math.sqrt(cv.map(x => x.toDouble * x.toDouble).sum)
       vecDot(spark, vec, typedLit(cv.toSeq)) / lit(norm)
     }: _*)

@@ -45,7 +45,7 @@ object Skew {
                      hotKeys: Seq[Long]): DataFrame = {
     val hot = hotKeys.map(lit(_))
     val factSalted = fact.withColumn("_salt",
-      when(col(key).isin(hot: _*), pmod(xxhash64(fact.columns.map(col): _*), lit(salts.toLong)))
+      when(col(key).isin(hot: _*), pmod(xxhash64(fact.columns.toSeq.map(col): _*), lit(salts.toLong)))
         .otherwise(lit(0L)))
     val dimSalted = dim.withColumn("_dim_salt",
       explode(when(col(key).isin(hot: _*),

@@ -115,7 +115,7 @@ object TextQueries {
     import spark.implicits._
     val terms = docs(spark, dir).select(explode(split(col("text"), " ")).as("term"))
     val skBytes = terms
-      .agg(expr("count_min_sketch(term, 0.0001d, 0.99d, 42)")).head.getAs[Array[Byte]](0)
+      .agg(expr("count_min_sketch(term, 0.0001d, 0.99d, 42)")).head().getAs[Array[Byte]](0)
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(skBytes))
     val top = terms.groupBy(col("term")).agg(count(lit(1)).as("exact_count"))
