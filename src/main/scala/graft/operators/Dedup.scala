@@ -122,11 +122,24 @@ object Dedup {
         .localCheckpoint(true)
       val stat = ss.agg(count(lit(1)), sum(xxhash64(col("src"), col("dst")))).collect()(0)
       val cur = (stat.getLong(0), if (stat.isNullAt(1)) 0L else stat.getLong(1))
-      done = cur == prev
+      // The (count, hash-sum) fingerprint is the cheap per-round signal;
+      // a hash-sum collision between DIFFERENT edge sets would otherwise
+      // terminate early with wrong labels, so a suspected fixpoint is
+      // CONFIRMED by a real set comparison — equal counts + empty
+      // one-sided except == set equality (both sides are distinct).
+      // The extra action runs once, at convergence, not per round.
+      done = cur == prev && ss.exceptAll(edges).limit(1).count() == 0L
       prev = cur
       edges = ss
       rounds += 1
     }
+    if (!done)
+      // Star-contraction converges in O(log n) rounds; 25 rounds covers
+      // any real graph (2^25 contraction levels). Hitting the cap means
+      // the iteration is not contracting — returning the partial edge
+      // set would silently mislabel components, so fail loudly instead.
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $rounds rounds")
     val lab = edges.groupBy(col("src")).agg(min(col("dst")).as("comp"))
     nodes.join(lab, nodes("id") === lab("src"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))

@@ -94,8 +94,10 @@ object Similarity {
     // Centroid TRAINING runs on a deterministic hash sample bounded by
     // maxTrainRows — at 100 TB you train k-means on a sample and assign
     // the full corpus once, you never iterate Lloyd over 10^11 vectors.
-    // The sample is hash-stable (no rand()), so centroids are
-    // reproducible run-to-run.
+    // The sample is hash-stable (no rand()) AND the Lloyd mean below is
+    // an order-independent fixed-point integer sum, so centroids are
+    // BIT-stable run-to-run regardless of partitioning (a floating
+    // avg() would depend on partition-wise summation order).
     val train = corpus.where(
       pmod(xxhash64(col("vec_id")), lit(TrainSampleMod(corpus, maxTrainRows))) === 0)
       .localCheckpoint(true)
@@ -105,8 +107,15 @@ object Similarity {
       val means = train
         .withColumn("cid", nearestCentroidId(spark, col("embedding"), cents))
         .select(col("cid"), posexplode(col("embedding")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
-        .select(col("cid"), col("pos"), col("m"))
+        // Fixed-point mean: per-element round(x * 2^24) longs sum
+        // order-independently (double addition does not), so the result
+        // cannot drift with partition count. Quantization error 2^-24
+        // per element is far below float precision of the centroids.
+        .groupBy(col("cid"), col("pos")).agg(
+          sum(round(col("col").cast("double") * FixedPointScale).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("cid"), col("pos"),
+          (col("s").cast("double") / FixedPointScale / col("n")).as("m"))
         .as[(Int, Int, Double)].collect()
         .groupBy(_._1).map { case (cid, xs) =>
           cid -> xs.sortBy(_._2).map(_._3.toFloat)
@@ -116,6 +125,11 @@ object Similarity {
     }
     cents
   }
+
+  /** Fixed-point scale (2^24) for the order-independent Lloyd mean:
+    * float32 inputs are exact in double, and |x| * 2^24 over any
+    * realistic sample count stays far under Long overflow. */
+  private val FixedPointScale = (1L << 24).toDouble
 
   /** Sampling modulus keeping the expected training rows under the cap:
     * keep vec_ids with hash % mod == 0. */

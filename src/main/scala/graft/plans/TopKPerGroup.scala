@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
@@ -70,8 +70,22 @@ object TopKPerGroupStrategy extends SparkStrategy {
 
 /** Bounded-heap top-k exec. With `rankAttr = None` this is the PARTIAL
   * stage (any distribution, emits survivors without ranks); with
-  * `rankAttr = Some(_)` it is the FINAL stage (requires clustering on
-  * the group keys, emits ranked rows). */
+  * `rankAttr = Some(_)` it is the FINAL stage (requires clustering AND
+  * ordering on the group keys, emits ranked rows).
+  *
+  * Memory contract (both stages are O(bounded), never O(input)):
+  *  - Partial: at most `spark.graft.topk.maxPartialGroups` (default
+  *    65536) group heaps of k rows are held; when a new group would
+  *    exceed that, the current heaps' survivors are FLUSHED downstream
+  *    and accumulation restarts — the same graceful degradation as
+  *    hash-aggregate partial fallback. A flushed group that reappears
+  *    just produces another ≤k-row batch; the final stage re-reduces.
+  *  - Final: input is sorted on the group keys (Spark's external sort,
+  *    which spills), so groups arrive as contiguous runs and only ONE
+  *    k-row heap is live at a time — O(k) memory regardless of group
+  *    cardinality. The sort operates on already-reduced survivors
+  *    (≤ k rows per group per flushed map batch), never the raw input.
+  */
 case class TopKPerGroupExec(
     k: Int,
     groupExprs: Seq[Expression],
@@ -87,6 +101,12 @@ case class TopKPerGroupExec(
     if (rankAttr.isEmpty) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
 
+  // Final stage streams group runs: require the (reduced) shuffle output
+  // sorted by group key so at most one group's heap is in memory.
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (rankAttr.isEmpty) Seq(Nil)
+    else Seq(groupExprs.map(SortOrder(_, Ascending)))
+
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
 
@@ -97,37 +117,78 @@ case class TopKPerGroupExec(
     val kk = k
     val rank = rankAttr
     val fullOutput = output
+    val maxPartialGroups =
+      math.max(1, conf.getConfString("spark.graft.topk.maxPartialGroups", "65536").toInt)
     child.execute().mapPartitions { it =>
       val groupProj = UnsafeProjection.create(gExprs, childOutput)
       val rowProj = UnsafeProjection.create(childOutput.map(a => a: Expression), childOutput)
       val ord = RowOrdering.create(oExprs, childOutput)
       // per group: max-heap by sort order — root is the WORST kept row,
       // evicted when a better (ordering-smaller) row arrives.
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
-      while (it.hasNext) {
-        val row = it.next()
-        val key = groupProj(row)
-        heaps.get(key) match {
-          case Some(h) =>
-            if (h.size < kk) h.enqueue(rowProj(row).copy())
-            else if (ord.compare(row, h.head) < 0) { h.dequeue(); h.enqueue(rowProj(row).copy()) }
-          case None =>
-            val h = mutable.PriorityQueue.empty[UnsafeRow](ord.on(identity[UnsafeRow]))
-            h.enqueue(rowProj(row).copy())
-            heaps.put(key.copy(), h)
-        }
-      }
+      def newHeap() = mutable.PriorityQueue.empty[UnsafeRow](ord.on(identity[UnsafeRow]))
+      def insert(h: mutable.PriorityQueue[UnsafeRow], row: InternalRow): Unit =
+        if (h.size < kk) h.enqueue(rowProj(row).copy())
+        else if (ord.compare(row, h.head) < 0) { h.dequeue(); h.enqueue(rowProj(row).copy()) }
+
       rank match {
-        case None => // partial: emit survivors unranked
-          heaps.valuesIterator.flatMap(_.iterator)
-        case Some(r) => // final: best-first with rank appended
+        case None => // partial: emit survivors unranked, flushing at the group cap
+          new Iterator[InternalRow] {
+            private var heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
+            private var out: Iterator[UnsafeRow] = Iterator.empty
+            private def drain(): Unit = {
+              val old = heaps
+              heaps = mutable.LinkedHashMap.empty
+              out = old.valuesIterator.flatMap(_.iterator)
+            }
+            // Consume input until a flush triggers or input ends.
+            private def step(): Unit = {
+              while (it.hasNext) {
+                val row = it.next()
+                val key = groupProj(row)
+                heaps.get(key) match {
+                  case Some(h) => insert(h, row)
+                  case None =>
+                    val h = newHeap()
+                    h.enqueue(rowProj(row).copy())
+                    heaps.put(key.copy(), h)
+                    if (heaps.size >= maxPartialGroups) { drain(); return }
+                }
+              }
+              if (heaps.nonEmpty) drain()
+            }
+            override def hasNext: Boolean = {
+              while (!out.hasNext && it.hasNext) step()
+              out.hasNext
+            }
+            override def next(): InternalRow = {
+              if (!hasNext) throw new NoSuchElementException
+              out.next()
+            }
+          }
+
+        case Some(r) => // final: sorted group runs, one heap at a time
           val outProj = UnsafeProjection.create(
             fullOutput.map(a => a: Expression), childOutput :+ r)
           val joined = new JoinedRow
-          heaps.valuesIterator.flatMap { h =>
-            val worstFirst: Seq[UnsafeRow] = h.dequeueAll[UnsafeRow]
-            worstFirst.reverseIterator.zipWithIndex.map { case (row, i) =>
-              outProj(joined(row, new GenericInternalRow(Array[Any](i + 1))))
+          val bit = it.buffered
+          new Iterator[InternalRow] {
+            private var out: Iterator[InternalRow] = Iterator.empty
+            private def nextRun(): Unit = {
+              val key = groupProj(bit.head).copy()
+              val h = newHeap()
+              while (bit.hasNext && groupProj(bit.head) == key) insert(h, bit.next())
+              val worstFirst: Seq[UnsafeRow] = h.dequeueAll[UnsafeRow]
+              out = worstFirst.reverseIterator.zipWithIndex.map { case (row, i) =>
+                outProj(joined(row, new GenericInternalRow(Array[Any](i + 1))))
+              }
+            }
+            override def hasNext: Boolean = {
+              while (!out.hasNext && bit.hasNext) nextRun()
+              out.hasNext
+            }
+            override def next(): InternalRow = {
+              if (!hasNext) throw new NoSuchElementException
+              out.next()
             }
           }
       }

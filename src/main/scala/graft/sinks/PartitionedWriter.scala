@@ -30,15 +30,20 @@ object PartitionedWriter {
   def write(df: DataFrame, path: String, partitionCols: Seq[String],
             overwritePartitions: Boolean = true,
             clusterBy: Seq[String] = Seq.empty,
-            codec: String = "zstd"): Boolean = {
+            codec: String = "zstd",
+            partitionOverwriteMode: String = "dynamic"): Boolean = {
     if (!overwritePartitions && exists(df, path)) return false
     val clustered =
       if (clusterBy.isEmpty) df
       else df.sortWithinPartitions((partitionCols ++ clusterBy).map(org.apache.spark.sql.functions.col): _*)
     clustered.write
       // Per-write option, not a session-conf mutation: the session default
-      // (static overwrite) must survive for unrelated writes.
-      .option("partitionOverwriteMode", "dynamic")
+      // (static overwrite) must survive for unrelated writes. Callers
+      // whose write plan READS the target path (read-back-and-overwrite
+      // merges like UpsertWriter) depend on "dynamic" deferring partition
+      // deletion to job commit — they pass the mode explicitly so the
+      // invariant is enforced where it is relied upon.
+      .option("partitionOverwriteMode", partitionOverwriteMode)
       // zstd over the default snappy: ~20-30% smaller files at similar
       // scan speed — at 100 TB the bytes on disk and over the wire are
       // the bill, and parquet scan is rarely decompress-bound.

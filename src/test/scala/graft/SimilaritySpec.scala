@@ -68,6 +68,15 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("k-means centroids are bit-stable across input partitionings") {
+    // The Lloyd mean is a fixed-point integer sum, so neither partition
+    // count nor row order may change a single centroid bit.
+    val c1 = Similarity.kmeansCentroids(emb.repartition(1), nCentroids = 8, iters = 2)
+    val c13 = Similarity.kmeansCentroids(
+      emb.repartition(13, col("vec_id")), nCentroids = 8, iters = 2)
+    assert(c1.map(_.toSeq).toSeq === c13.map(_.toSeq).toSeq)
+  }
+
   test("knnClassify produces one deterministic label per query") {
     val q = emb.where(col("vec_id") % 50 === 0)
     val out = Similarity.knnClassify(q, emb, k = 5).collect()

@@ -63,6 +63,32 @@ class TopKNativeSpec extends SparkSpec {
     assert(p.split("TopKPerGroup").length >= 3, s"expected partial+final execs:\n$p")
     assert(p.contains("Exchange"), "group-keyed exchange must sit between the stages")
     assert(!p.contains("Window"), "must not fall back to the window formulation")
-    assert(!p.contains("Sort "), s"must not full-sort the data:\n$p")
+    // The final stage streams sorted group runs, so ONE Sort is allowed
+    // ABOVE the exchange — it orders the already-reduced survivors
+    // (≤ k rows per group per map batch). Below the exchange (the raw
+    // input side) there must be no Sort at all.
+    // (under AQE the string repeats the tree as "== Initial Plan ==" —
+    // only the final plan's subtree matters)
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val belowExchange = finalPlan.substring(finalPlan.indexOf("Exchange"))
+    assert(!belowExchange.contains("Sort "),
+      s"must not sort the raw input below the exchange:\n$p")
+  }
+
+  test("native top-k partial flush (tiny group cap) preserves exact results") {
+    val df = spark.read.parquet(s"$Sf/customer.parquet")
+    val order = Seq(col("c_acctbal").desc, col("c_custkey"))
+    // 997 sparse groups with a cap of 4 forces hundreds of partial
+    // flushes per partition; the final stage must still reduce to the
+    // exact window answer.
+    val sparse = df.withColumn("g", col("c_custkey") % 997)
+    val win = Windows.topKPerGroup(sparse, 2, Seq(col("g")), order)
+      .select("g", "rnk", "c_custkey").collect().map(_.toSeq).toSet
+    spark.conf.set("spark.graft.topk.maxPartialGroups", "4")
+    try {
+      val nat = Windows.topKPerGroupNative(sparse, 2, Seq(col("g")), order)
+        .select("g", "rnk", "c_custkey").collect().map(_.toSeq).toSet
+      assert(nat === win)
+    } finally spark.conf.unset("spark.graft.topk.maxPartialGroups")
   }
 }
