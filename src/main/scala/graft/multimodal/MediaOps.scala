@@ -88,6 +88,45 @@ object MediaOps {
   case class AudioMeta(media_id: Long, kind: String, sample_rate: Int,
                        channels: Int, n_frames: Long, mean_abs: Long)
 
+  /** javax.sound's AudioSystem facade re-runs SPI provider discovery on
+    * EVERY getAudioInputStream/write call (the JDK keeps no provider
+    * cache), which serializes a 32-thread decode stage on classloader
+    * lookups. Load the providers ONCE per executor JVM through the same
+    * public SPI and dispatch directly — identical codecs, no per-row
+    * discovery. */
+  private lazy val audioReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala.toList
+  }
+  private lazy val audioWriters: List[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala.toList
+  }
+
+  /** Real audio container parse through the cached SPI readers (the
+    * same WAV/AIFF/AU parsers AudioSystem would pick). None when no
+    * reader understands the payload. */
+  def readAudio(payload: Array[Byte]): Option[javax.sound.sampled.AudioInputStream] =
+    // fresh in-memory stream per attempt: no reliance on each reader's
+    // mark/reset discipline, and the bytes are already on-heap.
+    audioReaders.iterator.flatMap { r =>
+      try Some(r.getAudioInputStream(new java.io.BufferedInputStream(
+        new java.io.ByteArrayInputStream(payload))))
+      catch { case _: Exception => None }
+    }.nextOption()
+
+  /** Real audio container write through the cached SPI writers. */
+  def writeAudio(ais: javax.sound.sampled.AudioInputStream,
+                 tpe: javax.sound.sampled.AudioFileFormat.Type,
+                 out: java.io.OutputStream): Unit =
+    audioWriters.find(_.isFileTypeSupported(tpe, ais)) match {
+      case Some(w) => w.write(ais, tpe, out)
+      case None => throw new javax.sound.sampled.UnsupportedAudioFileException(
+        s"no writer for $tpe")
+    }
+
   /** Real audio decode via in-JDK javax.sound.sampled: WAV/AIFF/AU
     * container parse + PCM frame read. Emits format metadata and the
     * mean absolute deviation from the 8-bit midpoint (integer-exact, so
@@ -99,8 +138,8 @@ object MediaOps {
     implicit val enc = Encoders.product[AudioMeta]
     media.mapPartitions(_.grouped(batchSize).flatMap(_.iterator.flatMap { m =>
       try {
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(m.payload)))
+        val in = readAudio(m.payload).getOrElse(
+          throw new javax.sound.sampled.UnsupportedAudioFileException())
         try {
           val fmt = in.getFormat
           val frames = in.getFrameLength

@@ -96,8 +96,9 @@ object Multimodal {
       val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 8, 1, false, false)
       val ais = new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(data), fmt, n.toLong)
-      javax.sound.sampled.AudioSystem.write(ais,
-        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      // cached-SPI write: AudioSystem.write re-discovers providers per
+      // call, which serializes the 32-thread encode stage (see MediaOps)
+      MediaOps.writeAudio(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
       MediaRow(id, "audio", bos.toByteArray)
     }
   }

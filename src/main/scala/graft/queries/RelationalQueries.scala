@@ -495,6 +495,117 @@ object RelationalQueries {
       .select(col("t.item").as("custkey"), col("t.count").as("n_orders"))
       .orderBy(col("n_orders").desc, col("custkey"))
 
+  /** TPC-H Q6 shape: tight single-scan filter + aggregate — the
+    * pushdown showcase (all three predicates reach the parquet scan,
+    * ReadSchema is 4 columns wide). */
+  def q6RevenueBand(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1997-01-01").cast("date") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(centsRound(col("l_extendedprice") * col("l_discount")).as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q10 shape: returned-item revenue per customer in a quarter —
+    * fact join + group + top-k (the "who hurt us most" report). */
+  def q10Returned(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .where(col("o_orderdate") >= lit("1996-07-01").cast("date") &&
+        col("o_orderdate") < lit("1996-10-01").cast("date"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = t(spark, dir, "lineitem").where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), discPrice.as("rev"))
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("acctbal_cents"))
+    val nation = t(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"), col("acctbal_cents"))
+      .agg(centsRound(col("rev")).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q14 shape: promo revenue share — conditional aggregation
+    * over a broadcast part join, ratio as floor basis points. */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val part = t(spark, dir, "part").select(col("p_partkey"), col("p_type"))
+    val li = t(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1997-01-01").cast("date"))
+      .select(col("l_partkey"), discPrice.as("rev"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        centsRound(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0.0)))
+          .as("promo_cents"),
+        centsRound(col("rev")).as("total_cents"))
+      .withColumn("promo_share_bp",
+        floor(lit(10000.0) * col("promo_cents") / col("total_cents")).cast("long"))
+  }
+
+  /** TPC-H Q15 shape: top supplier(s) by quarter revenue — aggregate,
+    * then keep the max via a window over the (small) aggregated set;
+    * ties all surface, exactly like the view+subquery original. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1996-04-01").cast("date"))
+      .select(col("l_suppkey"), discPrice.as("rev"))
+    val rev = li.groupBy(col("l_suppkey"))
+      .agg(centsRound(col("rev")).as("total_rev_cents"))
+    val w = Window.partitionBy()
+    val supp = t(spark, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+    rev.withColumn("mx", max(col("total_rev_cents")).over(w))
+      .where(col("total_rev_cents") === col("mx"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev_cents"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q18 shape: large-volume orders — HAVING on a grouped fact,
+    * survivors joined back to orders + customer (the aggregated side is
+    * small after the filter, so it broadcasts). */
+  def q18BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val qty = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("big_okey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("long").as("sum_qty"))
+      .where(col("sum_qty") > 300)
+    val ord = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("totalprice_cents"))
+    val cust = t(spark, dir, "customer").select(col("c_custkey"), col("c_name"))
+    ord.join(broadcast(qty), col("o_orderkey") === col("big_okey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("totalprice_cents"), col("sum_qty"))
+      .orderBy(col("totalprice_cents").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q19 shape: disjunctive (OR-of-ANDs) join predicate — brand ×
+    * size-band × quantity-band arms. Catalyst extracts the common
+    * `l_partkey = p_partkey` equijoin key and evaluates the disjunction
+    * as a post-join filter, so this stays an equijoin, not a cross
+    * product (the optimizer behavior the shape exists to exercise). */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val part = t(spark, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), discPrice.as("rev"))
+    val arms =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 30))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey") && arms)
+      .agg(centsRound(col("rev")).as("revenue_cents"), count(lit(1)).as("n_lines"))
+  }
+
   /** Heavy-hitter aggregation through the salted two-phase shape
     * (`Skew.saltedAggregate`): l_returnflag has 3 values, so a plain
     * groupBy lands the whole fact on 3 reducers at 100 TB; the salt
