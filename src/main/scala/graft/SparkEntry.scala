@@ -57,6 +57,12 @@ object SparkEntry {
     "q_distinct_approx" -> (RelationalQueries.qDistinctApprox _),
     "q_parts_stats" -> (RelationalQueries.qPartsStats _),
     "q_collect_list" -> (RelationalQueries.qCollectList _),
+    "q6_revenue_band" -> (RelationalQueries.q6RevenueBand _),
+    "q10_returned" -> (RelationalQueries.q10Returned _),
+    "q14_promo_share" -> (RelationalQueries.q14PromoShare _),
+    "q15_top_supplier" -> (RelationalQueries.q15TopSupplier _),
+    "q18_big_orders" -> (RelationalQueries.q18BigOrders _),
+    "q19_disjunctive" -> (RelationalQueries.q19Disjunctive _),
     // §2.4 events / time series
     "ev_tumbling_agg" -> (EventQueries.tumblingAgg _),
     "ev_streaming_parity" -> (EventQueries.streamingParity _),

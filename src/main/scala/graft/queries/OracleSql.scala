@@ -301,6 +301,72 @@ object OracleSql {
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
     },
 
+    "q6_revenue_band" ->
+      s"""SELECT ${centsR("l_extendedprice * l_discount")} AS revenue_cents,
+         | COUNT(*) AS n_lines
+         |FROM lineitem
+         |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q10_returned" ->
+      s"""WITH ord AS (
+         | SELECT o_orderkey, o_custkey FROM orders
+         | WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'),
+         |li AS (
+         | SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS rev
+         | FROM lineitem WHERE l_returnflag = 'R')
+         |SELECT c_custkey, c_name, n_name,
+         | CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_cents,
+         | ${centsR("rev")} AS revenue_cents
+         |FROM li JOIN ord ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         | JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY 1, 2, 3, 4 ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q14_promo_share" ->
+      s"""WITH j AS (
+         | SELECT p_type, l_extendedprice * (1 - l_discount) AS rev
+         | FROM lineitem JOIN part ON l_partkey = p_partkey
+         | WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'),
+         |a AS (
+         | SELECT ${centsR("CASE WHEN p_type = 'PROMO' THEN rev ELSE 0.0 END")} AS promo_cents,
+         |  ${centsR("rev")} AS total_cents
+         | FROM j)
+         |SELECT promo_cents, total_cents,
+         | CAST(FLOOR(10000.0 * promo_cents / total_cents) AS BIGINT) AS promo_share_bp
+         |FROM a""".stripMargin,
+
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         | SELECT l_suppkey, ${centsR("l_extendedprice * (1 - l_discount)")} AS total_rev_cents
+         | FROM lineitem
+         | WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+         | GROUP BY 1),
+         |m AS (SELECT MAX(total_rev_cents) AS mx FROM rev)
+         |SELECT s_suppkey, s_name, total_rev_cents
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey, m
+         |WHERE total_rev_cents = mx ORDER BY s_suppkey""".stripMargin,
+
+    "q18_big_orders" ->
+      """WITH qty AS (
+        | SELECT l_orderkey AS big_okey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS sum_qty
+        | FROM lineitem GROUP BY 1
+        | HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) > 300)
+        |SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS totalprice_cents, sum_qty
+        |FROM orders JOIN qty ON o_orderkey = big_okey
+        | JOIN customer ON o_custkey = c_custkey
+        |ORDER BY totalprice_cents DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q19_disjunctive" ->
+      s"""SELECT ${centsR("l_extendedprice * (1 - l_discount)")} AS revenue_cents,
+         | COUNT(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         | AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
+
     // the oracle is the PLAIN groupBy: salting must be invisible
     "q_skew_agg" ->
       """SELECT l_returnflag, COUNT(*) AS n_lines,

@@ -45,6 +45,26 @@ class PlanAuditSpec extends SparkSpec {
       s"interval join degenerated to a cross product:\n${p.take(800)}")
   }
 
+  test("q19: disjunctive predicate stays an equijoin on l_partkey (no cross product)") {
+    val p = plan(RelationalQueries.q19Disjunctive(spark, Sf))
+    // Catalyst must extract the common `l_partkey = p_partkey` key and
+    // evaluate the OR-of-ANDs as a join condition/filter — never a
+    // cartesian or nested-loop expansion of lineitem × part.
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast equijoin:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"disjunctive join degenerated to a cross product:\n${p.take(800)}")
+  }
+
+  test("q6: all three predicates reach the lineitem scan, narrow ReadSchema") {
+    val p = plan(RelationalQueries.q6RevenueBand(spark, Sf))
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("l_quantity"), s"filters not pushed: $pushed")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_tax"),
+      s"scan reads too much: $readSchema")
+  }
+
   test("q_skew_agg: salted two-phase shape (partial agg keyed on salt)") {
     val p = plan(RelationalQueries.qSkewAgg(spark, Sf))
     // phase 1 groups on (l_returnflag, _salt): the heavy key is spread
