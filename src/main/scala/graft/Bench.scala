@@ -41,11 +41,31 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val results = names.map { case (name, _) => name -> median(times(name)) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","trials":$trials}""")
+    // Per-query [min, median, max] across trials, so a regression in one
+    // round can be told apart from run-to-run noise without re-running.
+    val spread = names.map { case (name, _) =>
+      val xs = times(name)
+      "\"" + name + "\":[" + f(xs.min) + "," + f(median(xs)) + "," + f(xs.max) + "]"
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","trials":$trials}"""
+    // The spread line is informational and printed FIRST so the canonical
+    // line below stays closest to the end of the captured output.
+    println(s"""{"metric":"spread","unit":"sec","queries":$spread}""")
+    // Sidecar copy for any consumer that prefers a file to stdout scraping.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SIDECAR.json"), line + "\n")
+    catch { case _: Throwable => () }
+    // Stop Spark BEFORE printing the canonical line: nothing (no executor
+    // shutdown logging) may follow it, so an output-tail capture always
+    // contains the whole line.
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

@@ -103,25 +103,28 @@ object TextQueries {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
-  /** Count-min-sketch term frequencies: one mergeable binary sketch of
-    * ALL terms (fixed seed — counter sums are order-independent, so the
-    * sketch is deterministic), probed for the exact top-20 terms. The
-    * sketch answers point-frequency queries over an unbounded key space
-    * in O(eps^-1 * ln(1/delta)) memory — at 100 TB the groupBy of every
-    * term is the thing you cannot afford; the sketch column is the
-    * thing you can keep per shard and merge. CMS guarantees
-    * overestimate-only error <= eps*N, spec-asserted. */
+  /** Count-min-sketch term frequencies, sketch-native end to end: ONE
+    * bounded-state pass computes both the mergeable CMS (point
+    * frequencies over an unbounded key space in O(eps^-1 * ln(1/delta))
+    * memory, fixed seed — counter sums are order-independent so the
+    * sketch is deterministic) and the approx_top_k probe keys. No exact
+    * full-term groupBy appears anywhere in the plan — at 100 TB that
+    * groupBy is the cost the sketches exist to avoid; the exact
+    * comparison lives in the spec only (PercentileSketchSpec asserts the
+    * CMS overestimate-only <= eps*N bound and the top-k count
+    * exactness when sketch capacity covers the key space). */
   def termFreqCmsQ(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val terms = docs(spark, dir).select(explode(split(col("text"), " ")).as("term"))
-    val skBytes = terms
-      .agg(expr("count_min_sketch(term, 0.0001d, 0.99d, 42)")).head().getAs[Array[Byte]](0)
+    val row = terms.agg(
+      expr("count_min_sketch(term, 0.0001d, 0.99d, 42)").as("sk"),
+      expr("approx_top_k(term, 20, 10000)").as("tops")).head()
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      new java.io.ByteArrayInputStream(skBytes))
-    val top = terms.groupBy(col("term")).agg(count(lit(1)).as("exact_count"))
-      .orderBy(col("exact_count").desc, col("term")).limit(20).collect()
-      .map(r => (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
-    top.toSeq.toDF("term", "exact_count", "cms_count").orderBy(col("term"))
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("sk")))
+    val tops = row.getSeq[org.apache.spark.sql.Row](1)
+      .map(t => (t.getString(0), t.getLong(1)))
+    tops.map { case (term, n) => (term, n, cms.estimateCount(term)) }
+      .toDF("term", "topk_count", "cms_count").orderBy(col("term"))
   }
 
   /** Whole-corpus statistics in one aggregation pass, including the

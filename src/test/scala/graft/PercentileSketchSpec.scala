@@ -50,13 +50,22 @@ class PercentileSketchSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val rows = graft.queries.TextQueries.termFreqCmsQ(spark, Sf).collect()
     assert(rows.length === 20)
-    val totalTerms = spark.read.parquet(s"$Sf/documents.parquet")
-      .select(explode(split(col("text"), " "))).count()
+    // The exact ground truth lives HERE, not in the query: the operator
+    // itself is sketch-native (CMS + approx_top_k in one pass).
+    val exactCounts = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalTerms = exactCounts.values.sum
     val bound = math.ceil(0.0001 * totalTerms * 2.718).toLong // eps*e slack
     rows.foreach { r =>
-      val (exact, cms) = (r.getAs[Long]("exact_count"), r.getAs[Long]("cms_count"))
-      assert(cms >= exact, s"${r.getString(0)}: CMS must never underestimate")
-      assert(cms - exact <= math.max(1L, bound), s"${r.getString(0)}: $cms vs $exact")
+      val term = r.getString(0)
+      val exact = exactCounts(term)
+      val (topk, cms) = (r.getAs[Long]("topk_count"), r.getAs[Long]("cms_count"))
+      // capacity (10000) >= corpus vocabulary, so approx_top_k counts are exact
+      assert(topk === exact, s"$term: approx_top_k $topk vs exact $exact")
+      assert(cms >= exact, s"$term: CMS must never underestimate")
+      assert(cms - exact <= math.max(1L, bound), s"$term: $cms vs $exact")
     }
   }
 
