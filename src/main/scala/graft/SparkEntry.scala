@@ -100,7 +100,8 @@ object SparkEntry {
     "mm_features" -> (VectorQueries.mmFeatures _),
     "mm_image_meta" -> (VectorQueries.mmImageMeta _),
     "mm_audio_meta" -> (VectorQueries.mmAudioMeta _),
-    "mm_video_meta" -> (VectorQueries.mmVideoMeta _)
+    "mm_video_meta" -> (VectorQueries.mmVideoMeta _),
+    "mm_video_frames" -> (VectorQueries.mmVideoFrames _)
   )
 
   /** DuckDB-equivalent SQL per query (omitted for hash-family ops whose

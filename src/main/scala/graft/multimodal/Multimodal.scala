@@ -130,6 +130,80 @@ object Multimodal {
     }
   }
 
+  /** Frame geometry/count for a synthetic AVI: pure arithmetic on
+    * doc_id so the DuckDB oracle can re-derive it in SQL. */
+  def aviFrameSpec(id: Long): (Int, Int, Int) =
+    (8 + (id % 8).toInt, 8 + ((id / 8) % 8).toInt, 2 + (id % 4).toInt)
+
+  /** Per-frame fill color: varies by frame index so a correct decoder
+    * cannot pass by reading only the first frame. */
+  def aviFrameRgb(id: Long, frameIdx: Int): Int =
+    ((id * 2654435761L + frameIdx * 40503L) & 0xffffffL).toInt
+
+  /** Deterministic Motion-PNG / Motion-JPEG AVI (RIFF) container per
+    * document: frame count, dimensions, and per-frame fill color are
+    * pure arithmetic on doc_id; every frame is a REAL javax.imageio
+    * encode (codec "png" → MPNG stream handler, "jpg" → MJPG).
+    * `MediaOps.videoFrames` must recover the values by walking the real
+    * RIFF chunk structure and decoding actual frame pixels — the frame
+    * half of the video path, oracle-checkable like images and audio.
+    * PNG frames are lossless, so the oracle stays bit-exact; MJPEG
+    * differs only in the encoder string and is spec-exercised with a
+    * luma tolerance (JPEG quantizes). */
+  def syntheticAvis(spark: SparkSession, documents: DataFrame,
+                    codec: String = "png"): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, "video", buildAvi(id, codec)))
+  }
+
+  /** Minimal-but-valid AVI writer (public RIFF layout: hdrl with
+    * avih + strl(strh/strf), movi with one '00dc' chunk per frame,
+    * chunks padded to even offsets). */
+  def buildAvi(id: Long, codec: String): Array[Byte] = {
+    val (w, h, n) = aviFrameSpec(id)
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def fcc(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+    def chunk(id4: String, body: Array[Byte]): Array[Byte] =
+      fcc(id4) ++ le32(body.length.toLong) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    def list(tpe: String, body: Array[Byte]): Array[Byte] = chunk("LIST", fcc(tpe) ++ body)
+    val frames = (0 until n).map { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = aviFrameRgb(id, f)
+      var y = 0
+      while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, codec, bos)
+      bos.toByteArray
+    }
+    val handler = if (codec == "png") "MPNG" else "MJPG"
+    // avih body (56 bytes): usec/frame, maxBytesPerSec, padding, flags,
+    // dwTotalFrames, initialFrames, streams, sugBufSize, width, height,
+    // reserved[4]
+    val avih = chunk("avih", le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(n.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++ le32(w.toLong) ++ le32(h.toLong) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    // strh body: fccType, fccHandler, flags, prio/lang, initialFrames,
+    // scale, rate, start, length(frames), bufSize, quality, sampleSize, rcFrame
+    val strh = chunk("strh", fcc("vids") ++ fcc(handler) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le32(0) ++ le32(1) ++ le32(25) ++ le32(0) ++
+      le32(n.toLong) ++ le32(0) ++ le32(0xffffffffL) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h))
+    // strf = BITMAPINFOHEADER (40 bytes)
+    val strf = chunk("strf", le32(40) ++ le32(w.toLong) ++ le32(h.toLong) ++
+      le16(1) ++ le16(24) ++ fcc(handler) ++ le32(w.toLong * h * 3) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi", frames.iterator.flatMap(fb => chunk("00dc", fb)).toArray)
+    val riffBody = fcc("AVI ") ++ hdrl ++ movi
+    fcc("RIFF") ++ le32(riffBody.length.toLong) ++ riffBody
+  }
+
   /** Build a deterministic synthetic media table from the documents table
     * (UTF-8 text bytes as stand-in payloads) — exercises the exact
     * plumbing a parquet `binary` column takes. */

@@ -395,6 +395,27 @@ object OracleSql {
         | CAST(3 AS INT) AS n_boxes
         |FROM documents ORDER BY media_id""".stripMargin,
 
+    // re-derives the synthetic Motion-PNG AVI per-frame metadata purely
+    // arithmetically; the Spark side must recover identical values by
+    // walking real RIFF/AVI chunk structure and decoding real PNG frame
+    // pixels through javax.imageio
+    "mm_video_frames" ->
+      """WITH f AS (
+        | SELECT doc_id, UNNEST(range(0, 2 + doc_id % 4)) AS frame_idx FROM documents),
+        |m AS (
+        | SELECT doc_id, frame_idx, 8 + doc_id % 8 AS w, 8 + (doc_id // 8) % 8 AS h,
+        |  ((doc_id * 2654435761) + frame_idx * 40503) & 16777215 AS rgb
+        | FROM f),
+        |l AS (
+        | SELECT doc_id, frame_idx, w, h,
+        |  (77 * (rgb >> 16) + 150 * ((rgb >> 8) & 255) + 29 * (rgb & 255)) >> 8 AS luma
+        | FROM m)
+        |SELECT doc_id AS media_id, CAST(frame_idx AS INT) AS frame_idx,
+        | CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        | CAST(2 + doc_id % 4 AS INT) AS declared_frames,
+        | CAST(FLOOR(10000.0 * (w * h * luma) / (w * h * 255)) AS BIGINT) AS mean_luma_bp
+        |FROM l ORDER BY media_id, frame_idx""".stripMargin,
+
     // re-derives the synthetic-WAV metadata purely arithmetically; the
     // Spark side must recover identical values by decoding the real
     // RIFF/WAVE container through javax.sound

@@ -106,6 +106,20 @@ object VectorQueries {
     graft.multimodal.MediaOps.audioMeta(media).toDF().orderBy(col("media_id"))
   }
 
+  /** REAL video FRAME decode, oracle-checked: synthetic Motion-PNG AVIs
+    * (frame count / dimensions / per-frame fill color arithmetic on
+    * doc_id; every frame a real PNG encode) are parsed back by walking
+    * the actual RIFF/AVI chunk structure and decoding every frame's
+    * pixels through javax.imageio. The hash match against the purely
+    * arithmetic DuckDB oracle proves real frame bytes flowed through
+    * the real decode path — the frame half of the video pipeline, done
+    * without ffmpeg. */
+  def mmVideoFrames(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticAvis(spark, TableLoader.load(spark, dir, "documents"))
+    graft.multimodal.MediaOps.videoFrames(media).toDF()
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   /** Real-codec round trip, oracle-checked: synthetic PNGs whose
     * dimensions/color are arithmetic on doc_id are ENCODED and then
     * DECODED (javax.imageio) on the executors; the DuckDB oracle

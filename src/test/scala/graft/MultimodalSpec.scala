@@ -113,6 +113,53 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaOps.videoMeta(junk).count() === 0)
   }
 
+  test("videoFrames walks real RIFF/AVI structure and decodes Motion-PNG frames exactly") {
+    import graft.multimodal.MediaOps
+    val docs = spark.read.parquet(s"$Sf/documents.parquet").limit(10)
+    val media = Multimodal.syntheticAvis(spark, docs)
+    val out = MediaOps.videoFrames(media).collect()
+      .map(f => (f.media_id, f.frame_idx) -> f).toMap
+    docs.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      val (w, h, n) = Multimodal.aviFrameSpec(id)
+      val mine = out.keys.filter(_._1 == id)
+      assert(mine.size === n, s"doc $id: expected $n decoded frames")
+      (0 until n).foreach { idx =>
+        val f = out((id, idx))
+        assert(f.width === w && f.height === h, s"doc $id frame $idx dims")
+        assert(f.declared_frames === n)
+        val rgb = Multimodal.aviFrameRgb(id, idx)
+        val luma = (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) + 29 * (rgb & 0xff)) >> 8
+        val expectBp = math.floor(10000.0 * (w.toLong * h * luma) / (w.toLong * h * 255)).toLong
+        assert(f.mean_luma_bp === expectBp, s"doc $id frame $idx luma (PNG is lossless)")
+      }
+    }
+    // non-AVI payloads are dropped
+    val junk = Seq(Multimodal.MediaRow(99L, "not_video", "RIFFnope".getBytes)).toDS()
+    assert(MediaOps.videoFrames(junk).count() === 0)
+  }
+
+  test("videoFrames decodes MJPEG frames: exact structure, luma within JPEG tolerance") {
+    import graft.multimodal.MediaOps
+    val docs = spark.read.parquet(s"$Sf/documents.parquet").limit(10)
+    val media = Multimodal.syntheticAvis(spark, docs, codec = "jpg")
+    val out = MediaOps.videoFrames(media).collect()
+      .map(f => (f.media_id, f.frame_idx) -> f).toMap
+    docs.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      val (w, h, n) = Multimodal.aviFrameSpec(id)
+      (0 until n).foreach { idx =>
+        val f = out((id, idx))
+        // container + dimensions are exact; pixel values are NOT (JPEG
+        // quantizes), so the luma check is a tolerance, not equality
+        assert(f.width === w && f.height === h && f.declared_frames === n)
+        val rgb = Multimodal.aviFrameRgb(id, idx)
+        val luma = (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) + 29 * (rgb & 0xff)) >> 8
+        val expectBp = math.floor(10000.0 * luma / 255).toLong
+        assert(math.abs(f.mean_luma_bp - expectBp) <= 500,
+          s"doc $id frame $idx: ${f.mean_luma_bp} vs ~$expectBp")
+      }
+    }
+  }
+
   test("syntheticMedia preserves ids and carries UTF-8 payloads") {
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
     val media = Multimodal.syntheticMedia(spark, docs)
