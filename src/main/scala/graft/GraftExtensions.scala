@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{FloatVecDot, RollingHash, ShingleHashes, SimHashBits}
+import graft.expressions.{FloatVecDot, RollingHash, ShingleHashes, SimHashBits, SimHashPacked}
 
 /** SparkSessionExtensions entry point: installs the graft native
   * functions into any session via
@@ -47,5 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash_bits"),
       info("simhash_bits", "simhash_bits(text) - 64 SimHash bits over word 3-gram shingles"),
       { exprs: Seq[Expression] => SimHashBits(exprs(0)) }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(text) - packed 64-bit SimHash (bit j == simhash_bits(text)[j])"),
+      { exprs: Seq[Expression] => SimHashPacked(exprs(0)) }))
   }
 }

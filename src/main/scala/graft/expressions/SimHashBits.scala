@@ -20,6 +20,18 @@ object SimHashOps {
     * per bit — but one pass per document. Documents with fewer than 3
     * words contribute a single whole-document feature. */
   def simhashBits(s: UTF8String, seed: Long): ArrayData = {
+    val packed = simhashPacked(s, seed)
+    val bits = new Array[Long](64)
+    var j = 0
+    while (j < 64) { bits(j) = (packed >>> j) & 1L; j += 1 }
+    new GenericArrayData(bits)
+  }
+
+  /** Same kernel, packed: bit j of the result is simhashBits(...)(j).
+    * One 8-byte signature instead of a 64-element array — the form the
+    * shuffle should carry, and the form `bit_count(a ^ b)` (codegen'd)
+    * turns into a Hamming distance with no interpreted fold. */
+  def simhashPacked(s: UTF8String, seed: Long): Long = {
     val bytes = s.getBytes
     val n = bytes.length
     // word start offsets (single-space separated, mirroring split(' '))
@@ -54,10 +66,46 @@ object SimHashOps {
         j += 1
       }
     }
-    val bits = new Array[Long](64)
+    var packed = 0L
     var j = 0
-    while (j < 64) { bits(j) = if (votes(j) > 0) 1L else 0L; j += 1 }
-    new GenericArrayData(bits)
+    while (j < 64) { if (votes(j) > 0) packed |= (1L << j); j += 1 }
+    packed
+  }
+}
+
+/** Codegen'd packed SimHash (bit j == simhash_bits(j)); see SimHashOps. */
+case class SimHashPacked(child: Expression, seed: Long = 42L) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"simhash64 expects string, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashOps.simhashPacked(input.asInstanceOf[UTF8String], seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.SimHashOps.simhashPacked($c, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHashPacked {
+  @volatile private var registered = Set.empty[SparkSession]
+
+  def register(spark: SparkSession): Unit = synchronized {
+    if (!registered.contains(spark)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "simhash64", { exprs: Seq[Expression] => SimHashPacked(exprs(0)) }, "built-in")
+      registered += spark
+    }
+  }
+
+  def simhash64Native(spark: SparkSession, c: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_udf("simhash64", c)
   }
 }
 

@@ -15,7 +15,8 @@ import graft.expressions.ShingleHashes.shingleHashesNative
   *    count), so cost is proportional to actually-shared shingles;
   *  - MinHash signatures come from 64 min-aggregates over the exploded
   *    shingle index (partial-agg friendly, no 64x array re-scan per row);
-  *  - SimHash bit votes are 64 sum-aggregates the same way;
+  *  - SimHash signatures are one packed long from a single-pass native
+  *    kernel; the Hamming verify is codegen'd bit_count(a ^ b);
   *  - candidate pairs shuffle only (id, key) — feature arrays are joined
   *    back by id for the verify step.
   */
@@ -204,23 +205,27 @@ object Dedup {
 
   // ---- SimHash ----
 
-  /** 64 SimHash bits per document via the native single-pass kernel
-    * (distinct word tokens -> xxhash64 -> +-1 votes per bit). Returns
-    * (id, bits: array of 64 0/1 longs). */
-  private def simhashBits(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** Packed 64-bit SimHash per document via the native single-pass
+    * kernel (distinct word-3-gram shingles -> xxhash64 -> +-1 votes per
+    * bit, packed to one long). 8-byte signatures are what the shuffle
+    * carries — not a 64-element array. */
+  private def simhashSigs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"),
-      graft.expressions.SimHashBits.simhashBitsNative(
-        docs.sparkSession, col(textCol)).as("bits"))
+      graft.expressions.SimHashPacked.simhash64Native(
+        docs.sparkSession, col(textCol)).as("sig"))
 
   /** SimHash near-dup pairs at Hamming distance <= maxDist (<= 3 for the
     * 4-segment blocking to be lossless by pigeonhole). Candidates
-    * shuffle only (id, segment); bit arrays join back by id. */
+    * shuffle only (id, 16-bit segment); signatures join back by id and
+    * the Hamming verify is `bit_count(a ^ b)` — every step whole-stage
+    * codegen'd (the former array formulation paid an interpreted
+    * zip_with/aggregate fold per candidate pair). */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxDist <= 3, "4-segment blocking covers Hamming distance <= 3")
-    val sigs = simhashBits(docs, idCol, textCol)
+    val sigs = simhashSigs(docs, idCol, textCol)
     val seg = sigs.select(col("id"), posexplode(array((0 until 4).map { s =>
-      concat_ws(",", (0 until 16).map(k => element_at(col("bits"), s * 16 + k + 1).cast("string")): _*)
+      shiftrightunsigned(col("sig"), s * 16).bitwiseAND(lit(0xffffL))
     }: _*)).as(Seq("seg_idx", "seg")))
     val cand = seg.toDF("a_id", "seg_idx", "seg")
       .join(seg.toDF("b_id", "seg_idx2", "seg2"),
@@ -228,11 +233,10 @@ object Dedup {
           col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
     cand
-      .join(sigs.select(col("id").as("a_id"), col("bits").as("a_bits")), "a_id")
-      .join(sigs.select(col("id").as("b_id"), col("bits").as("b_bits")), "b_id")
+      .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")), "a_id")
+      .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")), "b_id")
       .withColumn("hamming",
-        aggregate(zip_with(col("a_bits"), col("b_bits"),
-          (x, y) => when(x =!= y, 1L).otherwise(0L)), lit(0L), (acc, v) => acc + v))
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast("long"))
       .where(col("hamming") <= maxDist)
       .select(col("a_id").as("id1"), col("b_id").as("id2"), col("hamming"))
   }

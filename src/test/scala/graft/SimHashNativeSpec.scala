@@ -27,4 +27,18 @@ class SimHashNativeSpec extends SparkSpec {
     val eb = edge.select(refBits.as("ref"), simhashBitsNative(spark, col("text")).as("fast"))
     assert(eb.where(not(col("ref") === col("fast"))).count() === 0)
   }
+
+  test("packed simhash64 is bit-for-bit the packing of simhash_bits") {
+    import graft.expressions.SimHashPacked.simhash64Native
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    // pack the array form and compare to the packed kernel:
+    // bit j of simhash64 == simhash_bits[j]
+    graft.expressions.SimHashBits.register(spark)
+    val packedFromBits = expr(
+      "aggregate(zip_with(simhash_bits(text), sequence(0, 63), " +
+        "(b, j) -> shiftleft(b, j)), 0L, (acc, v) -> acc | v)")
+    val both = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(packedFromBits.as("ref"), simhash64Native(spark, col("text")).as("fast"))
+    assert(both.where(not(col("ref") === col("fast"))).count() === 0)
+  }
 }
