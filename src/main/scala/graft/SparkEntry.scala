@@ -57,6 +57,7 @@ object SparkEntry {
     "q_distinct_approx" -> (RelationalQueries.qDistinctApprox _),
     "q_parts_stats" -> (RelationalQueries.qPartsStats _),
     "q_collect_list" -> (RelationalQueries.qCollectList _),
+    "q_window_nav" -> (RelationalQueries.qWindowNav _),
     "q6_revenue_band" -> (RelationalQueries.q6RevenueBand _),
     "q10_returned" -> (RelationalQueries.q10Returned _),
     "q14_promo_share" -> (RelationalQueries.q14PromoShare _),
@@ -75,6 +76,7 @@ object SparkEntry {
     "dedup_exact" -> (TextQueries.dedupExactQ _),
     "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccardQ _),
     "dedup_survivors" -> (TextQueries.dedupSurvivorsQ _),
+    "dedup_corpus" -> (TextQueries.dedupCorpusQ _),
     "dedup_minhash" -> (TextQueries.dedupMinhashQ _),
     "dedup_simhash" -> (TextQueries.dedupSimhashQ _),
     "dedup_embedding" -> (VectorQueries.dedupEmbedding _),
@@ -83,6 +85,7 @@ object SparkEntry {
     "ann_bruteforce" -> (VectorQueries.annBruteForce _),
     "ann_lsh" -> (VectorQueries.annLsh _),
     "ann_ivf" -> (VectorQueries.annIvf _),
+    "ann_sq8" -> (VectorQueries.annSq8 _),
     "knn_classify" -> (VectorQueries.knnClassify _),
     "knn_classify_lsh" -> (VectorQueries.knnClassifyLsh _),
     // §2.7 text analysis

@@ -150,6 +150,22 @@ object Dedup {
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
+  /** End-to-end dedup terminal: the deduplicated corpus itself. Keeps
+    * every document that is its component's canonical (min id) — or in
+    * no near-dup component at all. One LEFT ANTI join against the
+    * non-survivor id set: the documents table is filtered in place (the
+    * loser set is the small side — at most one id per duplicated doc —
+    * so it broadcasts; at worst the anti join shuffles 8-byte ids).
+    * This is the operator a training-data pipeline actually writes
+    * back to the lake. */
+  def dedupedCorpus(docsDf: DataFrame, pairs: DataFrame,
+                    idCol: String = "doc_id"): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .where(col("id") =!= col("comp"))
+      .select(col("id").as("_loser_id"))
+    docsDf.join(losers, docsDf(idCol) === col("_loser_id"), "left_anti")
+  }
+
   // ---- MinHash ----
 
   /** Deterministic affine hash family over shingle hashes:

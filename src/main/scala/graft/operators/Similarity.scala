@@ -189,6 +189,50 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("n_id"), col("n_label"), col("cos_micro"))
   }
 
+  /** Scalar-quantized (int8) approximate top-k — the memory-bandwidth
+    * scale path: the candidate scan runs entirely over per-vector
+    * symmetrically quantized int8 codes (4x smaller than float32 — at
+    * 100 TB the quantized corpus is the column you keep hot; cosine
+    * ranking over codes is scale-invariant because the per-vector
+    * scales cancel in dot/(|a|*|b|)), then only the
+    * `overFetch * k`-row shortlist is rescored exactly on the original
+    * floats. Both the quantizer and the integer dot are native
+    * codegen'd expressions (`vec_q8`, `vec_dot_i8`), so the hot scan
+    * stays in whole-stage codegen. Recall vs the exact ranking is
+    * spec'd; ties and the final ordering come from the EXACT rescore,
+    * so agreement at high overFetch approaches 1. */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int, overFetch: Int = 4): DataFrame = {
+    import graft.expressions.Int8Vec.{vecDotI8, vecQ8}
+    val spark = queries.sparkSession
+    // Quantized candidate scan: int8 codes + integer norms only.
+    val cq = corpus.select(col("vec_id").as("n_id"),
+        vecQ8(spark, col("embedding")).as("n_q"))
+      .withColumn("n_qn", vecDotI8(spark, col("n_q"), col("n_q")))
+    val qq = queries.select(col("vec_id").as("q_id"),
+        vecQ8(spark, col("embedding")).as("q_q"))
+      .withColumn("q_qn", vecDotI8(spark, col("q_q"), col("q_q")))
+    val wQ = Window.partitionBy(col("q_id")).orderBy(col("cos_q_micro").desc, col("n_id"))
+    val shortlist = broadcast(qq).crossJoin(cq)
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("cos_q_micro",
+        floor(lit(1e6) * (vecDotI8(spark, col("q_q"), col("n_q")).cast("double") /
+          (sqrt(col("q_qn").cast("double")) * sqrt(col("n_qn").cast("double"))))).cast("long"))
+      .withColumn("q_rnk", row_number().over(wQ)).where(col("q_rnk") <= overFetch * k)
+      .select(col("q_id"), col("n_id"))
+    // Exact rescore of the shortlist on the float embeddings.
+    val cf = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
+      col("label").as("n_label"))
+      .withColumn("n_n", vecDot(spark, col("n_vec"), col("n_vec")))
+    val qf = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .withColumn("q_n", vecDot(spark, col("q_vec"), col("q_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_micro").desc, col("n_id"))
+    broadcast(shortlist).join(cf, "n_id").join(broadcast(qf), "q_id")
+      .withColumn("cos_micro",
+        cosMicro(spark, col("q_vec"), col("q_n"), col("n_vec"), col("n_n")))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"), col("n_label"), col("cos_micro"))
+  }
+
   /** LSH-bucketed embedding near-dup pairs — the scale path for the
     * exact all-pairs embedding dedup: only pairs sharing a hyperplane
     * bucket are scored, so the join is an equijoin on the bucket key

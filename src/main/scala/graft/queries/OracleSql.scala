@@ -59,6 +59,26 @@ object OracleSql {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** Shared recursive-CTE prefix for the near-dup connected-components
+    * oracles: exact word-3-gram Jaccard >= 60% pairs, symmetric edge
+    * closure, transitive reachability. Ends after `nodes` so consumers
+    * append their own final SELECT (and optional extra CTEs). */
+  private val nearDupCc: String =
+    s"""WITH RECURSIVE
+       |d0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |d AS (SELECT doc_id, $shingleHashesFromW AS sh FROM d0),
+       |dd AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
+       |p AS (
+       | SELECT a.doc_id AS id1, b.doc_id AS id2
+       | FROM dd a JOIN dd b ON a.doc_id < b.doc_id
+       | WHERE 10000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 6000),
+       |edges AS (SELECT id1 AS src, id2 AS dst FROM p UNION SELECT id2, id1 FROM p),
+       |reach(src, dst) AS (
+       | SELECT src, dst FROM edges
+       | UNION
+       | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges)""".stripMargin
+
   private val topkSql: String =
     """WITH r AS (
       | SELECT c_nationkey, c_custkey,
@@ -503,6 +523,23 @@ object OracleSql {
         | SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995)
         |ORDER BY label, o_custkey""".stripMargin,
 
+    "q_window_nav" ->
+      """WITH m AS (
+        | SELECT o_orderpriority, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS month_cents
+        | FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, month, month_cents,
+        | CAST(LAG(month_cents, 1, 0) OVER wo AS BIGINT) AS prev_cents,
+        | CAST(LEAD(month_cents, 1, 0) OVER wo AS BIGINT) AS next_cents,
+        | CAST(FIRST_VALUE(month_cents) OVER wf AS BIGINT) AS first_cents,
+        | CAST(LAST_VALUE(month_cents) OVER wf AS BIGINT) AS last_cents,
+        | CAST(NTH_VALUE(month_cents, 2) OVER wf AS BIGINT) AS second_cents
+        |FROM m WINDOW
+        | wo AS (PARTITION BY o_orderpriority ORDER BY month),
+        | wf AS (PARTITION BY o_orderpriority ORDER BY month
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderpriority, month""".stripMargin,
+
     "q_collect_list" ->
       """WITH r AS (
         | SELECT c_nationkey, c_custkey,
@@ -661,23 +698,22 @@ object OracleSql {
          |ORDER BY id1, id2""".stripMargin,
 
     "dedup_survivors" ->
-      s"""WITH RECURSIVE
-         |d0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |d AS (SELECT doc_id, $shingleHashesFromW AS sh FROM d0),
-         |dd AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
-         |p AS (
-         | SELECT a.doc_id AS id1, b.doc_id AS id2
-         | FROM dd a JOIN dd b ON a.doc_id < b.doc_id
-         | WHERE 10000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 6000),
-         |edges AS (SELECT id1 AS src, id2 AS dst FROM p UNION SELECT id2, id1 FROM p),
-         |reach(src, dst) AS (
-         | SELECT src, dst FROM edges
-         | UNION
-         | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         |nodes AS (SELECT DISTINCT src AS id FROM edges)
+      s"""$nearDupCc
          |SELECT n.id AS doc_id, LEAST(n.id, MIN(r.dst)) AS canonical
          |FROM nodes n LEFT JOIN reach r ON r.src = n.id
          |GROUP BY n.id ORDER BY doc_id""".stripMargin,
+
+    // same component semantics as dedup_survivors, then the corpus
+    // filter: a document survives iff it is its component's minimum
+    // (or in no component at all)
+    "dedup_corpus" ->
+      s"""$nearDupCc,
+         |losers AS (
+         | SELECT n.id FROM nodes n LEFT JOIN reach r ON r.src = n.id
+         | GROUP BY n.id HAVING LEAST(n.id, MIN(r.dst)) <> n.id)
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM losers)
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_embedding" ->
       s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),

@@ -606,6 +606,28 @@ object RelationalQueries {
       .agg(centsRound(col("rev")).as("revenue_cents"), count(lit(1)).as("n_lines"))
   }
 
+  /** Window navigation surface: lag/lead with defaults over the ordered
+    * monthly series, first/last/nth value over an EXPLICIT
+    * full-partition frame (the default frame for first/last differs
+    * subtly between engines — unbounded-preceding-to-current — so the
+    * frame is pinned to unbounded/unbounded in both the Spark plan and
+    * the oracle). */
+  def qWindowNav(spark: SparkSession, dir: String): DataFrame = {
+    val m = t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100).cast("long").as("month_cents"))
+    val wOrd = Window.partitionBy(col("o_orderpriority")).orderBy(col("month"))
+    val wFull = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    m.select(col("o_orderpriority"), col("month"), col("month_cents"),
+        lag(col("month_cents"), 1, 0L).over(wOrd).as("prev_cents"),
+        lead(col("month_cents"), 1, 0L).over(wOrd).as("next_cents"),
+        first(col("month_cents")).over(wFull).as("first_cents"),
+        last(col("month_cents")).over(wFull).as("last_cents"),
+        nth_value(col("month_cents"), 2).over(wFull).as("second_cents"))
+      .orderBy(col("o_orderpriority"), col("month"))
+  }
+
   /** Heavy-hitter aggregation through the salted two-phase shape
     * (`Skew.saltedAggregate`): l_returnflag has 3 values, so a plain
     * groupBy lands the whole fact on 3 reducers at 100 TB; the salt

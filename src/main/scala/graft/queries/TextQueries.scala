@@ -205,6 +205,17 @@ object TextQueries {
       .select(col("id").as("doc_id"), col("comp").as("canonical"))
       .orderBy(col("doc_id"))
 
+  /** The deduplicated corpus (pipeline terminal): exact near-dup pairs
+    * -> connected components -> LEFT ANTI join of the non-canonical
+    * members. What a dedup stage actually writes back to the lake;
+    * recursive-CTE oracle (same component semantics as
+    * dedup_survivors, then the documents-table filter). */
+  def dedupCorpusQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupedCorpus(docs(spark, dir),
+        Dedup.ngramJaccardPairs(docs(spark, dir), tauBp = 6000L))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   def dedupMinhashQ(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(docs(spark, dir), tauBp = 6000L)
       .orderBy(col("id1"), col("id2"))

@@ -42,6 +42,17 @@ object VectorQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Scalar-quantized (int8) approximate top-10 (same query set as
+    * ann_bruteforce): the candidate scan runs over 4x-smaller int8
+    * codes via native codegen'd quantize/dot expressions, and only the
+    * 4k-row shortlist is rescored exactly. Recall vs brute force is
+    * spec'd in SimilaritySpec. */
+  def annSq8(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir)
+    Similarity.sq8TopK(all.where(col("vec_id") % 100 === 0), all, k = 10)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** kNN (k=5) majority-label classification of vec_id % 50 == 0. */
   def knnClassify(spark: SparkSession, dir: String): DataFrame = {
     val all = emb(spark, dir)

@@ -14,8 +14,9 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query count matches the SURVEY inventory claim") {
-    // 78 query entries as of round 4 (71 + q6/q10/q14/q15/q18/q19 +
-    // mm_video_frames); update alongside SURVEY §2.
-    assert(SparkEntry.queries.size === 78, s"got ${SparkEntry.queries.size}")
+    // 81 query entries as of round 4 (71 + q6/q10/q14/q15/q18/q19 +
+    // mm_video_frames + q_window_nav + dedup_corpus + ann_sq8); update
+    // alongside SURVEY §2.
+    assert(SparkEntry.queries.size === 81, s"got ${SparkEntry.queries.size}")
   }
 }

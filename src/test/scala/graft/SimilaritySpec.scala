@@ -68,6 +68,33 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("int8 scalar-quantized top-k recall@10 is high on the real embeddings") {
+    val q = emb.where(col("vec_id") % 100 === 0)
+    val bf = Similarity.bruteForceTopK(q, emb, k = 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val sq = Similarity.sq8TopK(q, emb, k = 10, overFetch = 4)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    // Unlike bucketing, SQ8 scans EVERY vector (just at int8 precision),
+    // so recall is limited only by quantization error in the shortlist —
+    // it must be near-exact, not merely above a scanned-fraction
+    // baseline.
+    val recall = (bf intersect sq).size.toDouble / bf.size
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
+  test("vec_q8 codes are within half-step of the real quantizer; dot matches") {
+    import graft.expressions.Int8Vec.{vecDotI8, vecQ8}
+    val df = Seq((Seq(0.5f, -1.0f, 0.25f, 0.0f), Seq(1.0f, 1.0f, -1.0f, 0.5f)))
+      .toDF("a", "b")
+    val r = df.select(
+      vecQ8(spark, col("a")).as("qa"), vecQ8(spark, col("b")).as("qb"),
+      vecDotI8(spark, vecQ8(spark, col("a")), vecQ8(spark, col("b"))).as("dq")).head
+    // a scaled by 127/1.0: [64, -127, 32, 0] (round-half-up on .75*127=95.25? no: 0.5*127=63.5 -> 64)
+    assert(r.getSeq[Byte](0) === Seq[Byte](64, -127, 32, 0))
+    assert(r.getSeq[Byte](1) === Seq[Byte](127, 127, -127, 64))
+    assert(r.getLong(2) === (64L * 127 + (-127L) * 127 + 32L * (-127) + 0L * 64))
+  }
+
   test("k-means centroids are bit-stable across input partitionings") {
     // The Lloyd mean is a fixed-point integer sum, so neither partition
     // count nor row order may change a single centroid bit.
