@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{FloatVecDot, RollingHash, ShingleHashes, SimHashBits, SimHashPacked}
+import graft.expressions.{FloatVecDot, RollingHash, ShingleHashes, SimHashBits, SimHashPacked, VecDotI8, VecQuantizeI8}
 
 /** SparkSessionExtensions entry point: installs the graft native
   * functions into any session via
@@ -51,5 +51,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(text) - packed 64-bit SimHash (bit j == simhash_bits(text)[j])"),
       { exprs: Seq[Expression] => SimHashPacked(exprs(0)) }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_q8"),
+      info("vec_q8", "vec_q8(v) - per-vector symmetric int8 quantization of array<float>"),
+      { exprs: Seq[Expression] => VecQuantizeI8(exprs(0)) }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot_i8"),
+      info("vec_dot_i8", "vec_dot_i8(a, b) - integer dot product of two array<tinyint>"),
+      { exprs: Seq[Expression] => VecDotI8(exprs(0), exprs(1)) }))
   }
 }

@@ -194,6 +194,25 @@ object Dedup {
     inv.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
   }
 
+  /** (id, band, band_sig) LSH banding of the MinHash signatures. */
+  private def bandsOf(sh: DataFrame): DataFrame = {
+    val sigCols = (0 until NumPerms).map(i => col(s"m$i"))
+    signatures(sh).select(col("id"),
+      posexplode(array((0 until Bands).map { bd =>
+        concat_ws(",", sigCols.slice(bd * RowsPerBand, (bd + 1) * RowsPerBand).map(_.cast("string")): _*)
+      }: _*)).as(Seq("band", "band_sig")))
+  }
+
+  /** Storable band signatures for MinHash dedup: (id, band, band_sig).
+    * Persist alongside the corpus so every new ingest batch can be
+    * deduplicated INCREMENTALLY against the whole history without
+    * re-hashing a single old document — see `incrementalMinhashPairs`.
+    * The hash family is a fixed deterministic constant, so signatures
+    * written by any run band-join correctly with any other. */
+  def minhashBandSignatures(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame =
+    bandsOf(withShingles(docs, idCol, textCol))
+
   /** MinHash + LSH banding near-dup pairs, exact-Jaccard verified.
     * Candidates shuffle on (band index, band signature) carrying only
     * ids; shingle sets join back by id for the verify — the 100 TB
@@ -201,11 +220,7 @@ object Dedup {
   def minhashPairs(docs: DataFrame, tauBp: Long,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = withShingles(docs, idCol, textCol)
-    val sigCols = (0 until NumPerms).map(i => col(s"m$i"))
-    val bands = signatures(sh).select(col("id"),
-      posexplode(array((0 until Bands).map { bd =>
-        concat_ws(",", sigCols.slice(bd * RowsPerBand, (bd + 1) * RowsPerBand).map(_.cast("string")): _*)
-      }: _*)).as(Seq("band", "band_sig")))
+    val bands = bandsOf(sh)
     val cand = bands.toDF("a_id", "band", "band_sig")
       .join(bands.toDF("b_id", "band2", "band_sig2"),
         col("band") === col("band2") && col("band_sig") === col("band_sig2") &&
@@ -214,6 +229,46 @@ object Dedup {
     cand
       .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .withColumn("jaccard_bp", jaccardBp(col("a_sh"), col("b_sh")))
+      .where(col("jaccard_bp") >= tauBp)
+      .select(col("a_id").as("id1"), col("b_id").as("id2"), col("jaccard_bp"))
+  }
+
+  /** Incremental MinHash dedup: the near-dup pairs TOUCHING a new batch
+    * — new×corpus candidates come from the STORED corpus band
+    * signatures (no old text is re-shingled for candidate generation),
+    * plus new×new candidates; both verified by exact Jaccard. Shingle
+    * features for the verify are computed for the new batch and ONLY
+    * the candidate old documents (left-semi pruned). Maintains the full
+    * pair set incrementally:
+    *   pairs(old ∪ new) == pairs(old) ∪ incremental(new, old, oldBands)
+    * (spec-asserted). Precondition: batch ids are disjoint from corpus
+    * ids (ingest assigns fresh ids). */
+  def incrementalMinhashPairs(newDocs: DataFrame, corpusDocs: DataFrame,
+                              corpusBands: DataFrame, tauBp: Long,
+                              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val newSh = withShingles(newDocs, idCol, textCol)
+    val newBands = bandsOf(newSh)
+    val a = newBands.toDF("a_id", "band", "band_sig")
+    val b = corpusBands.select(col("id"), col("band"), col("band_sig"))
+      .unionByName(newBands).toDF("b_id", "band2", "band_sig2")
+    val cand = a.join(b,
+        col("band") === col("band2") && col("band_sig") === col("band_sig2") &&
+          col("a_id") =!= col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .distinct()
+    // Semi-join prune BEFORE shingling: the filter must sit below the
+    // shingle projection, or the whole corpus gets re-hashed just to be
+    // discarded by the join.
+    val candIds = cand.select(col("a_id").as(idCol))
+      .unionAll(cand.select(col("b_id").as(idCol))).distinct()
+    val oldSh = withShingles(
+      corpusDocs.join(candIds, Seq(idCol), "left_semi"), idCol, textCol)
+    val allSh = newSh.unionByName(oldSh)
+    cand
+      .join(allSh.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(allSh.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .withColumn("jaccard_bp", jaccardBp(col("a_sh"), col("b_sh")))
       .where(col("jaccard_bp") >= tauBp)
       .select(col("a_id").as("id1"), col("b_id").as("id2"), col("jaccard_bp"))

@@ -37,6 +37,24 @@ class DedupSpec extends SparkSpec {
     assert(mh === truth) // J>=0.6 at 16x4 bands: detection prob ~0.9+; exact here
   }
 
+  test("incremental minhash against stored band signatures matches the batch run") {
+    val corpus = spark.read.parquet(s"$Sf/documents.parquet")
+    val old = corpus.where(col("doc_id") % 5 =!= 0)
+    val fresh = corpus.where(col("doc_id") % 5 === 0)
+    // "stored" signatures: what a real lake persists next to the corpus
+    val oldBands = Dedup.minhashBandSignatures(old)
+    val inc = Dedup.incrementalMinhashPairs(fresh, old, oldBands, tauBp = 6000L)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val oldPairs = Dedup.minhashPairs(old, tauBp = 6000L)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val batch = Dedup.minhashPairs(corpus, tauBp = 6000L)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // incremental returns exactly the pairs touching the new batch
+    assert(inc.forall { case (a, b) => a % 5 == 0 || b % 5 == 0 })
+    assert((oldPairs union inc) === batch,
+      s"missing=${(batch diff (oldPairs union inc)).take(5)} extra=${((oldPairs union inc) diff batch).take(5)}")
+  }
+
   test("minhash recall on the real corpus is >= 0.9") {
     val corpus = spark.read.parquet(s"$Sf/documents.parquet")
     val truth = Dedup.ngramJaccardPairs(corpus, tauBp = 6000L)
