@@ -72,6 +72,7 @@ object SparkEntry {
     "ev_asof_join" -> (EventQueries.asofJoin _),
     "ev_json_extract" -> (EventQueries.jsonExtract _),
     "ev_interval_join" -> (EventQueries.intervalJoin _),
+    "ev_retention" -> (EventQueries.retention _),
     // §2.5 dedup
     "dedup_exact" -> (TextQueries.dedupExactQ _),
     "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccardQ _),

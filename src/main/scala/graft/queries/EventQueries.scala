@@ -38,6 +38,24 @@ object EventQueries {
         (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("value_cents"))
       .orderBy(col("hour_epoch"), col("event_type"))
 
+  /** Weekly cohort retention matrix: users cohorted by their first
+    * active week, counted in every later week they return —
+    * (cohort_week, week_offset, n_active). Week indices are pure
+    * integer epoch-microsecond division, NOT date_trunc('week'), so
+    * both engines derive identical cohorts with no week-start
+    * convention in play. Two shuffles (user first-week, cohort cell
+    * agg), both partial-agg friendly. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = events(spark, dir)
+      .select(col("user_id"), expr("ts_us div 604800000000").as("week"))
+      .distinct()
+    val first = weekly.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    weekly.join(first, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** Gap-based sessions (30 min) with per-session rollup. */
   def sessionize(spark: SparkSession, dir: String): DataFrame =
     Windows.sessionize(events(spark, dir), "user_id", "ts_us", "event_id",

@@ -462,6 +462,15 @@ object OracleSql {
         | CAST(FLOOR(10000.0 * (w * h * luma) / (w * h * 255)) AS BIGINT) AS mean_luma_bp
         |FROM l ORDER BY media_id""".stripMargin,
 
+    "ev_retention" ->
+      """WITH e AS (
+        | SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+        |f AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY 1)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        | COUNT(DISTINCT e.user_id) AS n_active
+        |FROM e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "ev_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
         | COUNT(*) AS n_events,

@@ -14,9 +14,9 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query count matches the SURVEY inventory claim") {
-    // 81 query entries as of round 4 (71 + q6/q10/q14/q15/q18/q19 +
-    // mm_video_frames + q_window_nav + dedup_corpus + ann_sq8); update
-    // alongside SURVEY §2.
-    assert(SparkEntry.queries.size === 81, s"got ${SparkEntry.queries.size}")
+    // 82 query entries as of round 4 (71 + q6/q10/q14/q15/q18/q19 +
+    // mm_video_frames + q_window_nav + dedup_corpus + ann_sq8 +
+    // ev_retention); update alongside SURVEY §2.
+    assert(SparkEntry.queries.size === 82, s"got ${SparkEntry.queries.size}")
   }
 }
