@@ -547,8 +547,11 @@ object RelationalQueries {
   }
 
   /** TPC-H Q15 shape: top supplier(s) by quarter revenue — aggregate,
-    * then keep the max via a window over the (small) aggregated set;
-    * ties all surface, exactly like the view+subquery original. */
+    * then keep the max via a 1-row broadcast scalar join (NOT a
+    * SinglePartition window: with 10M suppliers the window would funnel
+    * every per-supplier row through one task; the scalar max is a
+    * partial-agg'd 1-row side that broadcasts). Ties all surface,
+    * exactly like the view+subquery original. */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
       .where(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
@@ -556,9 +559,9 @@ object RelationalQueries {
       .select(col("l_suppkey"), discPrice.as("rev"))
     val rev = li.groupBy(col("l_suppkey"))
       .agg(centsRound(col("rev")).as("total_rev_cents"))
-    val w = Window.partitionBy()
+    val mx = rev.agg(max(col("total_rev_cents")).as("mx"))
     val supp = t(spark, dir, "supplier").select(col("s_suppkey"), col("s_name"))
-    rev.withColumn("mx", max(col("total_rev_cents")).over(w))
+    rev.crossJoin(broadcast(mx))
       .where(col("total_rev_cents") === col("mx"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_rev_cents"))

@@ -51,6 +51,26 @@ class EdgeCasesSpec extends SparkSpec {
     assert(capped === Set((0L, 1L)))
   }
 
+  test("vec_q8 handles zero vectors and empty arrays without dividing by zero") {
+    import graft.expressions.Int8Vec.{vecDotI8, vecQ8}
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f, 0.0f)), // all-zero: scale collapses to 0
+      (2L, Seq.empty[Float])        // empty embedding
+    ).toDF("id", "v")
+    val out = df.select(col("id"), vecQ8(spark, col("v")).as("q"))
+      .withColumn("n", vecDotI8(spark, col("q"), col("q")))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Byte](1), r.getLong(2))).toMap
+    assert(out(1L) === ((Seq[Byte](0, 0, 0), 0L)))
+    assert(out(2L) === ((Seq.empty[Byte], 0L)))
+  }
+
+  test("incremental minhash with an empty new batch returns no pairs") {
+    val corpus = spark.read.parquet(s"$Sf/documents.parquet").limit(50)
+    val bands = Dedup.minhashBandSignatures(corpus)
+    val none = corpus.where(lit(false))
+    assert(Dedup.incrementalMinhashPairs(none, corpus, bands, tauBp = 6000L).count() === 0L)
+  }
+
   test("connectedComponents on an empty pair set returns an empty labeling") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
