@@ -152,12 +152,12 @@ object Dedup {
 
   /** End-to-end dedup terminal: the deduplicated corpus itself. Keeps
     * every document that is its component's canonical (min id) — or in
-    * no near-dup component at all. One LEFT ANTI join against the
-    * non-survivor id set: the documents table is filtered in place (the
-    * loser set is the small side — at most one id per duplicated doc —
-    * so it broadcasts; at worst the anti join shuffles 8-byte ids).
-    * This is the operator a training-data pipeline actually writes
-    * back to the lake. */
+    * no near-dup component at all. One LEFT ANTI equijoin against the
+    * non-survivor id set, keyed on the 8-byte id: the loser-set size is
+    * data-dependent (billions of ids at a 50% dup rate), so the static
+    * plan is the keyed shuffle join and AQE upgrades it to a broadcast
+    * at runtime when the set turns out small. This is the operator a
+    * training-data pipeline actually writes back to the lake. */
   def dedupedCorpus(docsDf: DataFrame, pairs: DataFrame,
                     idCol: String = "doc_id"): DataFrame = {
     val losers = connectedComponents(pairs)

@@ -65,6 +65,21 @@ class PlanAuditSpec extends SparkSpec {
       s"scan reads too much: $readSchema")
   }
 
+  test("dedup_corpus: the corpus filter is a keyed LeftAnti equijoin, never a cartesian") {
+    val p = plan(TextQueries.dedupCorpusQ(spark, Sf))
+    // The loser set is data-dependent (billions of ids at 50% dup rate),
+    // so the right static plan is a keyed anti equijoin — AQE upgrades
+    // it to broadcast at runtime when the loser set turns out small.
+    assert(p.contains("LeftAnti"), s"expected anti join:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("ev_retention: integer-week cohort plan is two hash aggregations, no cartesian") {
+    val p = plan(graft.queries.EventQueries.retention(spark, Sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.split("HashAggregate").length >= 4, "expected partial+final aggregation phases")
+  }
+
   test("q_skew_agg: salted two-phase shape (partial agg keyed on salt)") {
     val p = plan(RelationalQueries.qSkewAgg(spark, Sf))
     // phase 1 groups on (l_returnflag, _salt): the heavy key is spread
