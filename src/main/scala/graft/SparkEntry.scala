@@ -21,6 +21,7 @@ object SparkEntry {
     "xml_ingest" -> (IngestQueries.xmlIngest _),
     "schema_conform" -> (IngestQueries.schemaConform _),
     "validate_constraints" -> (IngestQueries.validateConstraints _),
+    "validate_referential" -> (IngestQueries.validateReferential _),
     "period_calendar" -> (IngestQueries.periodCalendar _),
     "q_profile" -> (IngestQueries.profileQ _),
     // §2.3 relational analytics
@@ -58,6 +59,7 @@ object SparkEntry {
     "q_parts_stats" -> (RelationalQueries.qPartsStats _),
     "q_collect_list" -> (RelationalQueries.qCollectList _),
     "q_window_nav" -> (RelationalQueries.qWindowNav _),
+    "q_stats_family" -> (RelationalQueries.qStatsFamily _),
     "q6_revenue_band" -> (RelationalQueries.q6RevenueBand _),
     "q10_returned" -> (RelationalQueries.q10Returned _),
     "q14_promo_share" -> (RelationalQueries.q14PromoShare _),

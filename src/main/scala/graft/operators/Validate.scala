@@ -52,6 +52,21 @@ object Validate {
     rows.reduce(_ unionAll _)
   }
 
+  /** Referential-integrity check: orphan rows in `child` whose
+    * `childCol` has no match in `parent.parentCol` (nulls are NotNull's
+    * business, not FK orphans). One LEFT ANTI equijoin + count per
+    * relationship — keyed shuffle at worst, AQE broadcast when the
+    * parent key set is small; never a driver-side key collection.
+    * Output shape matches `report` so the two union into one
+    * validation run. */
+  def referential(childTable: String, child: DataFrame, childCol: String,
+                  parentTable: String, parent: DataFrame, parentCol: String): DataFrame =
+    child.where(col(childCol).isNotNull)
+      .join(parent.select(col(parentCol)), col(childCol) === col(parentCol), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit(childTable).as("table"), lit("ref_integrity").as("rule"),
+        lit(s"$childCol->$parentTable.$parentCol").as("column"), col("violations"))
+
   /** One row per rule: (table, rule, column, violations). Row-level rules
     * fold into a single aggregate pass over the table; Unique adds one
     * groupBy on its key. */

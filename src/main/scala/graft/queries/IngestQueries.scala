@@ -82,6 +82,26 @@ object IngestQueries {
     orders.unionAll(customer).orderBy(col("table"), col("rule"), col("column"))
   }
 
+  /** Referential-integrity validation across the lake's FK graph: one
+    * row per relationship with its distributed orphan count (LEFT ANTI
+    * equijoin per FK — no driver-side key sets). Completes the
+    * Patito-model analog: row rules + uniqueness (validate_constraints)
+    * + cross-table references (here). */
+  def validateReferential(spark: SparkSession, dir: String): DataFrame = {
+    def tbl(n: String) = TableLoader.load(spark, dir, n)
+    val checks = Seq(
+      ("orders", "o_custkey", "customer", "c_custkey"),
+      ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("customer", "c_nationkey", "nation", "n_nationkey"),
+      ("supplier", "s_nationkey", "nation", "n_nationkey"),
+      ("nation", "n_regionkey", "region", "r_regionkey"))
+    checks.map { case (ct, cc, pt, pc) =>
+      Validate.referential(ct, tbl(ct), cc, pt, tbl(pt), pc)
+    }.reduce(_ unionAll _).orderBy(col("table"), col("column"))
+  }
+
   /** Column profiling over customer (EDA/data-quality surface). */
   def profileQ(spark: SparkSession, dir: String): DataFrame =
     Validate.profile("customer", TableLoader.load(spark, dir, "customer"),

@@ -126,6 +126,22 @@ object OracleSql {
       ).mkString("", " UNION ALL ", " ORDER BY \"table\", rule, \"column\"")
     },
 
+    "validate_referential" -> {
+      def check(ct: String, cc: String, pt: String, pc: String): String =
+        s"SELECT '$ct' AS \"table\", 'ref_integrity' AS rule, " +
+          s"'$cc->$pt.$pc' AS \"column\", " +
+          s"CAST((SELECT COUNT(*) FROM $ct WHERE $cc IS NOT NULL AND $cc NOT IN (SELECT $pc FROM $pt)) AS BIGINT) AS violations"
+      Seq(
+        check("orders", "o_custkey", "customer", "c_custkey"),
+        check("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        check("lineitem", "l_partkey", "part", "p_partkey"),
+        check("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        check("customer", "c_nationkey", "nation", "n_nationkey"),
+        check("supplier", "s_nationkey", "nation", "n_nationkey"),
+        check("nation", "n_regionkey", "region", "r_regionkey")
+      ).mkString("", " UNION ALL ", " ORDER BY \"table\", \"column\"")
+    },
+
     "period_calendar" ->
       """WITH months AS (
         |  SELECT CAST(UNNEST(generate_series(DATE '1995-01-01', DATE '2001-12-01', INTERVAL 1 MONTH)) AS DATE) AS month_start),
@@ -531,6 +547,28 @@ object OracleSql {
         | EXCEPT
         | SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995)
         |ORDER BY label, o_custkey""".stripMargin,
+
+    // exact integer moments, then ONE fixed double expression per
+    // statistic (identical association order to the Spark plan)
+    "q_stats_family" ->
+      """WITH b AS (
+        | SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        | FROM lineitem),
+        |s AS (
+        | SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |  SUM(CAST(x * x AS HUGEINT)) AS sxx,
+        |  SUM(CAST(y * y AS HUGEINT)) AS syy,
+        |  SUM(CAST(x * y AS HUGEINT)) AS sxy
+        | FROM b GROUP BY 1)
+        |SELECT l_returnflag, n, sx AS sum_qty, sy AS sum_cents,
+        | CAST(FLOOR(1e6 * SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))) AS BIGINT) AS stddev_qty_micro,
+        | CAST(FLOOR(1e6 * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |   / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))) AS BIGINT) AS corr_micro
+        |FROM s ORDER BY 1""".stripMargin,
 
     "q_window_nav" ->
       """WITH m AS (

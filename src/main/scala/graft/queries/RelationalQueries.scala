@@ -609,6 +609,36 @@ object RelationalQueries {
       .agg(centsRound(col("rev")).as("revenue_cents"), count(lit(1)).as("n_lines"))
   }
 
+  /** Statistical aggregates the hash-exact way: Spark's builtin
+    * stddev/corr fold doubles in partition order (results drift with
+    * partitioning and across engines), so this computes EXACT integer
+    * moments (n, Σx, Σy, Σx², Σy², Σxy — all partial-agg friendly;
+    * squares ride DECIMAL(38) so 100 TB row counts cannot overflow)
+    * and derives each statistic with ONE fixed double expression both
+    * engines evaluate identically. Emitted as floor micro-units. */
+  def qStatsFamily(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select(col("l_returnflag"),
+      col("l_quantity").cast("long").as("x"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("y"))
+    val s = li.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+    val nD = col("n").cast("double")
+    def d(c: String): Column = col(c).cast("double")
+    val cxx = nD * d("sxx") - d("sx") * d("sx")
+    val cyy = nD * d("syy") - d("sy") * d("sy")
+    val cxy = nD * d("sxy") - d("sx") * d("sy")
+    s.select(col("l_returnflag"), col("n"),
+        col("sx").as("sum_qty"), col("sy").as("sum_cents"),
+        floor(lit(1e6) * sqrt(cxx / (nD * (nD - 1)))).cast("long").as("stddev_qty_micro"),
+        floor(lit(1e6) * (cxy / sqrt(cxx * cyy))).cast("long").as("corr_micro"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Window navigation surface: lag/lead with defaults over the ordered
     * monthly series, first/last/nth value over an EXPLICIT
     * full-partition frame (the default frame for first/last differs

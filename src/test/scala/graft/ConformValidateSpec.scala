@@ -34,4 +34,13 @@ class ConformValidateSpec extends SparkSpec {
     assert(rep(("range", "score")) === 2L)
     assert(rep(("unique", "id")) === 2L) // both rows of the duplicated key
   }
+
+  test("Validate.referential counts FK orphans, leaves nulls to NotNull") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(2L), Some(99L), Some(98L), None).toDF("fk")
+    val rep = Validate.referential("child", child, "fk", "parent", parent, "pk").head
+    assert(rep.getString(0) === "child" && rep.getString(1) === "ref_integrity")
+    assert(rep.getString(2) === "fk->parent.pk")
+    assert(rep.getLong(3) === 2L) // 99 and 98; the null is NOT an orphan
+  }
 }

@@ -14,9 +14,10 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query count matches the SURVEY inventory claim") {
-    // 82 query entries as of round 4 (71 + q6/q10/q14/q15/q18/q19 +
-    // mm_video_frames + q_window_nav + dedup_corpus + ann_sq8 +
-    // ev_retention); update alongside SURVEY §2.
-    assert(SparkEntry.queries.size === 82, s"got ${SparkEntry.queries.size}")
+    // 84 query entries as of round 4 (71 + q6/q10/q14/q15/q18/q19 +
+    // mm_video_frames + q_window_nav + q_stats_family + dedup_corpus +
+    // ann_sq8 + ev_retention + validate_referential); update alongside
+    // SURVEY §2.
+    assert(SparkEntry.queries.size === 84, s"got ${SparkEntry.queries.size}")
   }
 }
