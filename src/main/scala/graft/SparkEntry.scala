@@ -66,6 +66,12 @@ object SparkEntry {
     "q15_top_supplier" -> (RelationalQueries.q15TopSupplier _),
     "q18_big_orders" -> (RelationalQueries.q18BigOrders _),
     "q19_disjunctive" -> (RelationalQueries.q19Disjunctive _),
+    "q2_min_cost_supplier" -> (RelationalQueries.q2MinCostSupplier _),
+    "q9_product_profit" -> (RelationalQueries.q9ProductProfit _),
+    "q11_important_parts" -> (RelationalQueries.q11ImportantParts _),
+    "q16_supplier_variety" -> (RelationalQueries.q16SupplierVariety _),
+    "q20_dominant_supplier" -> (RelationalQueries.q20DominantSupplier _),
+    "q21_late_solo_supplier" -> (RelationalQueries.q21LateSoloSupplier _),
     // §2.4 events / time series
     "ev_tumbling_agg" -> (EventQueries.tumblingAgg _),
     "ev_streaming_parity" -> (EventQueries.streamingParity _),

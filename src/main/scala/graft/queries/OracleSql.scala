@@ -403,6 +403,84 @@ object OracleSql {
          |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
          |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
 
+    "q2_min_cost_supplier" ->
+      """WITH cost AS (
+        | SELECT l_partkey, l_suppkey,
+        |  MIN(CAST(ROUND(l_extendedprice / l_quantity * 100) AS BIGINT)) AS unit_cents
+        | FROM lineitem GROUP BY 1, 2),
+        |eu AS (
+        | SELECT s_suppkey, s_name, n_name,
+        |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_cents
+        | FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+        |pc AS (
+        | SELECT p_partkey, s_name, n_name, acctbal_cents, unit_cents
+        | FROM cost JOIN eu ON l_suppkey = s_suppkey
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD' AND p_size <= 5),
+        |mn AS (SELECT p_partkey, MIN(unit_cents) AS min_cents FROM pc GROUP BY 1)
+        |SELECT p_partkey, s_name, n_name, acctbal_cents, unit_cents
+        |FROM pc JOIN mn USING (p_partkey) WHERE unit_cents = min_cents
+        |ORDER BY p_partkey, s_name""".stripMargin,
+
+    "q9_product_profit" ->
+      s"""SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+         | ${centsR("l_extendedprice * (1 - l_discount)")} AS profit_cents
+         |FROM lineitem
+         | JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+         | JOIN supplier ON l_suppkey = s_suppkey
+         | JOIN nation ON s_nationkey = n_nationkey
+         | JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q11_important_parts" ->
+      s"""WITH v AS (
+         | SELECT l_partkey, ${centsR("l_extendedprice")} AS value_cents
+         | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_7'
+         | GROUP BY 1),
+         |t AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents FROM v)
+         |SELECT l_partkey, value_cents FROM v, t
+         |WHERE value_cents * 800 > total_cents
+         |ORDER BY value_cents DESC, l_partkey""".stripMargin,
+
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q20_dominant_supplier" ->
+      """WITH sq AS (
+        | SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+        | FROM lineitem JOIN part ON l_partkey = p_partkey AND p_name LIKE 'small%'
+        | WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+        | GROUP BY 1, 2),
+        |tot AS (SELECT l_partkey, SUM(q) AS tq FROM sq GROUP BY 1),
+        |dom AS (SELECT DISTINCT l_suppkey FROM sq JOIN tot USING (l_partkey) WHERE q * 2 > tq)
+        |SELECT s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
+        |ORDER BY s_name""".stripMargin,
+
+    "q21_late_solo_supplier" ->
+      """WITH l AS (
+        | SELECT l_orderkey, l_suppkey, l_shipdate, CAST(o_orderdate AS DATE) AS o_date
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'),
+        |pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM l),
+        |late AS (
+        | SELECT DISTINCT l_orderkey, l_suppkey FROM l
+        | WHERE l_shipdate > o_date + INTERVAL 90 DAY)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM pairs l2
+        |        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin,
+
     // the oracle is the PLAIN groupBy: salting must be invisible
     "q_skew_agg" ->
       """SELECT l_returnflag, COUNT(*) AS n_lines,

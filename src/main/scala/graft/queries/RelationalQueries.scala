@@ -681,4 +681,161 @@ object RelationalQueries {
         col("sum_qty").cast("long").as("sum_qty"), col("sum_cents"))
       .orderBy(col("l_returnflag"))
   }
+
+  // ---- Round-5: the remaining TPC-H query shapes, adapted to this lake's
+  // schema (no partsupp table, no comment/phone/shipmode columns — see
+  // /root/reference semantics; each Scaladoc notes the adaptation). ----
+
+  /** TPC-H Q2 shape: correlated-min subquery — for each qualifying part,
+    * the EUROPE suppliers offering the minimum unit cost. Adapted: unit
+    * cost is derived from lineitem (`min(round(extendedprice/quantity *
+    * 100))` per part×supplier) in place of the absent partsupp table.
+    * The per-part min aggregate joins back BROADCAST (it is small after
+    * the part filter), so the fact relation is scanned in two parallel
+    * aggregations and never self-joined at shuffle width. */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val unitCents = round(col("l_extendedprice") / col("l_quantity") * 100).cast("long")
+    val cost = t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), unitCents.as("uc"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("uc")).as("unit_cents"))
+    val eu = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region").where(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        (col("s_acctbal").cast("decimal(18,2)") * 100).cast("long").as("acctbal_cents"))
+    val part = t(spark, dir, "part")
+      .where(col("p_type") === "STANDARD" && col("p_size") <= 5)
+      .select(col("p_partkey"))
+    val pc = cost.join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    val mn = pc.groupBy(col("p_partkey").as("m_key")).agg(min(col("unit_cents")).as("min_cents"))
+    pc.join(broadcast(mn),
+        col("p_partkey") === col("m_key") && col("unit_cents") === col("min_cents"))
+      .select(col("p_partkey"), col("s_name"), col("n_name"),
+        col("acctbal_cents"), col("unit_cents"))
+      .orderBy(col("p_partkey"), col("s_name"))
+  }
+
+  /** TPC-H Q9 shape: profit by supplier nation × order year over a
+    * part-name filter. Adapted: profit = discounted revenue (the
+    * reference subtrahend ps_supplycost×qty needs the absent partsupp).
+    * Both dims broadcast; orders joins the fact on orderkey only for
+    * the year — one fact shuffle. */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val part = t(spark, dir, "part").where(col("p_name").contains("widget"))
+      .select(col("p_partkey"))
+    val suppNation = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val ord = t(spark, dir, "orders")
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), discPrice.as("rev"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(centsRound(col("rev")).as("profit_cents"))
+      .orderBy(col("n_name"), col("o_year"))
+  }
+
+  /** TPC-H Q11 shape: per-group value vs a global scalar threshold.
+    * Adapted: part value = lineitem revenue routed through one nation's
+    * suppliers (partsupp absent). The global total rides a 1-row
+    * broadcast cross join and the threshold compare stays in integer
+    * cents (`value*800 > total` ≡ value > total/800) — no cross-engine
+    * division. */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val supp = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation").where(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val value = t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(centsRound(col("l_extendedprice")).as("value_cents"))
+    val total = value.agg(sum(col("value_cents")).as("total_cents"))
+    value.crossJoin(broadcast(total))
+      .where(col("value_cents") * 800 > col("total_cents"))
+      .select(col("l_partkey"), col("value_cents"))
+      .orderBy(col("value_cents").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q16 shape: distinct-supplier variety per part attribute
+    * triple, with an anti-join exclusion list. Adapted: the excluded
+    * suppliers are those with negative account balance (the reference
+    * excludes by comment pattern; no comment column exists). Exclusion
+    * list broadcast-anti-joined BEFORE the distinct aggregation. */
+  def q16SupplierVariety(spark: SparkSession, dir: String): DataFrame = {
+    val part = t(spark, dir, "part")
+      .where(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val excluded = t(spark, dir, "supplier").where(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    t(spark, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q20 shape: nested aggregated semi-join chain — suppliers who
+    * dominated a part's 1997 volume. Adapted: "availqty > half of
+    * shipped" becomes "supplier's shipped qty > half the part's total
+    * shipped qty" (partsupp absent); quantities summed as DECIMAL so the
+    * 2q > total compare is exact in both engines. */
+  def q20DominantSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val part = t(spark, dir, "part").where(col("p_name").startsWith("small"))
+      .select(col("p_partkey"))
+    val li97 = t(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("date") &&
+        col("l_shipdate") < lit("1998-01-01").cast("date"))
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    val perSupp = li97.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
+    val perPart = perSupp.groupBy(col("l_partkey").as("t_key"))
+      .agg(sum(col("q")).as("tq"))
+    val dominant = perSupp
+      .join(broadcast(perPart), col("l_partkey") === col("t_key"))
+      .where(col("q") * 2 > col("tq"))
+      .select(col("l_suppkey")).distinct()
+    t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("n_name"))
+      .orderBy(col("s_name"))
+  }
+
+  /** TPC-H Q21 shape: EXISTS + NOT EXISTS against the same fact — the
+    * supplier who was the ONLY late supplier on a finished multi-supplier
+    * order. Adapted: late = shipped >90 days after order date (no
+    * commit/receipt dates). Both the exists (semi) and not-exists (anti)
+    * are hash equijoins on orderkey with the supplier inequality as the
+    * join residual — never a cross product. */
+  def q21LateSoloSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val ordF = t(spark, dir, "orders").where(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"))
+    val l = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(ordF, col("l_orderkey") === col("o_orderkey"))
+    val pairs = l.select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val late = l.where(col("l_shipdate") > date_add(col("o_date"), 90))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val others = pairs.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val lateOthers = late.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+    late
+      .join(others, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"), "left_semi")
+      .join(lateOthers, col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"), "left_anti")
+      .join(broadcast(t(spark, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
 }

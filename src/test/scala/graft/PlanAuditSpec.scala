@@ -80,6 +80,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.split("HashAggregate").length >= 4, "expected partial+final aggregation phases")
   }
 
+  test("q21: exists/not-exists are hash semi/anti equijoins on orderkey, no cross product") {
+    val p = plan(RelationalQueries.q21LateSoloSupplier(spark, Sf))
+    // The supplier inequality must ride as a join residual on the
+    // orderkey equijoin — a nested-loop expansion of late × pairs would
+    // be quadratic in order size at 100 TB.
+    assert(p.contains("LeftSemi"), s"expected semi join:\n${p.take(600)}")
+    assert(p.contains("LeftAnti"), s"expected anti join:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q2: correlated-min join back is broadcast; fact never self-joined at shuffle width") {
+    val p = plan(RelationalQueries.q2MinCostSupplier(spark, Sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast min-join:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q16: exclusion list is a broadcast anti join below the distinct aggregation") {
+    val p = plan(RelationalQueries.q16SupplierVariety(spark, Sf))
+    assert(p.contains("LeftAnti"), s"expected anti join:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_skew_agg: salted two-phase shape (partial agg keyed on salt)") {
     val p = plan(RelationalQueries.qSkewAgg(spark, Sf))
     // phase 1 groups on (l_returnflag, _salt): the heavy key is spread
