@@ -30,7 +30,10 @@ object Bench {
     // trustworthy number: run >=3 full passes and report per-query
     // MEDIANS (total = sum of medians).
     val trials = math.max(1, sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt)
+    // optional comma-separated name filter for local iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val times = collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
     for (_ <- 1 to trials; (name, fn) <- names) {
       val t0 = System.nanoTime()
@@ -52,19 +55,37 @@ object Bench {
       val xs = times(name)
       "\"" + name + "\":[" + f(xs.min) + "," + f(median(xs)) + "," + f(xs.max) + "]"
     }.mkString("{", ",", "}")
+    val detailLine =
+      s"""{"metric":"detail","unit":"sec","queries":$qs,"sf":"$sfDir","trials":$trials}"""
+    // The output-tail capture holds the LAST 2000 characters only, and the
+    // build tool's closing status line consumes ~76 of them. A full
+    // per-query map (80+ entries, ~24 chars each) can never fit, so the
+    // canonical machine-readable line carries the total plus a fixed
+    // HEADLINE subset and always parses; the full map rides the detail
+    // line above it (complete in the sidecar even when tail-truncated).
+    val headline = Seq(
+      "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+      "q9_product_profit", "q18_big_orders", "xml_ingest", "ev_sessionize",
+      "dedup_exact", "dedup_minhash", "dedup_survivors", "dedup_corpus",
+      "ann_bruteforce", "ann_ivf", "text_tfidf", "mm_video_frames")
+    val resultMap = results.toMap
+    val hq = headline.filter(resultMap.contains)
+      .map(k => "\"" + k + "\":" + f(resultMap(k))).mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","trials":$trials}"""
-    // The spread line is informational and printed FIRST so the canonical
-    // line below stays closest to the end of the captured output.
-    println(s"""{"metric":"spread","unit":"sec","queries":$spread}""")
-    // Sidecar copy for any consumer that prefers a file to stdout scraping.
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$hq,"n_queries":${results.size},"sf":"$sfDir","trials":$trials,"detail":"BENCH_SIDECAR.json"}"""
+    // Sidecar: all three lines, for any consumer that prefers a file to
+    // stdout scraping (full per-query medians, spreads, canonical total).
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_SIDECAR.json"), line + "\n")
+      java.nio.file.Paths.get("BENCH_SIDECAR.json"),
+      detailLine + "\n" +
+        s"""{"metric":"spread","unit":"sec","queries":$spread}""" + "\n" +
+        line + "\n")
     catch { case _: Throwable => () }
-    // Stop Spark BEFORE printing the canonical line: nothing (no executor
-    // shutdown logging) may follow it, so an output-tail capture always
-    // contains the whole line.
+    // Stop Spark BEFORE printing: nothing (no executor shutdown logging)
+    // may follow the canonical line, so a tail capture always contains it
+    // whole. Detail first, canonical short line LAST.
     spark.stop()
+    println(detailLine)
     println(line)
     System.out.flush()
   }

@@ -95,7 +95,10 @@ object Dedup {
     val p = pairs.select(col("id1"), col("id2")).localCheckpoint(true)
     val sym = p.select(col("id1").as("src"), col("id2").as("dst"))
       .unionAll(p.select(col("id2").as("src"), col("id1").as("dst")))
-    val nodes = sym.select(col("src").as("id")).distinct().localCheckpoint(true)
+    // Lazy checkpoint: nodes are not needed until the FINAL labeling join,
+    // so don't spend a job materializing them up front — the final action
+    // computes them once (from the already-checkpointed p) and persists.
+    val nodes = sym.select(col("src").as("id")).distinct().localCheckpoint(false)
     // Invariant throughout: edges oriented large -> small, no self loops.
     var edges = sym.where(col("src") > col("dst")).distinct().localCheckpoint(true)
     var prev = (-1L, -1L, -1L)
@@ -120,7 +123,12 @@ object Dedup {
         .where(col("src") =!= col("dst"))
         .unionAll(ssMin.select(col("src"), col("m").as("dst")))
         .distinct()
-        .localCheckpoint(true)
+        // LAZY checkpoint: the convergence-stat action right below is the
+        // first (and only) job of the round — it materializes and persists
+        // the checkpoint as a side effect, so each round costs ONE job
+        // instead of an eager-materialize job plus the stat job. Lineage
+        // is still truncated at every round.
+        .localCheckpoint(false)
       // Convergence = fixpoint of (count, two INDEPENDENT order-invariant
       // hash-sums: xxhash64(src,dst) and xxhash64(dst,src)). For a false
       // positive both 64-bit sums must collide between different edge

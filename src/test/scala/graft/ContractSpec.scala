@@ -14,10 +14,8 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query count matches the SURVEY inventory claim") {
-    // 84 query entries as of round 4 (71 + q6/q10/q14/q15/q18/q19 +
-    // mm_video_frames + q_window_nav + q_stats_family + dedup_corpus +
-    // ann_sq8 + ev_retention + validate_referential); update alongside
-    // SURVEY §2.
-    assert(SparkEntry.queries.size === 84, s"got ${SparkEntry.queries.size}")
+    // 90 query entries as of round 5 start (round-4's 84 + the final six
+    // TPC-H shapes q2/q9/q11/q16/q20/q21); update alongside SURVEY §2.
+    assert(SparkEntry.queries.size === 90, s"got ${SparkEntry.queries.size}")
   }
 }
