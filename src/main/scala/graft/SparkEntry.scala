@@ -58,6 +58,7 @@ object SparkEntry {
     "q_distinct_approx" -> (RelationalQueries.qDistinctApprox _),
     "q_parts_stats" -> (RelationalQueries.qPartsStats _),
     "q_collect_list" -> (RelationalQueries.qCollectList _),
+    "q_grouping_sets" -> (RelationalQueries.qGroupingSets _),
     "q_window_nav" -> (RelationalQueries.qWindowNav _),
     "q_stats_family" -> (RelationalQueries.qStatsFamily _),
     "q6_revenue_band" -> (RelationalQueries.q6RevenueBand _),
@@ -81,6 +82,7 @@ object SparkEntry {
     "ev_json_extract" -> (EventQueries.jsonExtract _),
     "ev_interval_join" -> (EventQueries.intervalJoin _),
     "ev_retention" -> (EventQueries.retention _),
+    "ev_session_window" -> (EventQueries.sessionWindow _),
     // §2.5 dedup
     "dedup_exact" -> (TextQueries.dedupExactQ _),
     "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccardQ _),
@@ -95,8 +97,10 @@ object SparkEntry {
     "ann_lsh" -> (VectorQueries.annLsh _),
     "ann_ivf" -> (VectorQueries.annIvf _),
     "ann_sq8" -> (VectorQueries.annSq8 _),
+    "ann_ivf_sq8" -> (VectorQueries.annIvfSq8 _),
     "knn_classify" -> (VectorQueries.knnClassify _),
     "knn_classify_lsh" -> (VectorQueries.knnClassifyLsh _),
+    "knn_classify_ivf" -> (VectorQueries.knnClassifyIvf _),
     // §2.7 text analysis
     "text_lang_id" -> (TextQueries.langIdQ _),
     "text_quality" -> (TextQueries.qualityQ _),

@@ -233,6 +233,70 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("n_id"), col("n_label"), col("cos_micro"))
   }
 
+  /** IVF + SQ8 composed — the standard large-scale ANN architecture
+    * (inverted lists over scalar-quantized codes): centroid bucketing
+    * prunes the corpus to the `nProbe` probed lists, the candidate scan
+    * INSIDE those lists runs over int8 codes, and only the
+    * `overFetch * k` shortlist is rescored on the original floats. The
+    * two reductions multiply: at 100 TB the hot scan touches
+    * ~(nProbe/nCentroids) of the corpus at 1/4 the bytes per vector —
+    * with default parameters a 16x cut in scanned bytes versus the
+    * exact float scan, before any recall loss beyond IVF's probe miss
+    * (SQ8 ranking is scale-invariant, see `sq8TopK`). Assignment is
+    * map-only (literal centroids), the probe join is an equijoin on
+    * cent_id, and every kernel (vec_q8, vec_dot_i8, vec_dot) is a
+    * native codegen'd expression. */
+  def ivfSq8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                 nCentroids: Int = 16, nProbe: Int = 4, overFetch: Int = 4,
+                 kmeansIters: Int = 3): DataFrame = {
+    import graft.expressions.Int8Vec.{vecDotI8, vecQ8}
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = kmeansCentroids(corpus, nCentroids, kmeansIters)
+    // Stored/hot corpus representation: (centroid list id, int8 codes).
+    val cq = corpus.select(col("vec_id").as("n_id"),
+        vecQ8(spark, col("embedding")).as("n_q"),
+        nearestCentroidId(spark, col("embedding"), cents).as("cent_id"))
+      .withColumn("n_qn", vecDotI8(spark, col("n_q"), col("n_q")))
+    val centsDf = broadcast(
+      cents.zipWithIndex.map { case (cv, i) => (i, cv.toSeq) }.toSeq
+        .toDF("cent_id", "cent_vec")
+        .withColumn("cent_n", vecDot(spark, col("cent_vec"), col("cent_vec"))))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .withColumn("q_q", vecQ8(spark, col("q_vec")))
+      .withColumn("q_qn", vecDotI8(spark, col("q_q"), col("q_q")))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cent_cos").desc, col("cent_id"))
+    val probed = q.crossJoin(centsDf)
+      .withColumn("cent_cos", vecDot(spark, col("q_vec"), col("cent_vec")) / sqrt(col("cent_n")))
+      .withColumn("cent_rnk", row_number().over(wProbe)).where(col("cent_rnk") <= nProbe)
+      .select(col("q_id"), col("q_q"), col("q_qn"), col("cent_id"))
+    // Quantized candidate scan, restricted to the probed lists.
+    val wQ = Window.partitionBy(col("q_id")).orderBy(col("cos_q_micro").desc, col("n_id"))
+    val shortlist = broadcast(probed).join(cq, "cent_id")
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("cos_q_micro",
+        floor(lit(1e6) * (vecDotI8(spark, col("q_q"), col("n_q")).cast("double") /
+          (sqrt(col("q_qn").cast("double")) * sqrt(col("n_qn").cast("double"))))).cast("long"))
+      // No dedup needed: each corpus vector lives in exactly ONE
+      // centroid list and probed lists are distinct per query, so a
+      // (q_id, n_id) candidate occurs at most once.
+      .select(col("q_id"), col("n_id"), col("cos_q_micro"))
+      .withColumn("q_rnk", row_number().over(wQ)).where(col("q_rnk") <= overFetch * k)
+      .select(col("q_id"), col("n_id"))
+    // Exact rescore of the shortlist on the float embeddings.
+    val cf = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
+      col("label").as("n_label"))
+      .withColumn("n_n", vecDot(spark, col("n_vec"), col("n_vec")))
+    val qf = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .withColumn("q_n", vecDot(spark, col("q_vec"), col("q_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_micro").desc, col("n_id"))
+    broadcast(shortlist).join(cf, "n_id").join(broadcast(qf), "q_id")
+      .withColumn("cos_micro",
+        cosMicro(spark, col("q_vec"), col("q_n"), col("n_vec"), col("n_n")))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"), col("n_label"), col("cos_micro"))
+  }
+
   /** LSH-bucketed embedding near-dup pairs — the scale path for the
     * exact all-pairs embedding dedup: only pairs sharing a hyperplane
     * bucket are scored, so the join is an equijoin on the bucket key

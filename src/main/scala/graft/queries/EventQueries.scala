@@ -67,6 +67,25 @@ object EventQueries {
         (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("value_cents"))
       .orderBy(col("user_id"), col("session_seq"))
 
+  /** Sessionization through Spark's BUILTIN `session_window` aggregation
+    * — the same merging-session-state operator Structured Streaming runs
+    * for streaming sessions, so this query IS the batch twin of a
+    * streaming session pipeline. Boundary semantics probed empirically:
+    * a gap of exactly 30 min MERGES (sessions split only when the gap
+    * EXCEEDS the timeout), matching the lag+cumsum formulation
+    * (ev_sessionize) and its oracle. One shuffle on user_id; the session
+    * merge is per-group state, no window over the whole series. */
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("value_cents"))
+      .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"),
+        col("value_cents"))
+      .orderBy(col("user_id"), col("start_us"))
+
   /** signup -> purchase conversion funnel per user. */
   def funnel(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)

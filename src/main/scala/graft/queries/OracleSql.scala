@@ -255,6 +255,17 @@ object OracleSql {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY ROLLUP(c_mktsegment, o_orderpriority) ORDER BY 1, 2""".stripMargin,
 
+    "q_grouping_sets" ->
+      """SELECT COALESCE(n_name, 'ALL') AS nation,
+        | COALESCE(c_mktsegment, 'ALL') AS mktsegment,
+        | CAST(GROUPING(n_name) AS BIGINT) AS grp_nation,
+        | CAST(GROUPING(c_mktsegment) AS BIGINT) AS grp_seg,
+        | COUNT(*) AS n_cust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS acctbal_cents
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), ())
+        |ORDER BY 3, 4, 1, 2""".stripMargin,
+
     "q_pivot" -> {
       val cols = RelationalQueries.Priorities
         .zip(Seq("p_urgent", "p_high", "p_medium", "p_notspec", "p_low"))
@@ -707,6 +718,24 @@ object OracleSql {
         |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Same session semantics as ev_sessionize (the builtin session_window
+    // merges a gap of EXACTLY 30 min — probed empirically — so the break
+    // is strictly ">"); output drops the session ordinal and keys rows by
+    // (user_id, start_us) instead.
+    "ev_session_window" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+        |s AS (
+        | SELECT *, CASE WHEN LAG(ts_us) OVER w IS NULL OR ts_us - LAG(ts_us) OVER w > 1800000000
+        |   THEN 1 ELSE 0 END AS new_s
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |t AS (
+        | SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        | FROM s)
+        |SELECT user_id, COUNT(*) AS n_events, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
+        |FROM t GROUP BY user_id, session_seq ORDER BY user_id, start_us""".stripMargin,
 
     "ev_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),

@@ -217,6 +217,32 @@ object RelationalQueries {
       .orderBy(col("mktsegment"), col("orderpriority"))
   }
 
+  /** Explicit GROUPING SETS — completes the grouping-family surface
+    * (rollup, cube, sets): per-(nation, segment), per-nation, and
+    * grand-total aggregates in ONE scan with grouping-indicator columns
+    * (the indicator disambiguates a real NULL group from a rolled-up
+    * row). Same expanded-aggregate plan shape as rollup/cube — Catalyst
+    * expands to a single hash aggregation over the replicated grouping
+    * keys, partial-agg friendly. */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val joined = t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+    joined
+      .groupingSets(
+        Seq(Seq(col("n_name"), col("c_mktsegment")), Seq(col("n_name")), Seq()),
+        col("n_name"), col("c_mktsegment"))
+      .agg(grouping(col("n_name")).cast("long").as("grp_nation"),
+        grouping(col("c_mktsegment")).cast("long").as("grp_seg"),
+        count(lit(1)).as("n_cust"),
+        cents(col("c_acctbal")).as("acctbal_cents"))
+      .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("c_mktsegment"), lit("ALL")).as("mktsegment"),
+        col("grp_nation"), col("grp_seg"), col("n_cust"), col("acctbal_cents"))
+      .orderBy(col("grp_nation"), col("grp_seg"), col("nation"), col("mktsegment"))
+  }
+
   val Priorities: Seq[String] =
     Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
 

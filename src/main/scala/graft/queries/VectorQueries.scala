@@ -53,6 +53,26 @@ object VectorQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** IVF + SQ8 composed approximate top-10 (same query set as
+    * ann_bruteforce) — inverted centroid lists over int8 codes, the
+    * standard large-scale ANN architecture: the hot scan touches
+    * ~nProbe/nCentroids of the corpus at 1/4 the bytes per vector.
+    * Recall vs brute force is spec'd in SimilaritySpec. */
+  def annIvfSq8(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir)
+    Similarity.ivfSq8TopK(all.where(col("vec_id") % 100 === 0), all, k = 10)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** IVF-bucketed kNN (k=5) classification — the data-adaptive-bucket
+    * twin of knn_classify_lsh (votes over probed centroid lists).
+    * Agreement with the exact classifier is spec'd in SimilaritySpec. */
+  def knnClassifyIvf(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir)
+    Similarity.knnClassifyIvf(all.where(col("vec_id") % 50 === 0), all, k = 5)
+      .orderBy(col("q_id"))
+  }
+
   /** kNN (k=5) majority-label classification of vec_id % 50 == 0. */
   def knnClassify(spark: SparkSession, dir: String): DataFrame = {
     val all = emb(spark, dir)

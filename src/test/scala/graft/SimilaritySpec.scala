@@ -82,6 +82,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
+  test("IVF+SQ8 composed top-k tracks plain IVF (quantization adds almost no loss)") {
+    val q = emb.where(col("vec_id") % 100 === 0)
+    val ivf = Similarity.ivfTopK(q, emb, k = 10, nCentroids = 16, nProbe = 4)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val composed = Similarity.ivfSq8TopK(q, emb, k = 10, nCentroids = 16, nProbe = 4)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    // Same centroids, same probed lists — the only difference is the int8
+    // candidate scan + overFetch*k exact rescore, so the composed result
+    // must agree with plain IVF almost everywhere (quantization can only
+    // reorder candidates near the top-k boundary).
+    val agree = (ivf intersect composed).size.toDouble / ivf.size
+    assert(agree >= 0.9, s"agreement=$agree")
+  }
+
   test("vec_q8 codes are within half-step of the real quantizer; dot matches") {
     import graft.expressions.Int8Vec.{vecDotI8, vecQ8}
     val df = Seq((Seq(0.5f, -1.0f, 0.25f, 0.0f), Seq(1.0f, 1.0f, -1.0f, 0.5f)))
