@@ -83,6 +83,8 @@ object SparkEntry {
     "ev_interval_join" -> (EventQueries.intervalJoin _),
     "ev_retention" -> (EventQueries.retention _),
     "ev_session_window" -> (EventQueries.sessionWindow _),
+    "ev_outliers" -> (EventQueries.outliers _),
+    "ev_value_histogram" -> (EventQueries.valueHistogram _),
     // §2.5 dedup
     "dedup_exact" -> (TextQueries.dedupExactQ _),
     "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccardQ _),
@@ -112,6 +114,10 @@ object SparkEntry {
     "text_corpus_stats" -> (TextQueries.corpusStatsQ _),
     "text_by_source" -> (TextQueries.bySourceQ _),
     "text_sample_split" -> (TextQueries.sampleSplitQ _),
+    "text_bpe_vocab" -> (TextQueries.bpeVocabQ _),
+    "text_bpe_encode" -> (TextQueries.bpeEncodeQ _),
+    "text_decontaminate" -> (TextQueries.decontaminateQ _),
+    "text_mixture_resample" -> (TextQueries.mixtureResampleQ _),
     // §2.8 multimodal plumbing
     "mm_features" -> (VectorQueries.mmFeatures _),
     "mm_image_meta" -> (VectorQueries.mmImageMeta _),

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.{Window => W}
 import org.apache.spark.sql.functions._
 import graft.operators.Windows
@@ -150,6 +150,48 @@ object EventQueries {
       .agg(count(col("click_us")).as("n_clicks_1h"),
         min(col("click_us")).as("first_click_us"))
       .orderBy(col("event_id"))
+  }
+
+  /** Per-user 3-sigma outlier detection in EXACT integer arithmetic —
+    * the anomaly-screening pass a training-data pipeline runs over
+    * telemetry/label streams. |v - mean| > 3*sigma is algebraically
+    * rearranged to (n*v - s)^2 > 9*(n*ss - s^2) over integer cents, so
+    * there is NO division and NO double anywhere: the oracle derives
+    * bit-identical flags. Squares ride DECIMAL(38) (100 TB row counts
+    * cannot overflow). Two shuffles, both on user_id: the per-user
+    * moment aggregation (partial-agg friendly) and the join back. */
+  def outliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select(col("user_id"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long").as("v"))
+    val m = e.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n"),
+      sum(col("v")).as("s"),
+      sum((col("v") * col("v")).cast("decimal(38,0)")).as("ss"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val lhs = dec(col("n")) * dec(col("v")) - dec(col("s"))
+    val rhs = lit(9) * (dec(col("n")) * col("ss") - dec(col("s")) * dec(col("s")))
+    e.join(m, "user_id")
+      .withColumn("is_out", when(lhs * lhs > rhs, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("n_events"), sum(col("is_out")).as("n_outliers"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Equi-width value histogram in exact integer cents — the
+    * distribution-profile pass run before normalising a feature or
+    * picking outlier thresholds. Bucket lower bound is the true floor
+    * multiple via pmod (sign-safe: `v - pmod(v, w)` floors for negative
+    * values too, where `div` would truncate toward zero). One shuffle,
+    * ~n_buckets groups, fully partial-aggregated map-side — the profile
+    * of a 100 TB column costs one scan plus a tiny exchange. */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val w = lit(2000L) // $20 buckets
+    val e = events(spark, dir).select(
+      (col("value").cast("decimal(18,2)") * 100).cast("long").as("v"))
+    e.groupBy((col("v") - pmod(col("v"), w)).as("bucket_lo_cents"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("v")).as("min_cents"), max(col("v")).as("max_cents"))
+      .orderBy(col("bucket_lo_cents"))
   }
 
   /** Batch run of the streaming tumbling aggregation (same plan shape). */

@@ -24,6 +24,13 @@ object OracleSql {
     "list_distinct(list_transform(list_transform(range(1, greatest(len(w)-1, 1)), " +
       "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]), s -> " + rh("s") + "))"
 
+  /** Distinct word-8-gram shingle hashes (decontamination granularity);
+    * expects `w` = string_split(text,' '). */
+  val shingle8HashesFromW: String =
+    "list_distinct(list_transform(list_transform(range(1, greatest(len(w)-6, 1)), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || " +
+      "w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]), s -> " + rh("s") + "))"
+
   /** In-order double dot product of two float-list expressions. */
   def dot(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($a, $b), " +
@@ -737,6 +744,34 @@ object OracleSql {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
         |FROM t GROUP BY user_id, session_seq ORDER BY user_id, start_us""".stripMargin,
 
+    // Division-free 3-sigma: |v-mean|>3σ rearranged to (n·v−s)² > 9(n·ss−s²)
+    // over integer cents, so both engines derive bit-identical flags.
+    // HUGEINT here = Spark's DECIMAL(38,0) — both exact int128-class.
+    "ev_outliers" ->
+      """WITH e AS (
+        | SELECT user_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM events),
+        |m AS (
+        | SELECT user_id, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s,
+        |  CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS ss
+        | FROM e GROUP BY 1),
+        |j AS (
+        | SELECT e.user_id, m.n,
+        |  CAST(m.n AS HUGEINT) * e.v - m.s AS lhs,
+        |  9 * (CAST(m.n AS HUGEINT) * m.ss - CAST(m.s AS HUGEINT) * m.s) AS rhs
+        | FROM e JOIN m USING (user_id))
+        |SELECT user_id, MAX(n) AS n_events,
+        | CAST(SUM(CASE WHEN lhs * lhs > rhs THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Sign-safe floor bucketing: v - ((v % w + w) % w) == Spark's
+    // v - pmod(v, w) for negative cents too.
+    "ev_value_histogram" ->
+      """WITH e AS (
+        | SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM events)
+        |SELECT v - ((v % 2000 + 2000) % 2000) AS bucket_lo_cents,
+        | COUNT(*) AS n_events, MIN(v) AS min_cents, MAX(v) AS max_cents
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "ev_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |g AS (
@@ -813,6 +848,28 @@ object OracleSql {
         | COUNT(DISTINCT lang) AS n_langs,
         | CAST(MAX(length(text)) AS BIGINT) AS max_chars
         |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "text_decontaminate" ->
+      s"""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |d AS (SELECT doc_id, $shingle8HashesFromW AS sh FROM d0),
+         |e AS (SELECT doc_id AS eval_id, UNNEST(sh) AS h FROM d WHERE doc_id % 29 = 0),
+         |t AS (SELECT doc_id, UNNEST(sh) AS h FROM d WHERE doc_id % 29 <> 0)
+         |SELECT t.doc_id, COUNT(DISTINCT t.h) AS n_shared_ngrams,
+         | COUNT(DISTINCT e.eval_id) AS n_eval_docs
+         |FROM t JOIN e ON t.h = e.h GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_mixture_resample" ->
+      s"""WITH d AS (
+         | SELECT doc_id, source,
+         |  CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 2
+         |       WHEN source IN ('src5','src6','src7','src8','src9') THEN 1 ELSE 0 END
+         |  + CASE WHEN (${rh("text")} % 10000) <
+         |      (CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 5000
+         |            WHEN source IN ('src5','src6','src7','src8','src9') THEN 0 ELSE 4000 END)
+         |     THEN 1 ELSE 0 END AS n_copies
+         | FROM documents)
+         |SELECT doc_id, source, CAST(UNNEST(range(1, n_copies + 1)) AS BIGINT) AS copy
+         |FROM d WHERE n_copies >= 1 ORDER BY doc_id, copy""".stripMargin,
 
     "text_sample_split" ->
       s"""WITH h AS (

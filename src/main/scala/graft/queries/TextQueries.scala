@@ -127,6 +127,18 @@ object TextQueries {
       .toDF("term", "topk_count", "cms_count").orderBy(col("term"))
   }
 
+  /** BPE tokenizer-vocabulary training over the corpus: the learned
+    * merge table (rank, left, right, merged, pair_count). Statistics
+    * live on the Zipf-capped word-frequency table, one corpus scan
+    * total; each merge round is one pair-count argmax action + a
+    * map-only regexp merge (see operators/Bpe.scala). Rows-only driver
+    * check (iterative argmax isn't SQL-practical); BpeSpec asserts the
+    * merge sequence equals a plain in-memory reference BPE
+    * merge-for-merge, on both a handcrafted and the real corpus. */
+  def bpeVocabQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.mergeTable(spark, docs(spark, dir), nMerges = 16)
+      .orderBy(col("rank"))
+
   /** Whole-corpus statistics in one aggregation pass, including the
     * n_chars metadata-consistency check (cross-field data quality). */
   def corpusStatsQ(spark: SparkSession, dir: String): DataFrame =
@@ -178,6 +190,60 @@ object TextQueries {
       .withColumn("split", when(pmod(col("bucket"), lit(5L)) === 0, "test").otherwise("train"))
       .select(col("doc_id"), col("lang"), col("bucket"), col("split"))
       .orderBy(col("doc_id"))
+  }
+
+  /** ENCODE with the learned BPE merges (training + the map-only encode
+    * chain — see operators/Bpe.scala). Per-doc BPE token counts are the
+    * sizing signal a training pipeline feeds context packing with.
+    * Rows-only driver check; BpeSpec derives the expected counts from
+    * the reference trainer's final vocab state. */
+  def bpeEncodeQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    graft.operators.Bpe.encode(d,
+      graft.operators.Bpe.trainMerges(d, nMerges = 16)).orderBy(col("doc_id"))
+  }
+
+  /** Benchmark DECONTAMINATION: flag training documents sharing any
+    * word-8-gram with a held-out eval slice (doc_id ≡ 0 mod 29 stands
+    * in for the benchmark set). Both sides come from ONE corpus scan
+    * through the codegen'd shingle kernel; the join is an equijoin on
+    * 8-byte shingle hashes (the eval side is benchmark-sized, so AQE
+    * broadcasts it); output counts contaminated n-grams and eval docs
+    * hit per training doc. Hash-exact oracle (rolling hash replicated
+    * in SQL). */
+  def decontaminateQ(spark: SparkSession, dir: String): DataFrame = {
+    val sh = graft.expressions.ShingleHashes
+      .shingleHashesNative(spark, col("text"), 8)
+    val ex = docs(spark, dir).select(col("doc_id"), explode(sh).as("h"))
+    val evalSide = ex.where(pmod(col("doc_id"), lit(29L)) === 0)
+      .select(col("doc_id").as("eval_id"), col("h"))
+    ex.where(pmod(col("doc_id"), lit(29L)) =!= 0)
+      .join(evalSide, "h")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_shared_ngrams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic domain-mixture resampling: per-source target weights
+    * (src0-4 ×2.5 upsample, src5-9 keep, rest ×0.4 downsample) realised
+    * as integer copies + a hash-bucket fractional copy — no rand(), so
+    * the mixture is reproducible run-to-run and engine-to-engine.
+    * Map-only except the explode (bounded by the max rate); the op a
+    * pipeline uses to hit a training mixture across epochs. */
+  def mixtureResampleQ(spark: SparkSession, dir: String): DataFrame = {
+    val h = graft.expressions.RollingHash
+      .rollingHashNative(spark, col("text"), 31L, HashMod)
+    val up = col("source").isin("src0", "src1", "src2", "src3", "src4")
+    val keep = col("source").isin("src5", "src6", "src7", "src8", "src9")
+    val nBase = when(up, 2L).when(keep, 1L).otherwise(0L)
+    val fracBp = when(up, 5000L).when(keep, 0L).otherwise(4000L)
+    docs(spark, dir)
+      .withColumn("n_copies", nBase + when(pmod(h, lit(10000L)) < fracBp, 1L).otherwise(0L))
+      .where(col("n_copies") >= 1)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+      .orderBy(col("doc_id"), col("copy"))
   }
 
   /** Per-source corpus rollup (provenance dimension — the slice a

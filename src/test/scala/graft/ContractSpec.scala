@@ -14,9 +14,9 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query count matches the SURVEY inventory claim") {
-    // 94 query entries as of round 5 (round-4's 84 + the final six TPC-H
-    // shapes q2/q9/q11/q16/q20/q21 + ev_session_window + q_grouping_sets
-    // + ann_ivf_sq8 + knn_classify_ivf); update alongside SURVEY §2.
-    assert(SparkEntry.queries.size === 94, s"got ${SparkEntry.queries.size}")
+    // 100 query entries as of round 5 (round-4's 94 + text_bpe_vocab +
+    // text_bpe_encode + text_decontaminate + text_mixture_resample +
+    // ev_outliers + ev_value_histogram); update alongside SURVEY §2.
+    assert(SparkEntry.queries.size === 100, s"got ${SparkEntry.queries.size}")
   }
 }

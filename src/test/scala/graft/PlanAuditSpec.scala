@@ -102,6 +102,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("text_decontaminate: contamination join is a hash equijoin on shingle hashes") {
+    val p = plan(TextQueries.decontaminateQ(spark, Sf))
+    // train × eval must join on the 8-byte shingle hash — a cross
+    // product of corpus × benchmark n-grams would be quadratic.
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"contamination join degenerated:\n${p.take(600)}")
+    assert(p.contains("shingle_hashes"), "codegen'd shingle kernel missing")
+  }
+
+  test("ev_outliers: both shuffles key on user_id; moment agg has a partial phase") {
+    val p = plan(graft.queries.EventQueries.outliers(spark, Sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.split("HashAggregate").length >= 4, "expected partial+final moment phases")
+  }
+
+  test("ev_value_histogram: single partial-agg'd exchange, no join") {
+    val p = plan(graft.queries.EventQueries.valueHistogram(spark, Sf))
+    assert(p.split("HashAggregate").length >= 3, "expected partial+final aggregation")
+    assert(!p.contains("Join"), "histogram should not join")
+  }
+
   test("q_skew_agg: salted two-phase shape (partial agg keyed on salt)") {
     val p = plan(RelationalQueries.qSkewAgg(spark, Sf))
     // phase 1 groups on (l_returnflag, _salt): the heavy key is spread
