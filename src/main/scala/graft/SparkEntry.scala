@@ -118,6 +118,7 @@ object SparkEntry {
     "text_bpe_encode" -> (TextQueries.bpeEncodeQ _),
     "text_decontaminate" -> (TextQueries.decontaminateQ _),
     "text_mixture_resample" -> (TextQueries.mixtureResampleQ _),
+    "text_pack_contexts" -> (TextQueries.packContextsQ _),
     // §2.8 multimodal plumbing
     "mm_features" -> (VectorQueries.mmFeatures _),
     "mm_image_meta" -> (VectorQueries.mmImageMeta _),

@@ -31,8 +31,23 @@ object Bpe {
     * table; each round costs one aggregate action (pair argmax) and a
     * map-only merge application, with a lazy per-round checkpoint so
     * lineage stays flat. */
+  /** Per-JVM merge-table memo — tokenizer training is "train once,
+    * encode everywhere": vocab and encode queries over the same corpus
+    * share one training. Transparent because the merge sequence is
+    * deterministic (argmax with lexicographic tie-break over exact
+    * integer counts); keyed on the analyzed plan's semantic hash, so a
+    * different source/filter/partitioning retrains. */
+  private val mergeCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int, String, Int), Seq[(Int, String, String, String, Long)]]()
+
   def trainMerges(docs: DataFrame, nMerges: Int, textCol: String = "text",
-                  maxVocab: Int = 50000): Seq[(Int, String, String, String, Long)] = {
+                  maxVocab: Int = 50000): Seq[(Int, String, String, String, Long)] =
+    mergeCache.computeIfAbsent(
+      (docs.queryExecution.analyzed.semanticHash(), nMerges, textCol, maxVocab),
+      _ => trainMergesUncached(docs, nMerges, textCol, maxVocab))
+
+  private def trainMergesUncached(docs: DataFrame, nMerges: Int, textCol: String,
+                                  maxVocab: Int): Seq[(Int, String, String, String, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
     // One corpus scan: lowercase alpha words -> (word, freq), capped to

@@ -871,6 +871,17 @@ object OracleSql {
          |SELECT doc_id, source, CAST(UNNEST(range(1, n_copies + 1)) AS BIGINT) AS copy
          |FROM d WHERE n_copies >= 1 ORDER BY doc_id, copy""".stripMargin,
 
+    // Flat global-window reference of the two-level prefix-sum packing.
+    "text_pack_contexts" ->
+      """WITH d AS (
+        | SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (
+        | SELECT doc_id, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT) AS gofs FROM d)
+        |SELECT doc_id, n_tokens, CAST(gofs // 2048 AS BIGINT) AS bin,
+        | CAST(gofs % 2048 AS BIGINT) AS offset_in_bin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "text_sample_split" ->
       s"""WITH h AS (
          | SELECT doc_id, lang, ${rh("text")} % 100 AS bucket FROM documents)

@@ -246,6 +246,44 @@ object TextQueries {
       .orderBy(col("doc_id"), col("copy"))
   }
 
+  /** SEQUENCE PACKING: assign every document its (bin, offset) in the
+    * concat-and-split layout of fixed `budget`-token training contexts
+    * — the step between tokenization and batching in an LLM pipeline.
+    * A document's global token offset is a PREFIX SUM over doc_id
+    * order; the naive formulation (one window over the whole corpus)
+    * is a single-partition sort — the classic scale killer. This runs
+    * the textbook two-level scan instead:
+    *   1. within-part cumsum — window PARTITIONED by `doc_id div P`
+    *      (deterministic static ranges, parallel across parts);
+    *   2. per-part totals (tiny: one row per part) get their own
+    *      prefix sum on a single partition BOUNDED BY PART COUNT, not
+    *      corpus size (add a third level if parts themselves explode);
+    *   3. broadcast the part offsets back — map-only final arithmetic.
+    * All integer, so the oracle's flat global window derives identical
+    * bins. */
+  def packContextsQ(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    val partSize = 64L
+    val d = docs(spark, dir)
+      .select(col("doc_id"), wsTokenCount(col("text")).as("n_tokens"))
+      .withColumn("part", expr(s"doc_id div $partSize"))
+    val inPart = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("part")).orderBy(col("doc_id"))
+    val withCum = d.withColumn("cum_in_part",
+      sum(col("n_tokens")).over(inPart) - col("n_tokens"))
+    val overParts = org.apache.spark.sql.expressions.Window.orderBy(col("part"))
+    val offsets = d.groupBy(col("part")).agg(sum(col("n_tokens")).as("part_total"))
+      .withColumn("part_offset",
+        coalesce(sum(col("part_total")).over(overParts) - col("part_total"), lit(0L)))
+      .select(col("part"), col("part_offset"))
+    withCum.join(broadcast(offsets), "part")
+      .withColumn("gofs", col("part_offset") + col("cum_in_part"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"gofs div $budget").as("bin"),
+        pmod(col("gofs"), lit(budget)).as("offset_in_bin"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source corpus rollup (provenance dimension — the slice a
     * training-data pipeline filters/reweights by). */
   def bySourceQ(spark: SparkSession, dir: String): DataFrame =

@@ -14,9 +14,10 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query count matches the SURVEY inventory claim") {
-    // 100 query entries as of round 5 (round-4's 94 + text_bpe_vocab +
+    // 101 query entries as of round 5 (round-4's 94 + text_bpe_vocab +
     // text_bpe_encode + text_decontaminate + text_mixture_resample +
-    // ev_outliers + ev_value_histogram); update alongside SURVEY §2.
-    assert(SparkEntry.queries.size === 100, s"got ${SparkEntry.queries.size}")
+    // text_pack_contexts + ev_outliers + ev_value_histogram); update
+    // alongside SURVEY §2.
+    assert(SparkEntry.queries.size === 101, s"got ${SparkEntry.queries.size}")
   }
 }

@@ -123,6 +123,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "histogram should not join")
   }
 
+  test("text_pack_contexts: corpus-wide window is part-partitioned; only the tiny part-totals scan is single-partition") {
+    val p = plan(TextQueries.packContextsQ(spark, Sf))
+    // Two Window operators: the per-part cumsum (parallel) and the
+    // part-totals prefix sum (single partition, bounded by part count).
+    assert(p.split("Window").length >= 3, "expected two window operators")
+    assert(p.split("Exchange SinglePartition").length <= 2,
+      s"corpus-wide single-partition exchange crept in:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_skew_agg: salted two-phase shape (partial agg keyed on salt)") {
     val p = plan(RelationalQueries.qSkewAgg(spark, Sf))
     // phase 1 groups on (l_returnflag, _salt): the heavy key is spread
