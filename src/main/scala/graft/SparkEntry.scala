@@ -45,6 +45,7 @@ object SparkEntry {
     "q13_cust_distribution" -> (RelationalQueries.q13CustDistribution _),
     "q_rich_idle" -> (RelationalQueries.qRichIdle _),
     "q_skew_agg" -> (RelationalQueries.qSkewAgg _),
+    "q_skew_join" -> (RelationalQueries.qSkewJoin _),
     "q_full_outer" -> (RelationalQueries.qFullOuter _),
     "q_distinct_hll_sketch" -> (RelationalQueries.qDistinctHllSketch _),
     "text_term_freq_cms" -> (TextQueries.termFreqCmsQ _),
@@ -100,6 +101,7 @@ object SparkEntry {
     "ann_ivf" -> (VectorQueries.annIvf _),
     "ann_sq8" -> (VectorQueries.annSq8 _),
     "ann_ivf_sq8" -> (VectorQueries.annIvfSq8 _),
+    "ann_pq" -> (VectorQueries.annPq _),
     "knn_classify" -> (VectorQueries.knnClassify _),
     "knn_classify_lsh" -> (VectorQueries.knnClassifyLsh _),
     "knn_classify_ivf" -> (VectorQueries.knnClassifyIvf _),

@@ -316,6 +316,141 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("n_id"), col("n_label"), col("cos_micro"))
   }
 
+  /** Per-JVM PQ codebook memo (same contract as `centroidCache`:
+    * deterministic training, keyed on the analyzed plan + params). */
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int, Int, Long), Array[Array[Array[Float]]]]()
+
+  /** Product-quantization codebooks: `nSub` subspaces, each with its own
+    * `nCodes`-centroid k-means codebook trained by Lloyd iterations on a
+    * deterministic hash-bounded sample. Training is DRIVER-side over the
+    * bounded sample (the documented train-on-sample design: at 100 TB
+    * you never iterate Lloyd distributedly over 10^11 vectors; the
+    * sample collect is <= maxTrainRows rows once, and driver arithmetic
+    * is trivially bit-stable). Encoding and search stay distributed. */
+  def pqCodebooks(corpus: DataFrame, nSub: Int, nCodes: Int,
+                  kmeansIters: Int = 4, maxTrainRows: Long = 20000L): Array[Array[Array[Float]]] =
+    pqCache.computeIfAbsent(
+      (corpus.queryExecution.analyzed.semanticHash().toLong, nSub, nCodes, kmeansIters, maxTrainRows),
+      _ => trainPqCodebooks(corpus, nSub, nCodes, kmeansIters, maxTrainRows))
+
+  private def trainPqCodebooks(corpus: DataFrame, nSub: Int, nCodes: Int,
+                               kmeansIters: Int, maxTrainRows: Long): Array[Array[Array[Float]]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = corpus.where(
+        pmod(xxhash64(col("vec_id")), lit(TrainSampleMod(corpus, maxTrainRows))) === 0)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().sortBy(_._1).map(_._2.toArray)
+    require(sample.nonEmpty, "pq training sample is empty")
+    val dim = sample.head.length
+    require(dim % nSub == 0, s"dim=$dim not divisible by nSub=$nSub")
+    val subDim = dim / nSub
+    Array.tabulate(nSub) { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      // Seed from the first nCodes sample sub-vectors (sample is sorted
+      // by vec_id, so seeding is deterministic), then Lloyd with L2
+      // assignment; an emptied cluster keeps its previous centroid.
+      var cents = Array.tabulate(nCodes)(i => sub(i % sub.length).clone())
+      for (_ <- 0 until kmeansIters) {
+        val sums = Array.fill(nCodes, subDim)(0.0)
+        val counts = new Array[Long](nCodes)
+        sub.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < nCodes) {
+            var d = 0.0; var i = 0
+            while (i < subDim) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < subDim) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(nCodes) { c =>
+          if (counts(c) == 0) cents(c)
+          else Array.tabulate(subDim)(i => (sums(c)(i) / counts(c)).toFloat)
+        }
+      }
+      cents
+    }
+  }
+
+  /** Map-only PQ encoding: per subspace, the L2-nearest codebook entry.
+    * Codebooks are plan literals; dist^2 = |v|^2 - 2 v·c + |c|^2 ranks
+    * by (v·c - |c|^2/2), so the argmax runs on one fold per code. The
+    * code array is `nSub` small ints (stored as TINYINT at rest —
+    * `nSub` bytes per vector, a dim*4/nSub-fold compression of the
+    * scanned column: 32x at dim=64, nSub=8). */
+  private def pqEncode(spark: org.apache.spark.sql.SparkSession,
+                       vec: Column, books: Array[Array[Array[Float]]]): Column = {
+    val nSub = books.length
+    val subDim = books(0)(0).length
+    array(books.zipWithIndex.toSeq.map { case (book, s) =>
+      val sub = slice(vec, s * subDim + 1, subDim)
+      val scores = array(book.toSeq.map { cv =>
+        val halfNorm = cv.map(x => x.toDouble * x.toDouble).sum / 2.0
+        vecDot(spark, sub, typedLit(cv.toSeq)) - lit(halfNorm)
+      }: _*)
+      (array_position(scores, array_max(scores)) - 1).cast("int")
+    }: _*)
+  }
+
+  /** Product-quantization approximate top-k via asymmetric distance
+    * computation (ADC) — the memory-bandwidth scale path beyond SQ8:
+    * the corpus at scan time is `nSub` one-byte codes + one stored
+    * float norm per vector (~16 bytes/vector at nSub=8 vs 256 for the
+    * float32 embedding). Per query a lookup table
+    * LUT[s][c] = q_sub_s · codebook[s][c] is computed ONCE (map-only,
+    * literal codebooks), and each candidate's approximate dot is just
+    * `nSub` table lookups + adds (`zip_with` + `aggregate` over the
+    * code array) — O(nSub) per pair instead of O(dim). The
+    * `overFetch*k` shortlist is rescored exactly on the floats, so the
+    * final ordering is exact-cosine. Recall vs brute force is spec'd. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             nSub: Int = 8, nCodes: Int = 32, overFetch: Int = 8,
+             kmeansIters: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val books = pqCodebooks(corpus, nSub, nCodes, kmeansIters)
+    // Stored/hot corpus representation: codes + exact float norm.
+    val cq = corpus.select(col("vec_id").as("n_id"),
+      pqEncode(spark, col("embedding"), books).as("n_codes"),
+      vecDot(spark, col("embedding"), col("embedding")).as("n_n"))
+    // Per-query LUT: nSub x nCodes approximate-dot entries.
+    val lut = array(books.zipWithIndex.toSeq.map { case (book, s) =>
+      val subDim = book(0).length
+      val sub = slice(col("q_vec"), s * subDim + 1, subDim)
+      array(book.toSeq.map(cv => vecDot(spark, sub, typedLit(cv.toSeq))): _*)
+    }: _*)
+    val qq = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .withColumn("q_n", vecDot(spark, col("q_vec"), col("q_vec")))
+      .withColumn("lut", lut)
+    // ADC candidate scan: approx_dot = sum_s LUT[s][code_s].
+    val approxDot = aggregate(
+      zip_with(col("n_codes"), col("lut"),
+        (cd, l) => element_at(l, cd + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val wQ = Window.partitionBy(col("q_id")).orderBy(col("cos_pq_micro").desc, col("n_id"))
+    val shortlist = broadcast(qq.select(col("q_id"), col("q_n"), col("lut"))).crossJoin(cq)
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("cos_pq_micro",
+        floor(lit(1e6) * approxDot / (sqrt(col("q_n")) * sqrt(col("n_n")))).cast("long"))
+      .withColumn("q_rnk", row_number().over(wQ)).where(col("q_rnk") <= overFetch * k)
+      .select(col("q_id"), col("n_id"))
+    // Exact rescore of the shortlist on the float embeddings.
+    val cf = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
+      col("label").as("n_label"))
+      .withColumn("n_n", vecDot(spark, col("n_vec"), col("n_vec")))
+    val qf = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .withColumn("q_n", vecDot(spark, col("q_vec"), col("q_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_micro").desc, col("n_id"))
+    broadcast(shortlist).join(cf, "n_id").join(broadcast(qf), "q_id")
+      .withColumn("cos_micro",
+        cosMicro(spark, col("q_vec"), col("q_n"), col("n_vec"), col("n_n")))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"), col("n_label"), col("cos_micro"))
+  }
+
   /** LSH-bucketed embedding near-dup pairs — the scale path for the
     * exact all-pairs embedding dedup: only pairs sharing a hyperplane
     * bucket are scored, so the join is an equijoin on the bucket key

@@ -506,6 +506,14 @@ object OracleSql {
         | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Hot-key replication must be semantically invisible: the oracle is
+    // the PLAIN fact-dim join + groupBy the salted shape must equal.
+    "q_skew_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "ev_interval_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),

@@ -864,4 +864,29 @@ object RelationalQueries {
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
   }
+
+  /** Heavy-hitter fact⋈dim join through the hot-key-replicated shape
+    * (`Skew.replicatedJoin`): the dim rows for detected hot keys are
+    * replicated over `salts` buckets so no single reducer owns a whole
+    * heavy key's fact rows — the shape AQE's skew split can't produce
+    * when the dim is too large to broadcast whole. Hot keys come from a
+    * bounded detection pass (top-8 keys by fact frequency — the agg
+    * shuffles one count per distinct key with map-side partials; only 8
+    * rows reach the driver). Replication must be semantically
+    * invisible: the DuckDB oracle IS the plain join + groupBy. */
+  def qSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("li_cents"))
+    val ord = t(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val hotKeys = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("l_orderkey")).limit(8)
+      .select(col("l_orderkey")).as[Long].collect().toSeq
+    graft.operators.Skew.replicatedJoin(li, ord, "l_orderkey", salts = 16, hotKeys)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("li_cents")).as("sum_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
 }

@@ -64,6 +64,18 @@ object VectorQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Product-quantized (PQ/ADC) approximate top-10 (same query set as
+    * ann_bruteforce): the candidate scan runs over nSub one-byte codes
+    * per vector via per-query lookup tables — O(nSub) per pair instead
+    * of O(dim), ~16 bytes scanned per corpus vector vs 256 — and only
+    * the shortlist is rescored exactly. Recall vs brute force is spec'd
+    * in SimilaritySpec. */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir)
+    Similarity.pqTopK(all.where(col("vec_id") % 100 === 0), all, k = 10)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** IVF-bucketed kNN (k=5) classification — the data-adaptive-bucket
     * twin of knn_classify_lsh (votes over probed centroid lists).
     * Agreement with the exact classifier is spec'd in SimilaritySpec. */

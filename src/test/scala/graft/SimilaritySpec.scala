@@ -109,6 +109,30 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getLong(2) === (64L * 127 + (-127L) * 127 + 32L * (-127) + 0L * 64))
   }
 
+  test("PQ top-k recall@10 is well above the random-shortlist baseline") {
+    val q = emb.where(col("vec_id") % 100 === 0)
+    val bf = Similarity.bruteForceTopK(q, emb, k = 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(q, emb, k = 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect pq).size.toDouble / bf.size
+    // PQ scans every vector but ranks on nSub=8 one-byte codes; a RANDOM
+    // overFetch*k=80-row shortlist from the ~2000-vector corpus would
+    // recall ~4% of the true top-10. The ADC ranking must concentrate
+    // true neighbors far above that (measured ~0.7 on the near-uniform
+    // synthetic embeddings; real clustered corpora rank higher).
+    assert(recall >= 0.4, s"recall=$recall")
+  }
+
+  test("PQ codebooks are bit-stable across input partitionings") {
+    // Training reads a hash-stable sample sorted by vec_id on the
+    // driver, so neither partition count nor row order may change a bit.
+    val b1 = Similarity.pqCodebooks(emb.repartition(1), nSub = 8, nCodes = 16)
+    val b13 = Similarity.pqCodebooks(
+      emb.repartition(13, col("vec_id")), nSub = 8, nCodes = 16)
+    assert(b1.map(_.map(_.toSeq).toSeq).toSeq === b13.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
   test("k-means centroids are bit-stable across input partitionings") {
     // The Lloyd mean is a fixed-point integer sum, so neither partition
     // count nor row order may change a single centroid bit.
