@@ -46,6 +46,7 @@ object SparkEntry {
     "q_rich_idle" -> (RelationalQueries.qRichIdle _),
     "q_skew_agg" -> (RelationalQueries.qSkewAgg _),
     "q_skew_join" -> (RelationalQueries.qSkewJoin _),
+    "q_bloom_semi" -> (RelationalQueries.qBloomSemi _),
     "q_full_outer" -> (RelationalQueries.qFullOuter _),
     "q_distinct_hll_sketch" -> (RelationalQueries.qDistinctHllSketch _),
     "text_term_freq_cms" -> (TextQueries.termFreqCmsQ _),

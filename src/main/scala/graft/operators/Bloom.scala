@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter semi-join pruning — the 100 TB shuffle reducer for
+  * fact⋈dim joins whose dim is too large to broadcast as ROWS but whose
+  * KEY SET fits a few hundred KB of bits: build a Bloom filter over the
+  * dim keys, filter the fact scan with it BEFORE the shuffle, then run
+  * the real join to remove the false positives. The result is exactly
+  * the plain join (Bloom filters have no false negatives — spec'd), but
+  * the fact side shuffles only rows whose key *might* match, cutting
+  * shuffled bytes by the selectivity of the dim key set at ~1% false
+  * positive overhead.
+  *
+  * This is the user-facing twin of Spark's own runtime row-level
+  * filtering (`spark.sql.optimizer.runtime.bloomFilter.enabled`), which
+  * only triggers on selective scan filters the optimizer can see; here
+  * the build side can be ANY DataFrame (an aggregate, yesterday's hot
+  * keys, a dedup survivor set), and the filter composes with every join
+  * type downstream.
+  *
+  * Everything stays in whole-stage codegen: bit positions come from
+  * `nHashes` salted `xxhash64` calls, the build is an explode +
+  * `bit_or` aggregation over (word, mask) pairs (shuffles at most
+  * nBits/64 rows, with map-side partial OR), and the probe tests bits
+  * against the bitset compiled into the plan as an array literal —
+  * no UDF, no driver-side row loop (the bitset collect is bounded by
+  * nBits/64 longs, e.g. 16 KiB at nBits=2^17, the same order as the
+  * broadcast Spark's runtime filter ships).
+  */
+object Bloom {
+
+  /** Bit positions for a key: h_i = xxhash64(key, i) mod nBits. Salting
+    * by the hash index makes the nHashes probes independent. */
+  private def positions(key: Column, nBits: Int, nHashes: Int): Seq[Column] =
+    (0 until nHashes).map(i => pmod(xxhash64(key, lit(i)), lit(nBits.toLong)))
+
+  /** Build the bitset for the distinct keys of `build(keyCol)`:
+    * Array[Long] of length nBits/64, little-endian bit order within a
+    * word. Distributed OR-aggregation; only the finished words reach
+    * the driver. */
+  def buildBitset(build: DataFrame, keyCol: String,
+                  nBits: Int = 1 << 17, nHashes: Int = 3): Array[Long] = {
+    require(nBits % 64 == 0, s"nBits=$nBits must be a multiple of 64")
+    val spark = build.sparkSession
+    import spark.implicits._
+    val words = build.select(explode(array(
+        positions(col(keyCol), nBits, nHashes): _*)).as("pos"))
+      .select((col("pos") / 64).cast("int").as("word"),
+        // functions.shiftleft only takes a literal shift; the SQL
+        // function accepts a column one.
+        call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int")).as("mask"))
+      .groupBy(col("word")).agg(bit_or(col("mask")).as("bits"))
+      .as[(Int, Long)].collect()
+    val bitset = new Array[Long](nBits / 64)
+    words.foreach { case (w, b) => bitset(w) = b }
+    bitset
+  }
+
+  /** Membership test against a bitset literal: true iff every salted
+    * hash position is set. False positives possible (rate ~(1-e^{-kn/m})^k),
+    * false negatives never. */
+  def mightContain(key: Column, bitset: Array[Long], nHashes: Int = 3): Column = {
+    val nBits = bitset.length * 64
+    val bitsetLit = typedLit(bitset.toSeq)
+    positions(key, nBits, nHashes).map { pos =>
+      (element_at(bitsetLit, (pos / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int")))) =!= 0L
+    }.reduce(_ && _)
+  }
+
+  /** Fact rows whose `factKey` passes the Bloom filter built over
+    * `build(buildKey)`'s keys — the pre-shuffle pruning step. Apply the
+    * real join afterwards for exact semantics. */
+  def prune(fact: DataFrame, factKey: String,
+            build: DataFrame, buildKey: String,
+            nBits: Int = 1 << 17, nHashes: Int = 3): DataFrame =
+    fact.where(mightContain(col(factKey),
+      buildBitset(build, buildKey, nBits, nHashes), nHashes))
+}

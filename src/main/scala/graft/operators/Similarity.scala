@@ -425,11 +425,15 @@ object Similarity {
     val qq = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       .withColumn("q_n", vecDot(spark, col("q_vec"), col("q_vec")))
       .withColumn("lut", lut)
-    // ADC candidate scan: approx_dot = sum_s LUT[s][code_s].
-    val approxDot = aggregate(
-      zip_with(col("n_codes"), col("lut"),
-        (cd, l) => element_at(l, cd + 1)),
-      lit(0.0), (acc, x) => acc + x)
+    // ADC candidate scan: approx_dot = sum_s LUT[s][code_s]. Unrolled
+    // over the (small, compile-time) nSub as plain element_at sums —
+    // higher-order array functions (zip_with/aggregate) run their
+    // lambdas interpreted per pair, which dominated the scan; the
+    // unrolled form stays in whole-stage codegen.
+    val approxDot = (0 until nSub).map { s =>
+      element_at(element_at(col("lut"), s + 1),
+        element_at(col("n_codes"), s + 1) + 1)
+    }.reduce(_ + _)
     val wQ = Window.partitionBy(col("q_id")).orderBy(col("cos_pq_micro").desc, col("n_id"))
     val shortlist = broadcast(qq.select(col("q_id"), col("q_n"), col("lut"))).crossJoin(cq)
       .where(col("q_id") =!= col("n_id"))

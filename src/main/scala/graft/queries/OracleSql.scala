@@ -506,6 +506,17 @@ object OracleSql {
         | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Bloom pruning must be semantically invisible (no false
+    // negatives): the oracle is the PLAIN semi join + aggregate.
+    "q_bloom_semi" ->
+      """SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
+        | COUNT(*) AS n_lines,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Hot-key replication must be semantically invisible: the oracle is
     // the PLAIN fact-dim join + groupBy the salted shape must equal.
     "q_skew_join" ->

@@ -889,4 +889,24 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_lines"), sum(col("li_cents")).as("sum_cents"))
       .orderBy(col("o_orderpriority"))
   }
+
+  /** Semi join through Bloom-filter pre-shuffle pruning
+    * (`Bloom.prune`): the fact scan is filtered by a bitset built over
+    * the dim's key set BEFORE the shuffle, then the real semi join
+    * removes the ~1% false positives — so only might-match fact rows
+    * shuffle at all. The oracle is the PLAIN semi join + aggregate:
+    * Bloom pruning must be semantically invisible (no false
+    * negatives). Per-month breakdown keeps the comparison multi-row. */
+  def qBloomSemi(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate"))
+    val urgent = t(spark, dir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    graft.operators.Bloom.prune(li, "l_orderkey", urgent, "o_orderkey")
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(year(col("l_shipdate")).cast("int").as("ship_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("long").as("sum_qty"))
+      .orderBy(col("ship_year"))
+  }
 }

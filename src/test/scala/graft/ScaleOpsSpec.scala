@@ -29,6 +29,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(repl === plain)
   }
 
+  test("bloom prune keeps every true match (no false negatives) at low FPP") {
+    import graft.operators.Bloom
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet").select("l_orderkey")
+    val urgent = spark.read.parquet(s"$Sf/orders.parquet")
+      .where(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val trueKeys = urgent.as[Long].collect().toSet
+    val pruned = Bloom.prune(li, "l_orderkey", urgent, "o_orderkey")
+      .select("l_orderkey").as[Long].collect()
+    // no false negatives: every fact row whose key IS in the build set
+    // must survive the pruning
+    val trueMatches = li.as[Long].collect().filter(trueKeys.contains)
+    assert(pruned.count(trueKeys.contains) === trueMatches.length)
+    // false-positive rate over the NON-matching keys stays near the
+    // design point (k=3, n≈|urgent|, m=2^17 → well under 1%)
+    val nonMatch = pruned.filterNot(trueKeys.contains).length.toDouble
+    val nonMatchTotal = li.as[Long].collect().count(!trueKeys.contains(_)).toDouble
+    assert(nonMatch / nonMatchTotal < 0.05, s"fpp=${nonMatch / nonMatchTotal}")
+    // and the pruning actually prunes: survivors are a strict subset
+    assert(pruned.length < li.count())
+  }
+
   test("upsert merges latest-wins and rewrites only touched partitions") {
     import graft.sinks.UpsertWriter
     val lake = java.nio.file.Files.createTempDirectory("upsertlake").toFile.getAbsolutePath + "/t"
