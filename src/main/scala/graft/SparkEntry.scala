@@ -91,6 +91,7 @@ object SparkEntry {
     "dedup_exact" -> (TextQueries.dedupExactQ _),
     "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccardQ _),
     "dedup_survivors" -> (TextQueries.dedupSurvivorsQ _),
+    "dedup_survivors_inc" -> (TextQueries.dedupSurvivorsIncQ _),
     "dedup_corpus" -> (TextQueries.dedupCorpusQ _),
     "dedup_minhash" -> (TextQueries.dedupMinhashQ _),
     "dedup_simhash" -> (TextQueries.dedupSimhashQ _),

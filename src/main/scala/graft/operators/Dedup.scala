@@ -166,6 +166,30 @@ object Dedup {
     * plan is the keyed shuffle join and AQE upgrades it to a broadcast
     * at runtime when the set turns out small. This is the operator a
     * training-data pipeline actually writes back to the lake. */
+  /** Incremental connected components — fold a BATCH of new edges into
+    * stored (id, comp) labels without recomputing the historical graph.
+    * Prior labels enter as depth-1 star edges (member → component min):
+    * the already-contracted form of the old graph, so the iteration
+    * contracts in O(log batch) rounds regardless of history size and
+    * the old graph's full edge list is never re-read — at 100 TB a
+    * daily dedup folds each ingest batch's candidate pairs into the
+    * stored survivor map at cost ∝ batch, like the stored-signature
+    * MinHash path feeding it. Labels stay canonical (component = min
+    * id) because component minima are real node ids, so the result is
+    * EXACTLY the full recompute over (old ∪ new) edges (spec'd; the
+    * driver query's oracle is the full-graph recursive CTE). */
+  def incrementalComponents(priorLabels: DataFrame, newEdges: DataFrame): DataFrame = {
+    val star = priorLabels.where(col("id") =!= col("comp"))
+      .select(col("id").as("id1"), col("comp").as("id2"))
+    val merged = connectedComponents(
+      star.unionAll(newEdges.select(col("id1"), col("id2"))))
+    // True singletons (size-1 components) have no star edge; carry the
+    // ones the new batch didn't touch.
+    val untouched = priorLabels.where(col("id") === col("comp"))
+      .join(merged, Seq("id"), "left_anti")
+    merged.unionAll(untouched)
+  }
+
   def dedupedCorpus(docsDf: DataFrame, pairs: DataFrame,
                     idCol: String = "doc_id"): DataFrame = {
     val losers = connectedComponents(pairs)

@@ -944,6 +944,14 @@ object OracleSql {
          |FROM nodes n LEFT JOIN reach r ON r.src = n.id
          |GROUP BY n.id ORDER BY doc_id""".stripMargin,
 
+    // Incremental fold-in must equal the full recompute: the oracle is
+    // IDENTICAL to dedup_survivors (full-graph reachability).
+    "dedup_survivors_inc" ->
+      s"""$nearDupCc
+         |SELECT n.id AS doc_id, LEAST(n.id, MIN(r.dst)) AS canonical
+         |FROM nodes n LEFT JOIN reach r ON r.src = n.id
+         |GROUP BY n.id ORDER BY doc_id""".stripMargin,
+
     // same component semantics as dedup_survivors, then the corpus
     // filter: a document survives iff it is its component's minimum
     // (or in no component at all)

@@ -309,6 +309,24 @@ object TextQueries {
       .select(col("id").as("doc_id"), col("comp").as("canonical"))
       .orderBy(col("doc_id"))
 
+  /** Incremental survivor assignment: the candidate pairs are split
+    * deterministically into a "historical" half and a "new batch" half,
+    * the historical half is resolved to (id, comp) labels, and the
+    * batch half is FOLDED IN via `Dedup.incrementalComponents` — prior
+    * labels re-enter as depth-1 star edges, so the merge contracts in
+    * O(log batch) rounds without re-reading history. The oracle is the
+    * FULL-graph recursive CTE (same as dedup_survivors): incremental
+    * maintenance must be semantically invisible. */
+  def dedupSurvivorsIncQ(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(docs(spark, dir), tauBp = 6000L)
+      .select(col("id1"), col("id2")).localCheckpoint(true)
+    val isOld = pmod(xxhash64(col("id1"), col("id2")), lit(2L)) === 0L
+    val prior = Dedup.connectedComponents(pairs.where(isOld))
+    Dedup.incrementalComponents(prior, pairs.where(!isOld))
+      .select(col("id").as("doc_id"), col("comp").as("canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The deduplicated corpus (pipeline terminal): exact near-dup pairs
     * -> connected components -> LEFT ANTI join of the non-canonical
     * members. What a dedup stage actually writes back to the lake;

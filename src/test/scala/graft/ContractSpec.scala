@@ -14,10 +14,8 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query count matches the SURVEY inventory claim") {
-    // 101 query entries as of round 5 (round-4's 94 + text_bpe_vocab +
-    // text_bpe_encode + text_decontaminate + text_mixture_resample +
-    // text_pack_contexts + ev_outliers + ev_value_histogram); update
-    // alongside SURVEY §2.
-    assert(SparkEntry.queries.size === 101, s"got ${SparkEntry.queries.size}")
+    // 105 query entries as of late round 5 (101 + ann_pq + q_skew_join
+    // + q_bloom_semi + dedup_survivors_inc); update alongside SURVEY §2.
+    assert(SparkEntry.queries.size === 105, s"got ${SparkEntry.queries.size}")
   }
 }

@@ -85,6 +85,24 @@ class DedupSpec extends SparkSpec {
     assert(cc.forall(_._2 == 1L), s"unresolved labels: ${cc.filter(_._2 != 1L).take(5).toSeq}")
   }
 
+  test("incrementalComponents equals full recompute (merge, extend, singleton carry)") {
+    // Old graph: {1,2,3} (min 1), {7,9} (min 7), singleton {20}.
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (7L, 9L), (20L, 20L)).toDF("id1", "id2")
+    val prior = Dedup.connectedComponents(oldEdges)
+    // New batch: EXTENDS {1..3} with 4, MERGES {1..3} and {7,9} via
+    // (3,7), and adds a brand-new pair (30,31). Singleton 20 untouched.
+    val newEdges = Seq((3L, 4L), (3L, 7L), (30L, 31L)).toDF("id1", "id2")
+    val inc = Dedup.incrementalComponents(prior, newEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.connectedComponents(
+        oldEdges.unionAll(Seq((3L, 4L), (3L, 7L), (30L, 31L)).toDF("id1", "id2")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === full)
+    assert(inc(9L) === 1L, "merged component must relabel to the global min")
+    assert(inc(20L) === 20L, "untouched singleton must be carried over")
+    assert(inc(31L) === 30L)
+  }
+
   test("simhash flags identical docs at hamming 0") {
     val pairs = Dedup.simhashPairs(docs, maxDist = 3)
       .select("id1", "id2", "hamming").as[(Long, Long, Long)].collect()

@@ -141,4 +141,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.split("HashAggregate").length >= 4, // partial+final per phase
       "expected two aggregation phases")
   }
+
+  test("q_skew_join: salted equijoin on (key, salt), never a cartesian") {
+    val p = plan(RelationalQueries.qSkewJoin(spark, Sf))
+    assert(p.contains("_salt"), "fact-side salt missing from the plan")
+    assert(p.contains("_dim_salt"), "dim-side salt explode missing")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_bloom_semi: bitset filter sits on the fact scan below the semi join") {
+    val p = plan(RelationalQueries.qBloomSemi(spark, Sf))
+    assert(p.contains("LeftSemi"), "real semi join must remain")
+    // The membership test (element_at against the bitset literal) must
+    // be a Filter on the fact side BEFORE the join — i.e. appear after
+    // the join node in the plan's top-down text.
+    val joinAt = p.indexOf("LeftSemi")
+    val filterAt = p.indexOf("element_at")
+    assert(filterAt > joinAt, "bloom filter must be below (inside) the join subtree")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
