@@ -112,6 +112,7 @@ object SparkEntry {
     "text_quality" -> (TextQueries.qualityQ _),
     "text_tokens" -> (TextQueries.tokensQ _),
     "text_fingerprint" -> (TextQueries.fingerprintQ _),
+    "text_repetition" -> (TextQueries.repetitionQ _),
     "text_tfidf" -> (TextQueries.tfidfQ _),
     "text_normalize" -> (TextQueries.normalizeQ _),
     "text_redact" -> (TextQueries.redactQ _),

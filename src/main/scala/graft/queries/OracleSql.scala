@@ -833,6 +833,20 @@ object OracleSql {
         | CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // per-doc duplicate-bigram fraction; both engines build the bigram
+    // list from the same single-space split and divide as doubles
+    "text_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id,
+        |  list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bg
+        | FROM d)
+        |SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_bigrams,
+        | CAST(len(bg) - len(list_distinct(bg)) AS BIGINT) AS n_repeated,
+        | CAST(CASE WHEN len(bg) > 0 THEN
+        |   FLOOR(10000.0 * (len(bg) - len(list_distinct(bg))) / len(bg))
+        |  ELSE 0 END AS BIGINT) AS rep_bp
+        |FROM b ORDER BY doc_id""".stripMargin,
+
     "text_fingerprint" ->
       s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
          |SELECT doc_id, ${rh("text")} AS fp,

@@ -881,7 +881,14 @@ object RelationalQueries {
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("li_cents"))
     val ord = t(spark, dir, "orders")
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-    val hotKeys = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+    // Hot-key detection on a deterministic 1-in-8 hash sample: heavy
+    // hitters survive any uniform sample, and at 100 TB the detection
+    // pass must not itself shuffle a count for every distinct key of
+    // the full fact. (Which keys are picked cannot affect the answer —
+    // replication is semantically invisible — only the skew spread.)
+    val hotKeys = li
+      .where(pmod(xxhash64(col("l_orderkey"), col("li_cents")), lit(8L)) === 0L)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("l_orderkey")).limit(8)
       .select(col("l_orderkey")).as[Long].collect().toSeq
     graft.operators.Skew.replicatedJoin(li, ord, "l_orderkey", salts = 16, hotKeys)

@@ -46,6 +46,31 @@ object TextQueries {
       regexTokenCount(col("text")).as("bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Repetition quality signal (the Gopher-style duplicate-n-gram
+    * filter a training-data pipeline gates on): per document, the
+    * fraction of word bigrams that are repeats of an earlier bigram in
+    * the SAME document, as integer basis points. Map-only and O(doc
+    * length) per row — the per-doc arrays never leave their row, so
+    * nothing but (doc_id, 3 longs) shuffles for the final sort. */
+  def repetitionQ(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val n = size(words)
+    val bigrams = zip_with(
+      slice(words, lit(1), greatest(n - 1, lit(0))),
+      slice(words, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    docs(spark, dir)
+      .select(col("doc_id"), bigrams.as("bg"))
+      .select(col("doc_id"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        (size(col("bg")) - size(array_distinct(col("bg")))).cast("long").as("n_repeated"))
+      .withColumn("rep_bp",
+        when(col("n_bigrams") > 0,
+          floor(lit(10000.0) * col("n_repeated") / col("n_bigrams")).cast("long"))
+          .otherwise(lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+
   def fingerprintQ(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       col("doc_id"),

@@ -14,8 +14,9 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query count matches the SURVEY inventory claim") {
-    // 105 query entries as of late round 5 (101 + ann_pq + q_skew_join
-    // + q_bloom_semi + dedup_survivors_inc); update alongside SURVEY §2.
-    assert(SparkEntry.queries.size === 105, s"got ${SparkEntry.queries.size}")
+    // 106 query entries as of late round 5 (101 + ann_pq + q_skew_join
+    // + q_bloom_semi + dedup_survivors_inc + text_repetition); update
+    // alongside SURVEY §2.
+    assert(SparkEntry.queries.size === 106, s"got ${SparkEntry.queries.size}")
   }
 }
