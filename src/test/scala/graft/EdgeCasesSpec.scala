@@ -82,4 +82,33 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(docs, 0L).count() === 0)
     assert(Dedup.minhashPairs(docs, 0L).count() === 0)
   }
+
+  test("bloom prune with an empty build side drops every fact row") {
+    import graft.operators.Bloom
+    val fact = Seq(1L, 2L, 3L).toDF("k")
+    val emptyDim = Seq.empty[Long].toDF("k")
+    // all-zero bitset => no key can pass; the (empty) real join agrees
+    assert(Bloom.prune(fact, "k", emptyDim, "k", nBits = 1024).count() === 0)
+  }
+
+  test("incrementalComponents with an empty batch reproduces the prior labels") {
+    val prior = Dedup.connectedComponents(Seq((1L, 2L), (2L, 3L), (9L, 9L)).toDF("id1", "id2"))
+    val noNew = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    val out = Dedup.incrementalComponents(prior, noNew)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = prior.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === want)
+  }
+
+  test("pqTopK works when the corpus is smaller than the codebook size") {
+    import graft.operators.Similarity
+    val rows = (0L until 6L).map(i =>
+      (i, Seq.tabulate(8)(j => (i + j).toFloat), i % 2))
+    val tiny = rows.toDF("vec_id", "embedding", "label")
+    // nCodes=16 > 6 sample vectors: seeding wraps, training must not
+    // throw, and every query still gets k results from the rescore.
+    val out = Similarity.pqTopK(tiny.where(col("vec_id") === 0), tiny, k = 2,
+      nSub = 4, nCodes = 16, overFetch = 4)
+    assert(out.count() === 2)
+  }
 }
