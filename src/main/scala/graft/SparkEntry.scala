@@ -107,6 +107,7 @@ object SparkEntry {
     "knn_classify" -> (VectorQueries.knnClassify _),
     "knn_classify_lsh" -> (VectorQueries.knnClassifyLsh _),
     "knn_classify_ivf" -> (VectorQueries.knnClassifyIvf _),
+    "vec_label_centroid" -> (VectorQueries.labelCentroid _),
     // §2.7 text analysis
     "text_lang_id" -> (TextQueries.langIdQ _),
     "text_quality" -> (TextQueries.qualityQ _),

@@ -978,6 +978,20 @@ object OracleSql {
          |WHERE doc_id NOT IN (SELECT id FROM losers)
          |ORDER BY doc_id""".stripMargin,
 
+    // per-label dense centroid: both engines sum round(x*2^24) longs
+    // (order-independent), then apply the IDENTICAL double division
+    // chain for the floor micro-unit mean
+    "vec_label_centroid" ->
+      """WITH x AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+        |  unnest(embedding) AS val FROM embeddings),
+        |a AS (SELECT label, pos,
+        |  CAST(SUM(CAST(ROUND(CAST(val AS DOUBLE) * 16777216.0) AS BIGINT)) AS BIGINT) AS sum_fp,
+        |  COUNT(*) AS n
+        | FROM x GROUP BY 1, 2)
+        |SELECT CAST(label AS INT) AS label, CAST(pos AS INT) AS pos, sum_fp, n,
+        | CAST(FLOOR(CAST(sum_fp AS DOUBLE) / 16777216.0 / n * 1000000.0) AS BIGINT) AS mean_micro
+        |FROM a ORDER BY label, pos""".stripMargin,
+
     "dedup_embedding" ->
       s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
          |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -102,6 +102,25 @@ object VectorQueries {
       .orderBy(col("q_id"))
   }
 
+  /** Per-label dense centroid (class prototypes / cluster stats): one
+    * posexplode + hash aggregation on (label, pos) with map-side
+    * partial combine, so the shuffle carries n_labels*dim partial sums
+    * per task, never rows. Sums ride order-independent fixed-point
+    * longs (round(x * 2^24)) — the same mechanism that makes the
+    * k-means Lloyd mean bit-stable — so the result is exact and
+    * engine-agnostic; the mean is emitted as floor micro-units. */
+  def labelCentroid(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(round(col("col").cast("double") * lit(16777216.0)).cast("long")).as("sum_fp"),
+        count(lit(1)).as("n"))
+      .select(col("label").cast("int").as("label"), col("pos").cast("int").as("pos"),
+        col("sum_fp"), col("n"),
+        floor(col("sum_fp").cast("double") / lit(16777216.0) / col("n") * lit(1000000.0))
+          .cast("long").as("mean_micro"))
+      .orderBy(col("label"), col("pos"))
+
   /** Top-20 most cosine-similar embedding pairs (embedding near-dup
     * detection; exact — the LSH-bucketed variant covers scale). */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
