@@ -230,13 +230,18 @@ object Similarity {
     val qq = queries.select(col("vec_id").as("q_id"),
         vecQ8(spark, col("embedding")).as("q_q"))
       .withColumn("q_qn", vecDotI8(spark, col("q_q"), col("q_q")))
-    val wQ = Window.partitionBy(col("q_id")).orderBy(col("cos_q_micro").desc, col("n_id"))
-    val shortlist = broadcast(qq).crossJoin(cq)
+    // Shortlist selection through the NATIVE top-k operator: partial
+    // per-partition heaps keep at most overFetch*k candidates per
+    // (query, partition) before the exchange — the Window formulation
+    // would shuffle EVERY scored candidate to rank it.
+    val scoredQ = broadcast(qq).crossJoin(cq)
       .where(col("q_id") =!= col("n_id"))
       .withColumn("cos_q_micro",
         floor(lit(1e6) * (vecDotI8(spark, col("q_q"), col("n_q")).cast("double") /
           (sqrt(col("q_qn").cast("double")) * sqrt(col("n_qn").cast("double"))))).cast("long"))
-      .withColumn("q_rnk", row_number().over(wQ)).where(col("q_rnk") <= overFetch * k)
+      .select(col("q_id"), col("n_id"), col("cos_q_micro"))
+    val shortlist = graft.operators.Windows.topKPerGroupNative(scoredQ, overFetch * k,
+        Seq(col("q_id")), Seq(col("cos_q_micro").desc, col("n_id")))
       .select(col("q_id"), col("n_id"))
     // Exact rescore of the shortlist on the float embeddings.
     val cf = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
@@ -434,12 +439,15 @@ object Similarity {
       element_at(element_at(col("lut"), s + 1),
         element_at(col("n_codes"), s + 1) + 1)
     }.reduce(_ + _)
-    val wQ = Window.partitionBy(col("q_id")).orderBy(col("cos_pq_micro").desc, col("n_id"))
-    val shortlist = broadcast(qq.select(col("q_id"), col("q_n"), col("lut"))).crossJoin(cq)
+    // Native top-k shortlist (see sq8TopK): per-partition partial heaps
+    // instead of shuffling every ADC-scored candidate through a Window.
+    val scoredQ = broadcast(qq.select(col("q_id"), col("q_n"), col("lut"))).crossJoin(cq)
       .where(col("q_id") =!= col("n_id"))
       .withColumn("cos_pq_micro",
         floor(lit(1e6) * approxDot / (sqrt(col("q_n")) * sqrt(col("n_n")))).cast("long"))
-      .withColumn("q_rnk", row_number().over(wQ)).where(col("q_rnk") <= overFetch * k)
+      .select(col("q_id"), col("n_id"), col("cos_pq_micro"))
+    val shortlist = graft.operators.Windows.topKPerGroupNative(scoredQ, overFetch * k,
+        Seq(col("q_id")), Seq(col("cos_pq_micro").desc, col("n_id")))
       .select(col("q_id"), col("n_id"))
     // Exact rescore of the shortlist on the float embeddings.
     val cf = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),

@@ -882,6 +882,18 @@ object OracleSql {
         | CAST(MAX(length(text)) AS BIGINT) AS max_chars
         |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
 
+    // per-source distinct 8-gram sets share the decontamination hash
+    // family; COUNT(*) over the equijoin of two DISTINCT (source, h)
+    // sides counts distinct shared fingerprints per pair
+    "text_source_overlap" ->
+      s"""WITH d0 AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+         |d AS (SELECT source, $shingle8HashesFromW AS sh FROM d0),
+         |s AS (SELECT DISTINCT source, UNNEST(sh) AS h FROM d)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         | COUNT(*) AS n_shared_ngrams
+         |FROM s a JOIN s b ON a.h = b.h AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "text_decontaminate" ->
       s"""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |d AS (SELECT doc_id, $shingle8HashesFromW AS sh FROM d0),

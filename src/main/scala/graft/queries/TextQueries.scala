@@ -352,6 +352,25 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-source contamination matrix: for every source pair, the
+    * number of distinct 8-gram fingerprints present in BOTH sources —
+    * the train/eval overlap report a data curator reads before mixing
+    * corpora. Scale shape is the inverted index again: distinct
+    * (source, hash) rows (one shuffle with map-side partials), then an
+    * equijoin on the 8-byte hash — sources sharing no n-gram never
+    * meet, and the output is bounded by source-pairs, not documents. */
+  def sourceOverlapQ(spark: SparkSession, dir: String): DataFrame = {
+    val sh = graft.expressions.ShingleHashes.shingleHashesNative(spark, col("text"), 8)
+    val sourceShingles = docs(spark, dir)
+      .select(col("source"), explode(sh).as("h")).distinct()
+    val a = sourceShingles.select(col("source").as("source_a"), col("h"))
+    val b = sourceShingles.select(col("source").as("source_b"), col("h"))
+    a.join(b, "h").where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** The deduplicated corpus (pipeline terminal): exact near-dup pairs
     * -> connected components -> LEFT ANTI join of the non-canonical
     * members. What a dedup stage actually writes back to the lake;
