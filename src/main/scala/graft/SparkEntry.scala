@@ -47,6 +47,7 @@ object SparkEntry {
     "q_skew_agg" -> (RelationalQueries.qSkewAgg _),
     "q_skew_join" -> (RelationalQueries.qSkewJoin _),
     "q_bloom_semi" -> (RelationalQueries.qBloomSemi _),
+    "q_equidepth" -> (RelationalQueries.qEquidepth _),
     "q_full_outer" -> (RelationalQueries.qFullOuter _),
     "q_distinct_hll_sketch" -> (RelationalQueries.qDistinctHllSketch _),
     "text_term_freq_cms" -> (TextQueries.termFreqCmsQ _),
@@ -77,6 +78,7 @@ object SparkEntry {
     "q21_late_solo_supplier" -> (RelationalQueries.q21LateSoloSupplier _),
     // §2.4 events / time series
     "ev_tumbling_agg" -> (EventQueries.tumblingAgg _),
+    "ev_hopping_agg" -> (EventQueries.hoppingAgg _),
     "ev_streaming_parity" -> (EventQueries.streamingParity _),
     "ev_sessionize" -> (EventQueries.sessionize _),
     "ev_funnel" -> (EventQueries.funnel _),

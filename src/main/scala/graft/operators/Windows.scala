@@ -99,4 +99,49 @@ object Windows {
     }
     carried.where(col("_is_right") === 0).drop("_is_right", "_rid")
   }
+
+  /** Global row_number over a TOTAL order, at scale: a single-partition
+    * Window would funnel the whole relation through one task, so this
+    * uses the two-level formulation — range-repartition on the sort key
+    * (globally ordered partitions), rank WITHIN each partition in
+    * parallel, then add per-partition offsets from a prefix sum over
+    * the (nParts-row) partition sizes. Identical output to
+    * `row_number() OVER (ORDER BY order*)` as long as `order` is a
+    * total order (include tie-breaker columns). `nParts` sizes the
+    * parallel width (pick ~input-partitions at scale). */
+  def globalRowNumber(df: DataFrame, order: Seq[Column], nParts: Int = 32,
+                      rankCol: String = "rank"): DataFrame = {
+    val ranged = df.repartitionByRange(nParts, order: _*)
+      .withColumn("_pid", spark_partition_id())
+    val wp = Window.partitionBy(col("_pid")).orderBy(order: _*)
+    val ranked = ranged.withColumn("_lrank", row_number().over(wp).cast("long"))
+    val sizes = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
+    val wo = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // nParts rows through the single-partition prefix-sum window — the
+    // ONLY single-partition stage, bounded by the partition count.
+    val offsets = sizes
+      .withColumn("_offset", coalesce(sum(col("_n")).over(wo), lit(0L)))
+      .select(col("_pid"), col("_offset"))
+    ranked.join(broadcast(offsets), "_pid")
+      .withColumn(rankCol, col("_lrank") + col("_offset"))
+      .drop("_pid", "_lrank", "_offset")
+  }
+
+  /** Exact floor division of non-negative longs (Spark's `/` on longs
+    * is DOUBLE division): subtract the remainder first so the double
+    * divide is of an exactly-divisible value (exact below 2^53). */
+  private def fdiv(a: Column, d: Column): Column =
+    ((a - pmod(a, d)) / d).cast("long")
+
+  /** SQL NTILE(b) bucket from a 1-based global rank and the total row
+    * count: the first (n mod b) buckets take ceil(n/b) rows, the rest
+    * floor(n/b) — integer arithmetic only, map-only given the rank. */
+  def ntileFromRank(rank: Column, n: Column, b: Int): Column = {
+    val q = fdiv(n, lit(b.toLong))
+    val r = pmod(n, lit(b.toLong))
+    val cut = r * (q + 1)
+    when(rank <= cut, fdiv(rank + q, q + 1))
+      .otherwise(r + fdiv(rank - cut + q - 1, q))
+  }
 }

@@ -38,6 +38,24 @@ object EventQueries {
         (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("value_cents"))
       .orderBy(col("hour_epoch"), col("event_type"))
 
+  /** Hopping (sliding) window aggregation: 1-hour windows every 30
+    * minutes via Spark's builtin `window(ts, duration, slide)` — the
+    * same overlapping-window operator Structured Streaming runs, so
+    * this is the batch twin of a sliding-window stream. Each event
+    * lands in exactly duration/slide = 2 windows (an in-plan explode,
+    * map-side); the aggregation then shuffles once on (window, type)
+    * with partial combine. Window starts are epoch-aligned, emitted as
+    * epoch micros so the DuckDB oracle derives them by pure integer
+    * division. */
+  def hoppingAgg(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("value_cents"))
+      .select(unix_micros(col("w.start")).as("win_start_us"), col("event_type"),
+        col("n_events"), col("value_cents"))
+      .orderBy(col("win_start_us"), col("event_type"))
+
   /** Weekly cohort retention matrix: users cohorted by their first
     * active week, counted in every later week they return —
     * (cohort_week, week_offset, n_active). Week indices are pure

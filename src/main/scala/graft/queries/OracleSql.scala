@@ -506,6 +506,17 @@ object OracleSql {
         | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // real NTILE over the identical total order — the two-level
+    // distributed rank must reproduce it bucket-for-bucket
+    "q_equidepth" ->
+      """WITH x AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |  l_orderkey, l_linenumber FROM lineitem),
+        |r AS (SELECT cents,
+        |  NTILE(10) OVER (ORDER BY cents, l_orderkey, l_linenumber) AS bucket FROM x)
+        |SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS n_rows,
+        | MIN(cents) AS min_cents, MAX(cents) AS max_cents
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Bloom pruning must be semantically invisible (no false
     // negatives): the oracle is the PLAIN semi join + aggregate.
     "q_bloom_semi" ->
@@ -725,6 +736,19 @@ object OracleSql {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
         | COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // hopping 1h/30m windows: every event belongs to exactly two
+    // epoch-aligned slide starts; derive both by integer division
+    "ev_hopping_agg" ->
+      """WITH e AS (SELECT epoch_us(ts) AS ts_us, event_type, value FROM events),
+        |x AS (
+        | SELECT (ts_us // 1800000000) * 1800000000 AS win_start_us, event_type, value FROM e
+        | UNION ALL
+        | SELECT (ts_us // 1800000000) * 1800000000 - 1800000000, event_type, value FROM e)
+        |SELECT CAST(win_start_us AS BIGINT) AS win_start_us, event_type,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "ev_streaming_parity" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,

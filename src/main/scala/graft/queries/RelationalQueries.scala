@@ -897,6 +897,31 @@ object RelationalQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Equi-depth (NTILE) price histogram over the full fact — global
+    * EXACT ranking at scale: a plain `ntile(10) OVER (ORDER BY ...)`
+    * funnels the whole relation through ONE task, so the rank comes
+    * from `Windows.globalRowNumber` (range-repartition → parallel
+    * within-partition ranks → nParts-row prefix-sum offsets) and the
+    * bucket from closed-form integer NTILE arithmetic on (rank, n).
+    * The only single-partition stages are bounded by the partition
+    * count and the 1-row total. Oracle is DuckDB's real NTILE over the
+    * same total order. */
+  def qEquidepth(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select(
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+      col("l_orderkey"), col("l_linenumber"))
+    val order = Seq(col("cents"), col("l_orderkey"), col("l_linenumber"))
+    val ranked = graft.operators.Windows.globalRowNumber(li, order)
+    val total = broadcast(li.agg(count(lit(1)).as("n_total")))
+    ranked.crossJoin(total)
+      .withColumn("bucket",
+        graft.operators.Windows.ntileFromRank(col("rank"), col("n_total"), 10).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      .orderBy(col("bucket"))
+  }
+
   /** Semi join through Bloom-filter pre-shuffle pruning
     * (`Bloom.prune`): the fact scan is filtered by a bitset built over
     * the dim's key set BEFORE the shuffle, then the real semi join

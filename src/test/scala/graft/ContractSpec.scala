@@ -14,10 +14,10 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query count matches the SURVEY inventory claim") {
-    // 108 query entries as of late round 5 (101 + ann_pq + q_skew_join
+    // 110 query entries as of late round 5 (101 + ann_pq + q_skew_join
     // + q_bloom_semi + dedup_survivors_inc + text_repetition
-    // + vec_label_centroid + text_source_overlap); update alongside
-    // SURVEY §2.
-    assert(SparkEntry.queries.size === 108, s"got ${SparkEntry.queries.size}")
+    // + vec_label_centroid + text_source_overlap + ev_hopping_agg
+    // + q_equidepth); update alongside SURVEY §2.
+    assert(SparkEntry.queries.size === 110, s"got ${SparkEntry.queries.size}")
   }
 }

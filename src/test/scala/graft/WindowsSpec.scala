@@ -35,4 +35,26 @@ class WindowsSpec extends SparkSpec {
       .select("g", "v").as[(Int, Double)].collect().toSet
     assert(out === Set((0, 9.0), (0, 5.0), (1, 1.0)))
   }
+
+  test("globalRowNumber equals the single-partition window over a total order") {
+    val df = spark.read.parquet(s"$Sf/orders.parquet").select("o_orderkey", "o_custkey")
+    val order = Seq(col("o_custkey"), col("o_orderkey"))
+    val g = Windows.globalRowNumber(df, order, nParts = 7)
+      .select("o_orderkey", "rank").as[(Long, Long)].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+    val ref = df.withColumn("rank", row_number().over(w).cast("long"))
+      .select("o_orderkey", "rank").as[(Long, Long)].collect().toMap
+    assert(g === ref)
+  }
+
+  test("ntileFromRank reproduces SQL NTILE for uneven bucket splits") {
+    // n=10, b=3: NTILE gives buckets of 4,3,3
+    val df = (1L to 10L).toDF("rank").withColumn("n", lit(10L))
+    val out = df.select(col("rank"),
+        Windows.ntileFromRank(col("rank"), col("n"), 3).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 2L, 6L -> 2L, 7L -> 2L, 8L -> 3L, 9L -> 3L, 10L -> 3L)
+    assert(out === expected)
+  }
 }
