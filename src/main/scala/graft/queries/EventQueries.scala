@@ -56,6 +56,30 @@ object EventQueries {
         col("n_events"), col("value_cents"))
       .orderBy(col("win_start_us"), col("event_type"))
 
+  /** Time-series gap filling: the hourly per-type aggregate joined
+    * against a COMPLETE hour spine (min..max hour of the whole table),
+    * absent hours emitted as explicit zero rows — the densification a
+    * charting/forecasting consumer needs. The spine is generated
+    * in-plan from the 1-row (min, max) aggregate via
+    * sequence()+explode crossed with the distinct types — broadcast
+    * sized by hours×types, never by events; the fact is scanned once
+    * for the aggregate and once for the 1-row bounds. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .groupBy(expr("ts_us div 3600000000").as("hour_idx"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val bounds = events(spark, dir)
+      .agg(min(expr("ts_us div 3600000000")).as("lo"), max(expr("ts_us div 3600000000")).as("hi"))
+    val types = events(spark, dir).select(col("event_type")).distinct()
+    val spine = broadcast(bounds)
+      .select(explode(sequence(col("lo"), col("hi"))).as("hour_idx"))
+      .crossJoin(broadcast(types))
+    spine.join(hourly, Seq("hour_idx", "event_type"), "left")
+      .select(col("hour_idx"), col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy(col("hour_idx"), col("event_type"))
+  }
+
   /** Weekly cohort retention matrix: users cohorted by their first
     * active week, counted in every later week they return —
     * (cohort_week, week_offset, n_active). Week indices are pure

@@ -737,6 +737,19 @@ object OracleSql {
         | COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // complete hour spine from the table's own bounds, zero-filled
+    "ev_gap_fill" ->
+      """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hour_idx, event_type FROM events),
+        |h AS (SELECT hour_idx, event_type, COUNT(*) AS n_events FROM e GROUP BY 1, 2),
+        |b AS (SELECT MIN(hour_idx) AS lo, MAX(hour_idx) AS hi FROM e),
+        |spine AS (SELECT UNNEST(range(lo, hi + 1)) AS hour_idx FROM b),
+        |t AS (SELECT DISTINCT event_type FROM e)
+        |SELECT CAST(s.hour_idx AS BIGINT) AS hour_idx, t.event_type,
+        | COALESCE(h.n_events, 0) AS n_events
+        |FROM spine s CROSS JOIN t
+        |LEFT JOIN h ON h.hour_idx = s.hour_idx AND h.event_type = t.event_type
+        |ORDER BY 1, 2""".stripMargin,
+
     // hopping 1h/30m windows: every event belongs to exactly two
     // epoch-aligned slide starts; derive both by integer division
     "ev_hopping_agg" ->

@@ -149,6 +149,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_equidepth: fact rows flow through range partitioning, never one partition") {
+    val p = plan(RelationalQueries.qEquidepth(spark, Sf))
+    assert(p.contains("rangepartitioning(cents"),
+      "global rank must range-repartition on the sort key")
+    // single-partition exchanges exist only for the bounded offset /
+    // total stages; the fact-carrying Sort above the range exchange
+    // must be partition-local (no global Sort node).
+    assert(!p.contains("Sort [cents#") || p.contains("rangepartitioning"),
+      "unexpected global sort of the fact")
+  }
+
   test("q_bloom_semi: bitset filter sits on the fact scan below the semi join") {
     val p = plan(RelationalQueries.qBloomSemi(spark, Sf))
     assert(p.contains("LeftSemi"), "real semi join must remain")
