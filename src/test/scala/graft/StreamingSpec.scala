@@ -6,6 +6,36 @@ import graft.queries.EventQueries
 
 class StreamingSpec extends SparkSpec {
 
+  test("file-streamed hopping agg is a subset-consistent twin of the batch one") {
+    // ev_hopping_agg's claim is "batch twin of a sliding-window
+    // stream": drive the SAME window(ts, 1h, 30m) aggregation through
+    // a watermarked stream and require every emitted window to match
+    // the batch answer exactly.
+    val tmp = java.nio.file.Files.createTempDirectory("grafthop").toFile.getAbsolutePath
+    val batchEvents = spark.read.parquet(s"$Sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    batchEvents.write.mode("overwrite").parquet(tmp)
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n_events"))
+    val q = agg(spark.readStream.schema(batchEvents.schema).parquet(tmp)
+        .withWatermark("ts", "2 hours"))
+      .writeStream.format("memory").queryName("graft_hop_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("graft_hop_test").collect().map(_.toSeq).toSet
+    val batch = agg(batchEvents).collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch))
+    // only trailing windows still inside watermark + window may be held
+    val maxStart = batch.map(_.head.asInstanceOf[java.sql.Timestamp].getTime).max
+    assert((batch -- streamed).forall(
+      _.head.asInstanceOf[java.sql.Timestamp].getTime >= maxStart - 3L * 3600 * 1000))
+  }
+
   test("file-streamed tumbling agg equals the batch aggregation") {
     // Stream the events table (ts normalized to micros first, written as
     // proper timestamps so readStream sees a supported type).
