@@ -127,6 +127,7 @@ object SparkEntry {
     "text_bpe_encode" -> (TextQueries.bpeEncodeQ _),
     "text_decontaminate" -> (TextQueries.decontaminateQ _),
     "text_source_overlap" -> (TextQueries.sourceOverlapQ _),
+    "text_fuzzy_pairs" -> (TextQueries.fuzzyPairsQ _),
     "text_mixture_resample" -> (TextQueries.mixtureResampleQ _),
     "text_pack_contexts" -> (TextQueries.packContextsQ _),
     // §2.8 multimodal plumbing

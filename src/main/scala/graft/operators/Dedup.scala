@@ -166,6 +166,30 @@ object Dedup {
     * plan is the keyed shuffle join and AQE upgrades it to a broadcast
     * at runtime when the set turns out small. This is the operator a
     * training-data pipeline actually writes back to the lake. */
+  /** Fuzzy (edit-distance) near-match pairs with prefix blocking — the
+    * entity-resolution primitive: only documents sharing an exact
+    * `blockLen`-char prefix are compared (an equijoin on the block key,
+    * never all-pairs), and survivors are ranked by the Levenshtein
+    * distance of their `prefixLen`-char prefixes. Levenshtein is a
+    * builtin codegen'd expression in Spark and a builtin in DuckDB
+    * with the identical classic definition, so the driver oracle is
+    * hash-exact. At 100 TB the block key bounds the join like the
+    * shingle hash does for Jaccard; the O(prefixLen^2) distance runs
+    * only on blocked candidates. */
+  def fuzzyPrefixPairs(docs: DataFrame, blockLen: Int = 8, prefixLen: Int = 32,
+                       maxDist: Int = 8,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol),
+      substring(col(textCol), 1, blockLen).as("blk"),
+      substring(col(textCol), 1, prefixLen).as("pfx"))
+    val a = base.select(col(idCol).as("id1"), col("blk"), col("pfx").as("pfx1"))
+    val b = base.select(col(idCol).as("id2"), col("blk").as("blk2"), col("pfx").as("pfx2"))
+    a.join(b, col("blk") === col("blk2") && col("id1") < col("id2"))
+      .withColumn("dist", levenshtein(col("pfx1"), col("pfx2")).cast("long"))
+      .where(col("dist") <= maxDist)
+      .select(col("id1"), col("id2"), col("dist"))
+  }
+
   /** Incremental connected components — fold a BATCH of new edges into
     * stored (id, comp) labels without recomputing the historical graph.
     * Prior labels enter as depth-1 star edges (member → component min):

@@ -919,6 +919,17 @@ object OracleSql {
         | CAST(MAX(length(text)) AS BIGINT) AS max_chars
         |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
 
+    // prefix-blocked Levenshtein: both engines implement the identical
+    // classic edit distance as a builtin
+    "text_fuzzy_pairs" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 8) AS blk,
+        |  substr(text, 1, 32) AS pfx FROM documents)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        | CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+        |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.pfx, b.pfx) <= 8
+        |ORDER BY 1, 2""".stripMargin,
+
     // per-source distinct 8-gram sets share the decontamination hash
     // family; COUNT(*) over the equijoin of two DISTINCT (source, h)
     // sides counts distinct shared fingerprints per pair

@@ -352,6 +352,13 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Fuzzy near-match pairs via prefix-blocked Levenshtein
+    * (`Dedup.fuzzyPrefixPairs`): the entity-resolution primitive,
+    * hash-exact against DuckDB's identical builtin edit distance. */
+  def fuzzyPairsQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.fuzzyPrefixPairs(docs(spark, dir))
+      .orderBy(col("id1"), col("id2"))
+
   /** Cross-source contamination matrix: for every source pair, the
     * number of distinct 8-gram fingerprints present in BOTH sources —
     * the train/eval overlap report a data curator reads before mixing
