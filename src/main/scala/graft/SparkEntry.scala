@@ -80,6 +80,7 @@ object SparkEntry {
     "ev_tumbling_agg" -> (EventQueries.tumblingAgg _),
     "ev_hopping_agg" -> (EventQueries.hoppingAgg _),
     "ev_gap_fill" -> (EventQueries.gapFill _),
+    "ev_paths" -> (EventQueries.paths _),
     "ev_streaming_parity" -> (EventQueries.streamingParity _),
     "ev_sessionize" -> (EventQueries.sessionize _),
     "ev_funnel" -> (EventQueries.funnel _),

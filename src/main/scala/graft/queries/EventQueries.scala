@@ -56,6 +56,23 @@ object EventQueries {
         col("n_events"), col("value_cents"))
       .orderBy(col("win_start_us"), col("event_type"))
 
+  /** Path mining: each user's first three events (by time, event_id
+    * tie-break) joined into a `a>b>c` path string, counted per
+    * distinct path — the onboarding-flow report. Per-user ordering
+    * happens INSIDE the aggregation (sort_array over collected
+    * (ts, id, type) structs, bounded by slicing to 3), so there is no
+    * global sort: one shuffle on user_id, one on the ~|paths| group
+    * keys. */
+  def paths(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("event_type"))))
+        .as("evs"))
+      .select(concat_ws(">", slice(col("evs.event_type"), 1, 3)).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("path"))
+
   /** Time-series gap filling: the hourly per-type aggregate joined
     * against a COMPLETE hour spine (min..max hour of the whole table),
     * absent hours emitted as explicit zero rows — the densification a

@@ -737,6 +737,15 @@ object OracleSql {
         | COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // first-3-event path per user, ordered by (ts, event_id)
+    "ev_paths" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+        |r AS (SELECT user_id, event_type,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn FROM e),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        | FROM r WHERE rn <= 3 GROUP BY user_id)
+        |SELECT path, COUNT(*) AS n_users FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // complete hour spine from the table's own bounds, zero-filled
     "ev_gap_fill" ->
       """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hour_idx, event_type FROM events),
