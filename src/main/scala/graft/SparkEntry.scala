@@ -48,6 +48,7 @@ object SparkEntry {
     "q_skew_join" -> (RelationalQueries.qSkewJoin _),
     "q_bloom_semi" -> (RelationalQueries.qBloomSemi _),
     "q_equidepth" -> (RelationalQueries.qEquidepth _),
+    "q_ntile_by_group" -> (RelationalQueries.qNtileByGroup _),
     "q_full_outer" -> (RelationalQueries.qFullOuter _),
     "q_distinct_hll_sketch" -> (RelationalQueries.qDistinctHllSketch _),
     "text_term_freq_cms" -> (TextQueries.termFreqCmsQ _),
@@ -129,6 +130,7 @@ object SparkEntry {
     "text_decontaminate" -> (TextQueries.decontaminateQ _),
     "text_source_overlap" -> (TextQueries.sourceOverlapQ _),
     "text_fuzzy_pairs" -> (TextQueries.fuzzyPairsQ _),
+    "text_topk_by_source" -> (TextQueries.topKBySourceQ _),
     "text_mixture_resample" -> (TextQueries.mixtureResampleQ _),
     "text_pack_contexts" -> (TextQueries.packContextsQ _),
     // §2.8 multimodal plumbing

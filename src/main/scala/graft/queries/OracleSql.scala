@@ -506,6 +506,26 @@ object OracleSql {
         | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // per-nation quartiles via the identical partitioned NTILE
+    "q_ntile_by_group" ->
+      """WITH x AS (SELECT CAST(c_nationkey AS INT) AS nation,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents, c_custkey
+        | FROM customer),
+        |r AS (SELECT nation, bal_cents,
+        |  NTILE(4) OVER (PARTITION BY nation ORDER BY bal_cents, c_custkey) AS quartile FROM x)
+        |SELECT nation, CAST(quartile AS INT) AS quartile, COUNT(*) AS n_cust,
+        | MIN(bal_cents) AS min_cents, MAX(bal_cents) AS max_cents
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // top-3 longest docs per source; ROW_NUMBER is the oracle for the
+    // native whole-operator top-k
+    "text_topk_by_source" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rnk
+        | FROM documents)
+        |SELECT source, CAST(rnk AS INT) AS rnk, doc_id, n_chars
+        |FROM r WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin,
+
     // real NTILE over the identical total order — the two-level
     // distributed rank must reproduce it bucket-for-bucket
     "q_equidepth" ->

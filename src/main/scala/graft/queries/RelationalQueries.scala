@@ -922,6 +922,24 @@ object RelationalQueries {
       .orderBy(col("bucket"))
   }
 
+  /** Per-group quartiles (NTILE over a PARTITIONED window — unlike the
+    * global q_equidepth this is already scale-shaped: each nation's
+    * window sorts independently after one hash exchange): customer
+    * account-balance quartile boundaries per nation. */
+  def qNtileByGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("bal_cents"), col("c_custkey"))
+    t(spark, dir, "customer")
+      .select(col("c_nationkey"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("bal_cents"),
+        col("c_custkey"))
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("c_nationkey").cast("int").as("nation"), col("quartile"))
+      .agg(count(lit(1)).as("n_cust"),
+        min(col("bal_cents")).as("min_cents"), max(col("bal_cents")).as("max_cents"))
+      .orderBy(col("nation"), col("quartile"))
+  }
+
   /** Semi join through Bloom-filter pre-shuffle pruning
     * (`Bloom.prune`): the fact scan is filtered by a bitset built over
     * the dim's key set BEFORE the shuffle, then the real semi join

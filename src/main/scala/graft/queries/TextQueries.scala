@@ -352,6 +352,18 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Top-3 longest documents per source through the NATIVE top-k
+    * operator (`Windows.topKPerGroupNative` — partial per-partition
+    * heaps, the exchange carries at most k rows per source per input
+    * partition): the "best documents per corpus slice" selection a
+    * curation pipeline runs. Oracle is the ROW_NUMBER formulation. */
+  def topKBySourceQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Windows.topKPerGroupNative(
+        docs(spark, dir).select(col("source"), col("doc_id"), col("n_chars")),
+        3, Seq(col("source")), Seq(col("n_chars").desc, col("doc_id")))
+      .select(col("source"), col("rnk"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("rnk"))
+
   /** Fuzzy near-match pairs via prefix-blocked Levenshtein
     * (`Dedup.fuzzyPrefixPairs`): the entity-resolution primitive,
     * hash-exact against DuckDB's identical builtin edit distance. */

@@ -17,8 +17,9 @@ class ContractSpec extends SparkSpec {
     // 110 query entries as of late round 5 (101 + ann_pq + q_skew_join
     // + q_bloom_semi + dedup_survivors_inc + text_repetition
     // + vec_label_centroid + text_source_overlap + ev_hopping_agg
-    // + q_equidepth + ev_gap_fill + text_fuzzy_pairs + ev_paths);
-    // update alongside SURVEY §2.
-    assert(SparkEntry.queries.size === 113, s"got ${SparkEntry.queries.size}")
+    // + q_equidepth + ev_gap_fill + text_fuzzy_pairs + ev_paths
+    // + q_ntile_by_group + text_topk_by_source); update alongside
+    // SURVEY §2.
+    assert(SparkEntry.queries.size === 115, s"got ${SparkEntry.queries.size}")
   }
 }

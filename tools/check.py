@@ -32,6 +32,11 @@ def norm(df):
     return df.reset_index(drop=True)
 
 results = {}
+# A query that threw during Verify writes no directory at all — surface
+# it as MISSING instead of silently shrinking the denominator.
+present = {n.rstrip("/").split("/")[-1] for n in glob.glob(f"{OUT}/*/")}
+for q in sorted(set(oracle) - present):
+    results[q] = "MISSING (query errored during Verify?)"
 for name in sorted(glob.glob(f"{OUT}/*/")):
     qname = name.rstrip("/").split("/")[-1]
     try:
