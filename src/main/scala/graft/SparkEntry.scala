@@ -136,6 +136,7 @@ object SparkEntry {
     // §2.8 multimodal plumbing
     "mm_features" -> (VectorQueries.mmFeatures _),
     "mm_image_meta" -> (VectorQueries.mmImageMeta _),
+    "mm_resize" -> (VectorQueries.mmResize _),
     "mm_audio_meta" -> (VectorQueries.mmAudioMeta _),
     "mm_video_meta" -> (VectorQueries.mmVideoMeta _),
     "mm_video_frames" -> (VectorQueries.mmVideoFrames _)

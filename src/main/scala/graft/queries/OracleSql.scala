@@ -610,6 +610,27 @@ object OracleSql {
 
     // re-derives the synthetic-PNG metadata purely arithmetically; the
     // Spark side must recover identical values by decoding real pixels
+    // resized dims: longest side scaled to 12 (never up), half-up
+    // rounding of the identical double product; constant fill means
+    // the mean luma is the fill luma regardless of size
+    "mm_resize" ->
+      """WITH m AS (
+        | SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (doc_id // 16) % 8 AS h,
+        |  (doc_id * 2654435761) & 16777215 AS rgb
+        | FROM documents),
+        |s AS (SELECT doc_id, w, h, rgb, GREATEST(w, h) AS mx FROM m),
+        |r AS (SELECT doc_id, rgb,
+        |  CASE WHEN mx > 12 THEN GREATEST(1, CAST(ROUND(w * (12.0 / mx)) AS INT)) ELSE w END AS nw,
+        |  CASE WHEN mx > 12 THEN GREATEST(1, CAST(ROUND(h * (12.0 / mx)) AS INT)) ELSE h END AS nh
+        | FROM s),
+        |l AS (SELECT doc_id, nw, nh,
+        |  (77 * (rgb >> 16) + 150 * ((rgb >> 8) & 255) + 29 * (rgb & 255)) >> 8 AS luma
+        | FROM r)
+        |SELECT doc_id AS media_id, 'image' AS kind, CAST(nw AS INT) AS width,
+        | CAST(nh AS INT) AS height, CAST(3 AS INT) AS channels,
+        | CAST(FLOOR(10000.0 * luma / 255) AS BIGINT) AS mean_luma_bp
+        |FROM l ORDER BY media_id""".stripMargin,
+
     "mm_image_meta" ->
       """WITH m AS (
         | SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (doc_id // 16) % 8 AS h,

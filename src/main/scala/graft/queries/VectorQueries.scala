@@ -182,6 +182,19 @@ object VectorQueries {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** REAL resize round trip, oracle-checked: synthetic solid-color
+    * PNGs are decoded, bilinear-downscaled to maxSide=12 (never
+    * upscaled), re-encoded, and decoded AGAIN for metadata. Because
+    * the fill is constant, the resized dimensions AND the mean luma
+    * are pure arithmetic on doc_id — a hash match proves real pixels
+    * flowed through decode → AWT scale → encode → decode. */
+  def mmResize(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticImages(spark, TableLoader.load(spark, dir, "documents"))
+    graft.multimodal.MediaOps.imageMeta(
+        graft.multimodal.MediaOps.resizeImage(media, maxSide = 12)).toDF()
+      .orderBy(col("media_id"))
+  }
+
   /** Real-codec round trip, oracle-checked: synthetic PNGs whose
     * dimensions/color are arithmetic on doc_id are ENCODED and then
     * DECODED (javax.imageio) on the executors; the DuckDB oracle
