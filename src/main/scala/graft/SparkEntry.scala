@@ -49,6 +49,7 @@ object SparkEntry {
     "q_bloom_semi" -> (RelationalQueries.qBloomSemi _),
     "q_equidepth" -> (RelationalQueries.qEquidepth _),
     "q_ntile_by_group" -> (RelationalQueries.qNtileByGroup _),
+    "q_decile_share" -> (RelationalQueries.qDecileShare _),
     "q_full_outer" -> (RelationalQueries.qFullOuter _),
     "q_distinct_hll_sketch" -> (RelationalQueries.qDistinctHllSketch _),
     "text_term_freq_cms" -> (TextQueries.termFreqCmsQ _),

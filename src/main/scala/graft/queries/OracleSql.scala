@@ -506,6 +506,19 @@ object OracleSql {
         | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // revenue-ranked customer deciles; identical NTILE order and the
+    // identical double-division chain for the share
+    "q_decile_share" ->
+      """WITH r AS (SELECT o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cust_cents
+        | FROM orders GROUP BY 1),
+        |n AS (SELECT r.*, NTILE(10) OVER (ORDER BY cust_cents DESC, o_custkey) AS decile FROM r),
+        |t AS (SELECT CAST(SUM(cust_cents) AS BIGINT) AS total FROM r)
+        |SELECT CAST(decile AS INT) AS decile, COUNT(*) AS n_cust,
+        | CAST(SUM(cust_cents) AS BIGINT) AS decile_cents,
+        | CAST(FLOOR(10000.0 * CAST(SUM(cust_cents) AS BIGINT) / (SELECT total FROM t)) AS BIGINT) AS share_bp
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // per-nation quartiles via the identical partitioned NTILE
     "q_ntile_by_group" ->
       """WITH x AS (SELECT CAST(c_nationkey AS INT) AS nation,

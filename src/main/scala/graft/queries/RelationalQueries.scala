@@ -922,6 +922,30 @@ object RelationalQueries {
       .orderBy(col("bucket"))
   }
 
+  /** Revenue concentration (Pareto report): customers ranked by their
+    * total order revenue through the distributed-exact global rank
+    * (`Windows.globalRowNumber`, descending — no single-partition
+    * window over the customer set), split into deciles by closed-form
+    * NTILE arithmetic, each decile's revenue share in floor basis
+    * points. The 1-row (count, total) aggregate rides a broadcast. */
+  def qDecileShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "orders").groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100).cast("long").as("cust_cents"))
+    val ranked = graft.operators.Windows.globalRowNumber(
+      rev, Seq(col("cust_cents").desc, col("o_custkey")))
+    val totals = broadcast(rev.agg(count(lit(1)).as("n_cust_total"),
+      sum(col("cust_cents")).as("total_cents")))
+    ranked.crossJoin(totals)
+      .withColumn("decile",
+        graft.operators.Windows.ntileFromRank(col("rank"), col("n_cust_total"), 10).cast("int"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("cust_cents")).as("decile_cents"),
+        max(col("total_cents")).as("_total"))
+      .select(col("decile"), col("n_cust"), col("decile_cents"),
+        floor(lit(10000.0) * col("decile_cents") / col("_total")).cast("long").as("share_bp"))
+      .orderBy(col("decile"))
+  }
+
   /** Per-group quartiles (NTILE over a PARTITIONED window — unlike the
     * global q_equidepth this is already scale-shaped: each nation's
     * window sorts independently after one hash exchange): customer

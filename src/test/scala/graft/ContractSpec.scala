@@ -18,8 +18,8 @@ class ContractSpec extends SparkSpec {
     // + q_bloom_semi + dedup_survivors_inc + text_repetition
     // + vec_label_centroid + text_source_overlap + ev_hopping_agg
     // + q_equidepth + ev_gap_fill + text_fuzzy_pairs + ev_paths
-    // + q_ntile_by_group + text_topk_by_source + mm_resize); update
-    // alongside SURVEY §2.
-    assert(SparkEntry.queries.size === 116, s"got ${SparkEntry.queries.size}")
+    // + q_ntile_by_group + text_topk_by_source + mm_resize
+    // + q_decile_share); update alongside SURVEY §2.
+    assert(SparkEntry.queries.size === 117, s"got ${SparkEntry.queries.size}")
   }
 }
