@@ -36,6 +36,21 @@ object Bloom {
   private def positions(key: Column, nBits: Int, nHashes: Int): Seq[Column] =
     (0 until nHashes).map(i => pmod(xxhash64(key, lit(i)), lit(nBits.toLong)))
 
+  /** xxhash64 hashes INT and BIGINT values differently, so a 32-bit
+    * fact key probed against a 64-bit dim key (or vice versa) would
+    * silently yield false negatives. Widen every integral key to long
+    * before hashing so build and probe always agree. */
+  private def canonKey(df: DataFrame, keyCol: String): Column =
+    df.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+        col(keyCol).cast("long")
+      case _ => col(keyCol)
+    }
+
+  private def canonType(df: DataFrame, keyCol: String): org.apache.spark.sql.types.DataType =
+    df.select(canonKey(df, keyCol)).schema.head.dataType
+
   /** Build the bitset for the distinct keys of `build(keyCol)`:
     * Array[Long] of length nBits/64, little-endian bit order within a
     * word. Distributed OR-aggregation; only the finished words reach
@@ -46,7 +61,7 @@ object Bloom {
     val spark = build.sparkSession
     import spark.implicits._
     val words = build.select(explode(array(
-        positions(col(keyCol), nBits, nHashes): _*)).as("pos"))
+        positions(canonKey(build, keyCol), nBits, nHashes): _*)).as("pos"))
       .select((col("pos") / 64).cast("int").as("word"),
         // functions.shiftleft only takes a literal shift; the SQL
         // function accepts a column one.
@@ -60,7 +75,10 @@ object Bloom {
 
   /** Membership test against a bitset literal: true iff every salted
     * hash position is set. False positives possible (rate ~(1-e^{-kn/m})^k),
-    * false negatives never. */
+    * false negatives never. `buildBitset` widens integral build keys to
+    * long before hashing, so an integral probe `key` must be cast to
+    * long too (`prune` does this automatically; direct callers passing
+    * an int column must cast). */
   def mightContain(key: Column, bitset: Array[Long], nHashes: Int = 3): Column = {
     val nBits = bitset.length * 64
     val bitsetLit = typedLit(bitset.toSeq)
@@ -75,7 +93,14 @@ object Bloom {
     * real join afterwards for exact semantics. */
   def prune(fact: DataFrame, factKey: String,
             build: DataFrame, buildKey: String,
-            nBits: Int = 1 << 17, nHashes: Int = 3): DataFrame =
-    fact.where(mightContain(col(factKey),
+            nBits: Int = 1 << 17, nHashes: Int = 3): DataFrame = {
+    val ft = canonType(fact, factKey)
+    val bt = canonType(build, buildKey)
+    require(ft == bt,
+      s"bloom prune key types must agree after integral widening: " +
+        s"$factKey is $ft, $buildKey is $bt — xxhash64 would disagree " +
+        s"and the no-false-negative contract would break silently")
+    fact.where(mightContain(canonKey(fact, factKey),
       buildBitset(build, buildKey, nBits, nHashes), nHashes))
+  }
 }

@@ -107,12 +107,28 @@ object Windows {
     * parallel, then add per-partition offsets from a prefix sum over
     * the (nParts-row) partition sizes. Identical output to
     * `row_number() OVER (ORDER BY order*)` as long as `order` is a
-    * total order (include tie-breaker columns). `nParts` sizes the
-    * parallel width (pick ~input-partitions at scale). */
-  def globalRowNumber(df: DataFrame, order: Seq[Column], nParts: Int = 32,
+    * total order (include tie-breaker columns).
+    *
+    * `nParts` sizes the parallel width; the default (`<= 0`) follows the
+    * input's own partition count (capped at 4096), so the rank stage
+    * keeps the scan's parallelism at any scale without the caller having
+    * to know the knob exists.
+    *
+    * The range-partitioned frame is materialized via a lazy local
+    * checkpoint before fanning out to the rank and size consumers:
+    * RangePartitioner samples its boundaries with an rdd.id-seeded
+    * seed, so two physical executions of the same range exchange (plan
+    * divergence, exchange reuse disabled) could disagree on partition
+    * boundaries — the checkpoint pins ONE concrete partitioning that
+    * both consumers are guaranteed to read. */
+  def globalRowNumber(df: DataFrame, order: Seq[Column], nParts: Int = 0,
                       rankCol: String = "rank"): DataFrame = {
-    val ranged = df.repartitionByRange(nParts, order: _*)
+    val width =
+      if (nParts > 0) nParts
+      else math.min(math.max(df.rdd.getNumPartitions, 1), 4096)
+    val ranged = df.repartitionByRange(width, order: _*)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(false)
     val wp = Window.partitionBy(col("_pid")).orderBy(order: _*)
     val ranked = ranged.withColumn("_lrank", row_number().over(wp).cast("long"))
     val sizes = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))

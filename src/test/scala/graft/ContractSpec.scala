@@ -14,12 +14,8 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query count matches the SURVEY inventory claim") {
-    // 110 query entries as of late round 5 (101 + ann_pq + q_skew_join
-    // + q_bloom_semi + dedup_survivors_inc + text_repetition
-    // + vec_label_centroid + text_source_overlap + ev_hopping_agg
-    // + q_equidepth + ev_gap_fill + text_fuzzy_pairs + ev_paths
-    // + q_ntile_by_group + text_topk_by_source + mm_resize
-    // + q_decile_share); update alongside SURVEY §2.
+    // 117 query entries at the end of round 5; update alongside
+    // SURVEY §2 whenever a query is added.
     assert(SparkEntry.queries.size === 117, s"got ${SparkEntry.queries.size}")
   }
 }

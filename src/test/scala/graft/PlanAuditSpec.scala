@@ -150,14 +150,24 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q_equidepth: fact rows flow through range partitioning, never one partition") {
+    // globalRowNumber localCheckpoints the range-partitioned frame (so
+    // both the rank and size consumers are pinned to ONE concrete
+    // partitioning); the range exchange therefore lives in the
+    // checkpointed subplan, and the outer plan reads it back as an
+    // ExistingRDD scan.
     val p = plan(RelationalQueries.qEquidepth(spark, Sf))
-    assert(p.contains("rangepartitioning(cents"),
-      "global rank must range-repartition on the sort key")
+    assert(p.contains("Scan ExistingRDD"),
+      "global rank must read the pinned range-partitioned checkpoint")
+    // every Sort over the fact's sort key must be partition-local:
+    // a global (`true`-flagged) Sort would funnel the fact through a
+    // single-partition ordering.
+    val globalSort = """Sort \[[^\]]*cents#[^\]]*\], true""".r
+    assert(globalSort.findFirstIn(p).isEmpty,
+      s"unexpected global sort of the fact:\n${p.take(1200)}")
     // single-partition exchanges exist only for the bounded offset /
-    // total stages; the fact-carrying Sort above the range exchange
-    // must be partition-local (no global Sort node).
-    assert(!p.contains("Sort [cents#") || p.contains("rangepartitioning"),
-      "unexpected global sort of the fact")
+    // total stages (nParts rows and 1 row respectively).
+    assert(p.split("Exchange SinglePartition").length <= 3,
+      s"fact-carrying single-partition exchange crept in:\n${p.take(1200)}")
   }
 
   test("q_bloom_semi: bitset filter sits on the fact scan below the semi join") {

@@ -35,19 +35,37 @@ class ScaleOpsSpec extends SparkSpec {
     val urgent = spark.read.parquet(s"$Sf/orders.parquet")
       .where(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
     val trueKeys = urgent.as[Long].collect().toSet
+    val liKeys = li.as[Long].collect()
     val pruned = Bloom.prune(li, "l_orderkey", urgent, "o_orderkey")
       .select("l_orderkey").as[Long].collect()
     // no false negatives: every fact row whose key IS in the build set
     // must survive the pruning
-    val trueMatches = li.as[Long].collect().filter(trueKeys.contains)
-    assert(pruned.count(trueKeys.contains) === trueMatches.length)
+    val trueMatches = liKeys.count(trueKeys.contains)
+    assert(pruned.count(trueKeys.contains) === trueMatches)
     // false-positive rate over the NON-matching keys stays near the
     // design point (k=3, n≈|urgent|, m=2^17 → well under 1%)
-    val nonMatch = pruned.filterNot(trueKeys.contains).length.toDouble
-    val nonMatchTotal = li.as[Long].collect().count(!trueKeys.contains(_)).toDouble
+    val nonMatch = pruned.count(!trueKeys.contains(_)).toDouble
+    val nonMatchTotal = liKeys.count(!trueKeys.contains(_)).toDouble
     assert(nonMatch / nonMatchTotal < 0.05, s"fpp=${nonMatch / nonMatchTotal}")
     // and the pruning actually prunes: survivors are a strict subset
-    assert(pruned.length < li.count())
+    assert(pruned.length < liKeys.length)
+  }
+
+  test("bloom prune widens integral keys: int fact vs long dim has no false negatives") {
+    import graft.operators.Bloom
+    // int fact keys probed against a long-typed build set — xxhash64
+    // hashes INT and BIGINT differently, so without canonical widening
+    // every member would silently fail the membership test.
+    val fact = (1 to 200).toDF("k")                       // IntegerType
+    val dim = (1L to 100L by 2L).toDF("k")                // LongType
+    val kept = Bloom.prune(fact, "k", dim, "k", nBits = 4096)
+      .as[Int].collect().toSet
+    assert((1 to 100 by 2).forall(kept.contains),
+      "false negative: a build-set member was pruned")
+    // and the reverse width mix
+    val kept2 = Bloom.prune(dim, "k", fact.where(col("k") <= 50), "k", nBits = 4096)
+      .as[Long].collect().toSet
+    assert((1L to 50L by 2L).forall(kept2.contains))
   }
 
   test("upsert merges latest-wins and rewrites only touched partitions") {

@@ -47,6 +47,27 @@ class WindowsSpec extends SparkSpec {
     assert(g === ref)
   }
 
+  test("globalRowNumber stays exact with exchange reuse disabled (auto width)") {
+    // the checkpoint pins one concrete range partitioning, so the rank
+    // and size consumers agree even when ReusedExchange cannot kick in
+    // — the failure mode flagged by the round-5 advisor.
+    val prev = spark.conf.getOption("spark.sql.exchange.reuse")
+    try {
+      spark.conf.set("spark.sql.exchange.reuse", "false")
+      val df = spark.read.parquet(s"$Sf/orders.parquet").select("o_orderkey", "o_custkey")
+      val order = Seq(col("o_custkey"), col("o_orderkey"))
+      val g = Windows.globalRowNumber(df, order) // default: width follows input
+        .select("o_orderkey", "rank").as[(Long, Long)].collect().toMap
+      val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+      val ref = df.withColumn("rank", row_number().over(w).cast("long"))
+        .select("o_orderkey", "rank").as[(Long, Long)].collect().toMap
+      assert(g === ref)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.exchange.reuse", v)
+      case None => spark.conf.unset("spark.sql.exchange.reuse")
+    }
+  }
+
   test("ntileFromRank reproduces SQL NTILE for uneven bucket splits") {
     // n=10, b=3: NTILE gives buckets of 4,3,3
     val df = (1L to 10L).toDF("rank").withColumn("n", lit(10L))
