@@ -34,21 +34,42 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Machine-load stamps bracketing the run: a contaminated artifact
+    // (another process competing for the cores) is visible in the
+    // sidecar instead of masquerading as a regression. r5's official
+    // medians were 3-10x inflated on three queries this way.
+    def loadavg(): String =
+      try scala.util.Using.resource(scala.io.Source.fromFile("/proc/loadavg"))(
+        _.mkString.split(" ").take(3).mkString("[", ",", "]"))
+      catch { case _: Throwable => "null" }
+    val loadStart = loadavg()
+    // Trials are interleaved round-robin (trial pass 1 runs every query,
+    // then pass 2, ...): a transient load burst degrades ONE trial of
+    // many queries — recoverable via per-query min — rather than every
+    // trial of a few.
     val times = collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
     for (_ <- 1 to trials; (name, fn) <- names) {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       times(name) = ((System.nanoTime() - t0) / 1e9) :: times(name)
     }
+    val loadEnd = loadavg()
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val results = names.map { case (name, _) => name -> median(times(name)) }
+    val mins = names.map { case (name, _) => name -> times(name).min }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
+    val qsMin = mins.map { case (k, v) => "\"" + k + "\":" + f(v) }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Sum of per-query minima: the machine-load-immune headline — a
+    // load burst can only INFLATE a trial, so the min across
+    // interleaved trials is the cleanest quiet-machine estimate.
+    val totalMin = if (mins.nonEmpty) mins.map(_._2).sum else 0.0
     // Per-query [min, median, max] across trials, so a regression in one
     // round can be told apart from run-to-run noise without re-running.
     val spread = names.map { case (name, _) =>
@@ -56,7 +77,7 @@ object Bench {
       "\"" + name + "\":[" + f(xs.min) + "," + f(median(xs)) + "," + f(xs.max) + "]"
     }.mkString("{", ",", "}")
     val detailLine =
-      s"""{"metric":"detail","unit":"sec","queries":$qs,"sf":"$sfDir","trials":$trials}"""
+      s"""{"metric":"detail","unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","trials":$trials,"loadavg_start":$loadStart,"loadavg_end":$loadEnd}"""
     // The output-tail capture holds the LAST 2000 characters only, and the
     // build tool's closing status line consumes ~76 of them. A full
     // per-query map (80+ entries, ~24 chars each) can never fit, so the
@@ -72,7 +93,7 @@ object Bench {
     val hq = headline.filter(resultMap.contains)
       .map(k => "\"" + k + "\":" + f(resultMap(k))).mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$hq,"n_queries":${results.size},"sf":"$sfDir","trials":$trials,"detail":"BENCH_SIDECAR.json"}"""
+      s"""{"metric":"total","value":${f(total)},"value_min":${f(totalMin)},"unit":"sec","queries":$hq,"n_queries":${results.size},"sf":"$sfDir","trials":$trials,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"detail":"BENCH_SIDECAR.json"}"""
     // Sidecar: all three lines, for any consumer that prefers a file to
     // stdout scraping (full per-query medians, spreads, canonical total).
     try java.nio.file.Files.writeString(

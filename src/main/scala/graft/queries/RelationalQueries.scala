@@ -717,8 +717,14 @@ object RelationalQueries {
     * cost is derived from lineitem (`min(round(extendedprice/quantity *
     * 100))` per part×supplier) in place of the absent partsupp table.
     * The per-part min aggregate joins back BROADCAST (it is small after
-    * the part filter), so the fact relation is scanned in two parallel
-    * aggregations and never self-joined at shuffle width. */
+    * the part filter), so the fact relation is never self-joined at
+    * shuffle width. The per-(part, supplier) cost aggregate — the widest
+    * aggregation in the suite — feeds BOTH the per-part min and the
+    * join-back, and the round-5 plan audit showed the static plan runs
+    * it twice (no ReusedExchange; two full lineitem scans): the lazy
+    * local checkpoint on `pc` — the doubly-consumed node, AFTER the
+    * part/region filters have shrunk it — pins the aggregation to one
+    * materialized computation. */
   def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
     val unitCents = round(col("l_extendedprice") / col("l_quantity") * 100).cast("long")
     val cost = t(spark, dir, "lineitem")
@@ -736,6 +742,7 @@ object RelationalQueries {
       .select(col("p_partkey"))
     val pc = cost.join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .localCheckpoint(false)
     val mn = pc.groupBy(col("p_partkey").as("m_key")).agg(min(col("unit_cents")).as("min_cents"))
     pc.join(broadcast(mn),
         col("p_partkey") === col("m_key") && col("unit_cents") === col("min_cents"))
