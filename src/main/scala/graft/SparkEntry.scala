@@ -110,6 +110,7 @@ object SparkEntry {
     "ann_sq8" -> (VectorQueries.annSq8 _),
     "ann_ivf_sq8" -> (VectorQueries.annIvfSq8 _),
     "ann_pq" -> (VectorQueries.annPq _),
+    "ann_ivf_pq" -> (VectorQueries.annIvfPq _),
     "knn_classify" -> (VectorQueries.knnClassify _),
     "knn_classify_lsh" -> (VectorQueries.knnClassifyLsh _),
     "knn_classify_ivf" -> (VectorQueries.knnClassifyIvf _),

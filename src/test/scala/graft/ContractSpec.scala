@@ -14,8 +14,8 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query count matches the SURVEY inventory claim") {
-    // 117 query entries at the end of round 5; update alongside
-    // SURVEY §2 whenever a query is added.
-    assert(SparkEntry.queries.size === 117, s"got ${SparkEntry.queries.size}")
+    // 118 query entries (117 at end of round 5 + ann_ivf_pq); update
+    // alongside SURVEY §2 whenever a query is added.
+    assert(SparkEntry.queries.size === 118, s"got ${SparkEntry.queries.size}")
   }
 }

@@ -96,6 +96,19 @@ class SimilaritySpec extends SparkSpec {
     assert(agree >= 0.9, s"agreement=$agree")
   }
 
+  test("IVF+PQ composed top-k tracks plain IVF (ADC inside probed lists)") {
+    val q = emb.where(col("vec_id") % 100 === 0)
+    val ivf = Similarity.ivfTopK(q, emb, k = 10, nCentroids = 16, nProbe = 4)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val composed = Similarity.ivfPqTopK(q, emb, k = 10, nCentroids = 16, nProbe = 4)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    // Same centroids, same probed lists — the only difference is the
+    // PQ/ADC candidate scan + overFetch*k exact rescore, so the
+    // composed result must agree with plain IVF almost everywhere.
+    val agree = (ivf intersect composed).size.toDouble / ivf.size
+    assert(agree >= 0.9, s"agreement=$agree")
+  }
+
   test("vec_q8 codes are within half-step of the real quantizer; dot matches") {
     import graft.expressions.Int8Vec.{vecDotI8, vecQ8}
     val df = Seq((Seq(0.5f, -1.0f, 0.25f, 0.0f), Seq(1.0f, 1.0f, -1.0f, 0.5f)))
