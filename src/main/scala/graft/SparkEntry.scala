@@ -84,6 +84,8 @@ object SparkEntry {
     "ev_gap_fill" -> (EventQueries.gapFill _),
     "ev_paths" -> (EventQueries.paths _),
     "ev_streaming_parity" -> (EventQueries.streamingParity _),
+    "ev_stream_sessions" -> (EventQueries.streamSessions _),
+    "ev_stream_merge" -> (EventQueries.streamMerge _),
     "ev_sessionize" -> (EventQueries.sessionize _),
     "ev_funnel" -> (EventQueries.funnel _),
     "ev_asof_join" -> (EventQueries.asofJoin _),

@@ -259,4 +259,84 @@ object EventQueries {
       .select(unix_timestamp(col("window_start")).as("hour_epoch"),
         col("event_type"), col("n_events"), col("value_cents"))
       .orderBy(col("hour_epoch"), col("event_type"))
+
+  /** Stream-source fixture: the events table normalized for streaming
+    * reads (proper TIMESTAMP column — the raw parquet carries
+    * TIMESTAMP(NANOS) which the session reads as a bare long), plus ONE
+    * sentinel row (user_id = -1) four hours past the last real event.
+    * The sentinel advances the event-time watermark past every real
+    * session's `last_ts + gap`, so `EventTimeTimeout` closes all open
+    * sessions in the trailing no-data micro-batch — without it the last
+    * session of every user would stay in the state store forever and
+    * the streamed result could never equal the batch oracle. Written
+    * once per input dir; filtered back out of every result. */
+  private def streamSourceFixture(spark: SparkSession, dir: String): String = {
+    val fx = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_stream_src_v1_${Integer.toHexString(dir.hashCode)}")
+    if (!fx.exists()) {
+      val ev = events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"), col("event_type"))
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+      val sentinel = spark.range(1).select(
+        lit(-1L).as("user_id"), lit(-1L).as("event_id"),
+        timestamp_micros(lit(maxUs + 4L * 3600L * 1000000L)).as("ts"),
+        lit(0.0).as("value"), lit("sentinel").as("event_type"))
+      val staging = new java.io.File(fx.getParent, fx.getName + ".tmp")
+      ev.unionByName(sentinel)
+        .write.mode("overwrite").parquet(staging.getAbsolutePath)
+      if (!staging.renameTo(fx)) // benign race: another run won
+        org.apache.hadoop.fs.FileUtil.fullyDelete(staging)
+    }
+    fx.getAbsolutePath
+  }
+
+  /** STREAMING gap-sessionization, driven end to end: the stateful
+    * `flatMapGroupsWithState` sessionizer (`SessionStream.sessionize`,
+    * one bounded open-session state per user, closed by gap or by
+    * event-time timeout) runs as a real Structured Streaming query over
+    * the events parquet and must reproduce the batch `ev_sessionize`
+    * oracle hash-exactly — the strongest check a streaming operator can
+    * get, not a spec on toy rows. */
+  def streamSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = streamSourceFixture(spark, dir)
+    val schema = spark.read.parquet(src).schema
+    val name = "graft_stream_sessions_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val sessions = graft.streaming.SessionStream.sessionize(
+      spark.readStream.schema(schema).parquet(src)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withWatermark("ts", "1 second")
+        .as[graft.streaming.SessionStream.Event])
+    val query = sessions.writeStream
+      .format("memory").queryName(name)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    spark.table(name).where(col("user_id") >= 0)
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  /** STREAMING MERGE-sink parity, driven end to end: the tumbling
+    * aggregation in UPDATE mode upserted into a parquet lake by window
+    * identity (`EventStream.runUpsertSink` — last-writer-wins on batch
+    * id, merge cost ∝ touched partitions), then the LAKE is read back
+    * and must reproduce the batch tumbling oracle hash-exactly. The
+    * checkpoint makes repeat calls incremental no-ops over the same
+    * converged lake — the production restart shape. */
+  def streamMerge(spark: SparkSession, dir: String): DataFrame = {
+    val src = streamSourceFixture(spark, dir)
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_stream_merge_v1_${Integer.toHexString(dir.hashCode)}")
+    base.mkdirs()
+    val lake = new java.io.File(base, "lake").getAbsolutePath
+    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+    val query = EventStream.runUpsertSink(spark, src, lake, Some(ckpt))
+    query.awaitTermination()
+    spark.read.parquet(lake)
+      .where(col("event_type") =!= "sentinel")
+      .select(unix_timestamp(col("window_start")).as("hour_epoch"),
+        col("event_type"), col("n_events"), col("value_cents"))
+      .orderBy(col("hour_epoch"), col("event_type"))
+  }
 }

@@ -831,6 +831,29 @@ object OracleSql {
         | COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // The STREAMED stateful sessionizer must reproduce the exact batch
+    // session semantics — same oracle as ev_sessionize.
+    "ev_stream_sessions" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+        |s AS (
+        | SELECT *, CASE WHEN LAG(ts_us) OVER w IS NULL OR ts_us - LAG(ts_us) OVER w > 1800000000
+        |   THEN 1 ELSE 0 END AS new_s
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |t AS (
+        | SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        | FROM s)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // The MERGE-sink lake must converge to the batch tumbling answer —
+    // same oracle as ev_streaming_parity.
+    "ev_stream_merge" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+        | COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "ev_sessionize" ->
       """WITH e AS (
         | SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),

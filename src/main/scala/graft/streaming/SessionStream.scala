@@ -18,20 +18,28 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object SessionStream {
   case class Event(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
-  case class OpenSession(startUs: Long, lastUs: Long, n: Long, valueSum: Double, seq: Long)
+  case class OpenSession(startUs: Long, lastUs: Long, n: Long, valueCents: Long, seq: Long)
   case class Session(user_id: Long, session_seq: Long, n_events: Long,
-                     start_us: Long, end_us: Long)
+                     start_us: Long, end_us: Long, value_cents: Long)
 
   val GapUs: Long = 1800L * 1000000L
 
   private def tsUs(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+  /** Exact per-event cents, mirroring the batch/oracle expression
+    * `cast(value as decimal(18,2)) * 100`: accumulating LONG cents keeps
+    * the session sum order-independent and bit-exact, where a running
+    * double sum could drift off the oracle's decimal total. */
+  private def cents(value: Double): Long =
+    java.math.BigDecimal.valueOf(value)
+      .setScale(2, java.math.RoundingMode.HALF_UP).movePointRight(2).longValueExact
 
   def updateUser(userId: Long, events: Iterator[Event],
                  state: GroupState[OpenSession]): Iterator[Session] = {
     if (state.hasTimedOut) {
       val s = state.get
       state.remove()
-      return Iterator.single(Session(userId, s.seq, s.n, s.startUs, s.lastUs))
+      return Iterator.single(Session(userId, s.seq, s.n, s.startUs, s.lastUs, s.valueCents))
     }
     val sorted = events.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
     var out = List.empty[Session]
@@ -40,13 +48,13 @@ object SessionStream {
       val us = tsUs(e.ts)
       cur match {
         case Some(s) if us - s.lastUs > GapUs =>
-          out ::= Session(userId, s.seq, s.n, s.startUs, s.lastUs)
-          cur = Some(OpenSession(us, us, 1, e.value, s.seq + 1))
+          out ::= Session(userId, s.seq, s.n, s.startUs, s.lastUs, s.valueCents)
+          cur = Some(OpenSession(us, us, 1, cents(e.value), s.seq + 1))
         case Some(s) =>
           cur = Some(s.copy(lastUs = math.max(s.lastUs, us), n = s.n + 1,
-            valueSum = s.valueSum + e.value))
+            valueCents = s.valueCents + cents(e.value)))
         case None =>
-          cur = Some(OpenSession(us, us, 1, e.value, 1))
+          cur = Some(OpenSession(us, us, 1, cents(e.value), 1))
       }
     }
     cur.foreach { s =>

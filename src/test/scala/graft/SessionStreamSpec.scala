@@ -28,7 +28,7 @@ class SessionStreamSpec extends SparkSpec {
       input.addData(Event(7L, 3L, ts(10000), 3.0))
       query.processAllAvailable()
       val afterGap = spark.table("graft_sessions").as[Session].collect()
-      assert(afterGap.toSeq === Seq(Session(7L, 1L, 2L, 1000000000L, 1100000000L)))
+      assert(afterGap.toSeq === Seq(Session(7L, 1L, 2L, 1000000000L, 1100000000L, 300L)))
       // batch 3: advance watermark far beyond last ts + gap -> session 2
       // closes via EventTimeTimeout (no new events for user 7 needed)
       input.addData(Event(8L, 4L, ts(100000), 1.0))
@@ -36,7 +36,7 @@ class SessionStreamSpec extends SparkSpec {
       input.addData(Event(8L, 5L, ts(200000), 1.0))
       query.processAllAvailable()
       val all = spark.table("graft_sessions").as[Session].collect().sortBy(s => (s.user_id, s.session_seq))
-      assert(all.contains(Session(7L, 2L, 1L, 10000000000L, 10000000000L)))
+      assert(all.contains(Session(7L, 2L, 1L, 10000000000L, 10000000000L, 300L)))
     } finally query.stop()
   }
 }
