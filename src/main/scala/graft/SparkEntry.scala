@@ -132,6 +132,7 @@ object SparkEntry {
     "text_bpe_vocab" -> (TextQueries.bpeVocabQ _),
     "text_bpe_encode" -> (TextQueries.bpeEncodeQ _),
     "text_decontaminate" -> (TextQueries.decontaminateQ _),
+    "text_decontaminate_chars" -> (TextQueries.decontaminateCharsQ _),
     "text_source_overlap" -> (TextQueries.sourceOverlapQ _),
     "text_fuzzy_pairs" -> (TextQueries.fuzzyPairsQ _),
     "text_topk_by_source" -> (TextQueries.topKBySourceQ _),

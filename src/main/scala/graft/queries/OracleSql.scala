@@ -1037,6 +1037,28 @@ object OracleSql {
          | COUNT(DISTINCT e.eval_id) AS n_eval_docs
          |FROM t JOIN e ON t.h = e.h GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Char-k-gram decontamination: same normalization, strides, and
+    // rolling-hash family as the Spark side — grams every 8 chars on
+    // the train side, every char on the eval side, over the
+    // lowercased alphanumeric-only stream. Spark's sequence() stop is
+    // INCLUSIVE, DuckDB's range() stop is EXCLUSIVE, hence the +1.
+    "text_decontaminate_chars" -> {
+      val gramHash = rh("substr(nm, CAST(i AS INT), 24)")
+      s"""WITH n AS (
+         | SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nm FROM documents),
+         |e AS (SELECT DISTINCT eval_id, h FROM (
+         | SELECT doc_id AS eval_id,
+         |  UNNEST(list_transform(range(1, greatest(length(nm) - 23, 1) + 1, 1), i -> $gramHash)) AS h
+         | FROM n WHERE doc_id % 29 = 0)),
+         |t AS (SELECT DISTINCT doc_id, h FROM (
+         | SELECT doc_id,
+         |  UNNEST(list_transform(range(1, greatest(length(nm) - 23, 1) + 1, 8), i -> $gramHash)) AS h
+         | FROM n WHERE doc_id % 29 <> 0))
+         |SELECT t.doc_id, COUNT(DISTINCT t.h) AS n_shared_grams,
+         | COUNT(DISTINCT e.eval_id) AS n_eval_docs
+         |FROM t JOIN e ON t.h = e.h GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     "text_mixture_resample" ->
       s"""WITH d AS (
          | SELECT doc_id, source,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.expressions.ShingleHashes.shingleHashesNative
@@ -249,6 +249,46 @@ object TextQueries {
         countDistinct(col("eval_id")).as("n_eval_docs"))
       .orderBy(col("doc_id"))
   }
+
+  /** CHARACTER-level exact-substring decontamination (the public
+    * result this approximates: Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — suffix-array exact
+    * substring matching, here realized as char-k-gram blocking): flag
+    * training documents sharing a NORMALIZED (lowercased,
+    * punctuation/whitespace-stripped) character k-gram with the eval
+    * slice. Catches near-verbatim overlaps that TOKENIZE differently
+    * (punctuation/casing/spacing variants) and therefore slip past the
+    * word-8-gram filter (`decontaminateQ`) — spec'd on a handcrafted
+    * variant pair. The train side samples grams every `stride` chars
+    * while the eval side takes every gram, so any shared normalized
+    * substring of length >= k + stride - 1 is GUARANTEED a hash match
+    * (blocking guarantee) at 1/stride the train-side index size; the
+    * join key is the 8-byte rolling hash of the gram, replicated
+    * exactly in the DuckDB oracle. */
+  def charDecontaminate(d: DataFrame, isEval: Column,
+                        k: Int = 24, stride: Int = 8): DataFrame = {
+    val spark = d.sparkSession
+    graft.expressions.RollingHash.register(spark)
+    val norm = regexp_replace(lower(col("text")), "[^a-z0-9]", "")
+    def grams(step: Int) = expr(
+      s"transform(sequence(1, greatest(length(_norm) - ${k - 1}, 1), $step), " +
+        s"i -> rolling_hash(substr(_norm, i, $k), 31, 1000000007))")
+    val base = d.withColumn("_norm", norm).withColumn("_is_eval", isEval)
+    val evalSide = base.where(col("_is_eval"))
+      .select(col("doc_id").as("eval_id"), explode(grams(1)).as("h")).distinct()
+    val train = base.where(!col("_is_eval"))
+      .select(col("doc_id"), explode(grams(stride)).as("h")).distinct()
+    train.join(evalSide, "h")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_shared_grams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Driver entry: char-level decontamination of the documents table
+    * against the same held-out slice as text_decontaminate. */
+  def decontaminateCharsQ(spark: SparkSession, dir: String): DataFrame =
+    charDecontaminate(docs(spark, dir), pmod(col("doc_id"), lit(29L)) === 0)
 
   /** Deterministic domain-mixture resampling: per-source target weights
     * (src0-4 ×2.5 upsample, src5-9 keep, rest ×0.4 downsample) realised

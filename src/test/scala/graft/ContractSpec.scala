@@ -14,9 +14,9 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query count matches the SURVEY inventory claim") {
-    // 120 query entries (117 at end of round 5 + ann_ivf_pq
-    // + ev_stream_sessions + ev_stream_merge); update alongside
-    // SURVEY §2 whenever a query is added.
-    assert(SparkEntry.queries.size === 120, s"got ${SparkEntry.queries.size}")
+    // 121 query entries (117 at end of round 5 + ann_ivf_pq
+    // + ev_stream_sessions + ev_stream_merge + text_decontaminate_chars);
+    // update alongside SURVEY §2 whenever a query is added.
+    assert(SparkEntry.queries.size === 121, s"got ${SparkEntry.queries.size}")
   }
 }

@@ -63,4 +63,27 @@ class TextFunctionsSpec extends SparkSpec {
     // trigram sets {abc,bcd,cde,def} vs {abc,bcd,cde,dex}: 3 common of 5 distinct
     assert(bpv === 6000L)
   }
+
+  test("char-level decontamination catches punctuation/casing variants word-8-grams miss") {
+    import graft.queries.TextQueries
+    // doc 1 is a near-verbatim copy of eval doc 0 whose tokens ALL
+    // differ within any 8-word run (casing, hyphenation, punctuation),
+    // so the word-8-gram filter cannot flag it; doc 2 is clean.
+    val docsDf = Seq(
+      (0L, "The quick, brown fox; jumps over the lazy dog and runs far away home."),
+      (1L, "the QUICK brown-fox jumps over. the lazy dog... and runs? far AWAY home!"),
+      (2L, "completely different content about database engines and query planners here.")
+    ).toDF("doc_id", "text")
+    // word-8-gram premise: no 8-token run survives the variant edits
+    val sh8 = graft.expressions.ShingleHashes.shingleHashesNative(spark, col("text"), 8)
+    val byDoc = docsDf.select(col("doc_id"), sh8.as("sh")).as[(Long, Seq[Long])]
+      .collect().toMap
+    assert(byDoc(0L).toSet.intersect(byDoc(1L).toSet).isEmpty,
+      "premise broken: the word-8-gram filter would already catch the variant")
+    // char-level: normalized streams are identical, so doc 1 is flagged
+    val out = TextQueries.charDecontaminate(docsDf, pmod(col("doc_id"), lit(29L)) === 0)
+      .select("doc_id", "n_eval_docs").as[(Long, Long)].collect().toMap
+    assert(out.get(1L).contains(1L), s"variant not flagged: $out")
+    assert(!out.contains(2L), s"clean doc falsely flagged: $out")
+  }
 }
