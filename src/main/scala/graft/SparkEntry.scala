@@ -101,6 +101,7 @@ object SparkEntry {
     "dedup_survivors" -> (TextQueries.dedupSurvivorsQ _),
     "dedup_survivors_inc" -> (TextQueries.dedupSurvivorsIncQ _),
     "dedup_corpus" -> (TextQueries.dedupCorpusQ _),
+    "dedup_cluster_sizes" -> (TextQueries.dedupClusterSizesQ _),
     "dedup_minhash" -> (TextQueries.dedupMinhashQ _),
     "dedup_simhash" -> (TextQueries.dedupSimhashQ _),
     "dedup_embedding" -> (VectorQueries.dedupEmbedding _),
@@ -117,6 +118,7 @@ object SparkEntry {
     "knn_classify_lsh" -> (VectorQueries.knnClassifyLsh _),
     "knn_classify_ivf" -> (VectorQueries.knnClassifyIvf _),
     "vec_label_centroid" -> (VectorQueries.labelCentroid _),
+    "vec_hard_negatives" -> (VectorQueries.vecHardNegatives _),
     // §2.7 text analysis
     "text_lang_id" -> (TextQueries.langIdQ _),
     "text_quality" -> (TextQueries.qualityQ _),
@@ -129,6 +131,7 @@ object SparkEntry {
     "text_corpus_stats" -> (TextQueries.corpusStatsQ _),
     "text_by_source" -> (TextQueries.bySourceQ _),
     "text_sample_split" -> (TextQueries.sampleSplitQ _),
+    "text_stratified_split" -> (TextQueries.stratifiedSplitQ _),
     "text_bpe_vocab" -> (TextQueries.bpeVocabQ _),
     "text_bpe_encode" -> (TextQueries.bpeEncodeQ _),
     "text_decontaminate" -> (TextQueries.decontaminateQ _),

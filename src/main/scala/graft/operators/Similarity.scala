@@ -76,6 +76,33 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: per query vector,
+    * the k MOST similar corpus vectors with a DIFFERENT label — the
+    * negatives that actually move an embedding model, versus random
+    * negatives the model already separates. Exact anchor (broadcast
+    * query set, map-side scan, per-query top-k): at 100 TB the same
+    * label-inequality residual drops into any of the bucketed scans
+    * (LSH/IVF/SQ8/PQ) exactly as it does here — candidate generation
+    * is label-agnostic, the filter rides the scored scan before the
+    * top-k, so mining cost equals the plain ANN cost. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+      col("label").as("q_label"))
+      .withColumn("q_n", vecDot(spark, col("q_vec"), col("q_vec")))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
+      col("label").as("n_label"))
+      .withColumn("n_n", vecDot(spark, col("n_vec"), col("n_vec")))
+    val scored = broadcast(q).crossJoin(c)
+      .where(col("q_id") =!= col("n_id") && col("q_label") =!= col("n_label"))
+      .withColumn("cos_micro",
+        cosMicro(spark, col("q_vec"), col("q_n"), col("n_vec"), col("n_n")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_micro").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("q_id"), col("q_label"), col("rnk"), col("n_id"), col("n_label"),
+        col("cos_micro"))
+  }
+
   /** Lloyd-refined k-means centroids over the corpus embedding column.
     *
     * Seeded deterministically from the `nCentroids` lowest vec_ids, then

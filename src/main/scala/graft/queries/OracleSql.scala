@@ -1083,6 +1083,27 @@ object OracleSql {
         | CAST(gofs % 2048 AS BIGINT) AS offset_in_bin
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    // Flat per-stratum window reference of the global-rank formulation.
+    "text_stratified_split" ->
+      s"""WITH d AS (SELECT doc_id, source, ${rh("text")} AS h FROM documents),
+         |r AS (SELECT doc_id, source,
+         |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rr,
+         |  COUNT(*) OVER (PARTITION BY source) AS n FROM d)
+         |SELECT doc_id, source,
+         | CASE WHEN rr * 10 <= n * 8 THEN 'train'
+         |      WHEN rr * 10 <= n * 9 THEN 'val' ELSE 'test' END AS split
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "dedup_cluster_sizes" ->
+      s"""$nearDupCc,
+         |lab AS (
+         | SELECT n.id, LEAST(n.id, MIN(r.dst)) AS comp
+         | FROM nodes n LEFT JOIN reach r ON r.src = n.id GROUP BY n.id),
+         |s AS (SELECT comp, COUNT(*) AS sz FROM lab GROUP BY comp)
+         |SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+         | CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+         |FROM s GROUP BY sz ORDER BY sz""".stripMargin,
+
     "text_sample_split" ->
       s"""WITH h AS (
          | SELECT doc_id, lang, ${rh("text")} % 100 AS bucket FROM documents)
@@ -1175,6 +1196,16 @@ object OracleSql {
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_micro DESC, n_id) AS rnk FROM s)
          |SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, n_label, cos_micro
          |FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+
+    "vec_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label AS q_label
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |c AS (SELECT vec_id AS n_id, embedding AS nv, label AS n_label FROM embeddings),
+         |s AS (SELECT q_id, q_label, n_id, n_label, ${cosMicro("qv", "nv")} AS cos_micro
+         |  FROM q, c WHERE q_id <> n_id AND q_label <> n_label),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_micro DESC, n_id) AS rnk FROM s)
+         |SELECT q_id, q_label, CAST(rnk AS INT) AS rnk, n_id, n_label, cos_micro
+         |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
 
     "knn_classify" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),

@@ -349,6 +349,47 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** EXACT-proportion stratified 80/10/10 split: within every source
+    * stratum, documents are ordered by (rolling hash, doc_id) — a
+    * deterministic, content-derived shuffle both engines reproduce —
+    * and the first floor(0.8n) ranks go to train, the next to val,
+    * the rest to test. Unlike hash-modulo splitting
+    * (text_sample_split), the proportions are exact per stratum, not
+    * just in expectation. Scale shape: the per-stratum rank rides the
+    * GLOBAL two-level rank ordered by (source, hash, id) — strata are
+    * range-spread across ALL partitions, so a handful of huge sources
+    * cannot serialize into single-partition windows — and becomes
+    * stratum-local by subtracting each stratum's broadcast min rank. */
+  def stratifiedSplitQ(spark: SparkSession, dir: String): DataFrame = {
+    val h = graft.expressions.RollingHash
+      .rollingHashNative(spark, col("text"), 31L, HashMod)
+    val d = docs(spark, dir).select(col("doc_id"), col("source"), h.as("_h"))
+    val ranked = graft.operators.Windows.globalRowNumber(
+      d, Seq(col("source"), col("_h"), col("doc_id")), rankCol = "_grank")
+    val bounds = ranked.groupBy(col("source"))
+      .agg(min(col("_grank")).as("_lo"), count(lit(1)).as("_n"))
+    ranked.join(broadcast(bounds), "source")
+      .withColumn("_r", col("_grank") - col("_lo") + 1)
+      .select(col("doc_id"), col("source"),
+        when(col("_r") * 10 <= col("_n") * 8, "train")
+          .when(col("_r") * 10 <= col("_n") * 9, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Near-dup cluster-size histogram: how many duplicate clusters of
+    * each size the corpus carries — the report a curator reads to pick
+    * a dedup threshold (a few giant clusters = boilerplate; a long
+    * tail of pairs = true near-dups). Components from the same CC the
+    * survivor queries use; two cheap aggregations on top. */
+  def dedupClusterSizesQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(Dedup.ngramJaccardPairs(docs(spark, dir), tauBp = 6000L))
+      .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .orderBy(col("cluster_size"))
+
   /** Per-source corpus rollup (provenance dimension — the slice a
     * training-data pipeline filters/reweights by). */
   def bySourceQ(spark: SparkSession, dir: String): DataFrame =

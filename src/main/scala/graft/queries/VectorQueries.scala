@@ -88,6 +88,18 @@ object VectorQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Hard-negative mining (k=5) for contrastive training: per query
+    * vector, the 5 most-similar corpus vectors with a DIFFERENT label
+    * — the negatives that actually move an embedding model. Exact
+    * anchor, hash-exact oracle; at scale the label-inequality residual
+    * drops into any bucketed scan before its top-k, so mining costs
+    * the same as the plain ANN query. */
+  def vecHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir)
+    Similarity.hardNegatives(all.where(col("vec_id") % 100 === 0), all, k = 5)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** IVF-bucketed kNN (k=5) classification — the data-adaptive-bucket
     * twin of knn_classify_lsh (votes over probed centroid lists).
     * Agreement with the exact classifier is spec'd in SimilaritySpec. */

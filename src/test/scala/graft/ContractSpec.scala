@@ -14,9 +14,10 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query count matches the SURVEY inventory claim") {
-    // 121 query entries (117 at end of round 5 + ann_ivf_pq
-    // + ev_stream_sessions + ev_stream_merge + text_decontaminate_chars);
+    // 124 query entries (117 at end of round 5 + ann_ivf_pq
+    // + ev_stream_sessions + ev_stream_merge + text_decontaminate_chars
+    // + vec_hard_negatives + text_stratified_split + dedup_cluster_sizes);
     // update alongside SURVEY §2 whenever a query is added.
-    assert(SparkEntry.queries.size === 121, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size === 124, s"got ${SparkEntry.queries.size}")
   }
 }

@@ -170,6 +170,31 @@ class PlanAuditSpec extends SparkSpec {
       s"fact-carrying single-partition exchange crept in:\n${p.take(1200)}")
   }
 
+  test("text_stratified_split: stratum rank rides the global rank, no per-source window") {
+    val p = plan(TextQueries.stratifiedSplitQ(spark, Sf))
+    // the per-stratum rank must come from the pinned global two-level
+    // rank (ExistingRDD checkpoint scan + broadcast min-rank join), not
+    // a Window partitioned by the low-cardinality source column.
+    assert(p.contains("Scan ExistingRDD"),
+      "expected the globalRowNumber checkpoint scan")
+    assert(!p.contains("windowspecdefinition(source#"),
+      "per-source window would serialize huge strata into single partitions")
+    assert(p.contains("BroadcastHashJoin"), "stratum bounds must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("vec_hard_negatives: label filter rides the broadcast scan before the top-k") {
+    val p = plan(graft.queries.VectorQueries.vecHardNegatives(spark, Sf))
+    // query side broadcast (corpus never shuffled for scoring) and the
+    // label inequality applied as a join/filter condition pre-window.
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"expected broadcast query side:\n${p.take(600)}")
+    val windowAt = p.indexOf("Window")
+    val labelFilterAt = p.indexOf("NOT (q_label")
+    assert(labelFilterAt >= 0 && (windowAt < 0 || labelFilterAt > windowAt),
+      "label inequality must be inside the scan subtree, below the top-k window")
+  }
+
   test("q_bloom_semi: bitset filter sits on the fact scan below the semi join") {
     val p = plan(RelationalQueries.qBloomSemi(spark, Sf))
     assert(p.contains("LeftSemi"), "real semi join must remain")
