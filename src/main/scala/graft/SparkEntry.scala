@@ -132,6 +132,7 @@ object SparkEntry {
     "text_by_source" -> (TextQueries.bySourceQ _),
     "text_sample_split" -> (TextQueries.sampleSplitQ _),
     "text_stratified_split" -> (TextQueries.stratifiedSplitQ _),
+    "text_ngram_lm" -> (TextQueries.ngramLmScoreQ _),
     "text_bpe_vocab" -> (TextQueries.bpeVocabQ _),
     "text_bpe_encode" -> (TextQueries.bpeEncodeQ _),
     "text_decontaminate" -> (TextQueries.decontaminateQ _),
@@ -145,6 +146,7 @@ object SparkEntry {
     "mm_features" -> (VectorQueries.mmFeatures _),
     "mm_image_meta" -> (VectorQueries.mmImageMeta _),
     "mm_resize" -> (VectorQueries.mmResize _),
+    "mm_keyframes" -> (VectorQueries.mmKeyframes _),
     "mm_audio_meta" -> (VectorQueries.mmAudioMeta _),
     "mm_video_meta" -> (VectorQueries.mmVideoMeta _),
     "mm_video_frames" -> (VectorQueries.mmVideoFrames _)

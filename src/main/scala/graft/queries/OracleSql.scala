@@ -611,6 +611,32 @@ object OracleSql {
         | CAST(FLOOR(10000.0 * (w * h * luma) / (w * h * 255)) AS BIGINT) AS mean_luma_bp
         |FROM l ORDER BY media_id, frame_idx""".stripMargin,
 
+    // keyframes re-derived arithmetically from the same synthetic fill
+    // formula; the Spark side decodes real frame pixels first
+    "mm_keyframes" ->
+      """WITH f AS (
+        | SELECT doc_id, UNNEST(range(0, 2 + doc_id % 4)) AS frame_idx FROM documents),
+        |m AS (
+        | SELECT doc_id, frame_idx, 8 + doc_id % 8 AS w, 8 + (doc_id // 8) % 8 AS h,
+        |  ((doc_id * 2654435761) + frame_idx * 40503) & 16777215 AS rgb
+        | FROM f),
+        |x AS (
+        | SELECT doc_id, frame_idx, w, h,
+        |  (77 * (rgb >> 16) + 150 * ((rgb >> 8) & 255) + 29 * (rgb & 255)) >> 8 AS luma
+        | FROM m),
+        |l AS (
+        | SELECT doc_id AS media_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(FLOOR(10000.0 * (w * h * luma) / (w * h * 255)) AS BIGINT) AS mean_luma_bp
+        | FROM x),
+        |k AS (
+        | SELECT media_id, frame_idx, mean_luma_bp,
+        |  LAG(mean_luma_bp) OVER (PARTITION BY media_id ORDER BY frame_idx) AS prev
+        | FROM l)
+        |SELECT media_id, frame_idx, mean_luma_bp,
+        | CASE WHEN prev IS NULL THEN mean_luma_bp ELSE ABS(mean_luma_bp - prev) END AS luma_delta_bp
+        |FROM k WHERE prev IS NULL OR ABS(mean_luma_bp - prev) > 5000
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
     // re-derives the synthetic-WAV metadata purely arithmetically; the
     // Spark side must recover identical values by decoding the real
     // RIFF/WAVE container through javax.sound
@@ -1082,6 +1108,29 @@ object OracleSql {
         |SELECT doc_id, n_tokens, CAST(gofs // 2048 AS BIGINT) AS bin,
         | CAST(gofs % 2048 AS BIGINT) AS offset_in_bin
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Integer bigram-coverage LM proxy: top-1000 corpus bigram table
+    // (frequency desc, lexicographic ties), per-doc covered-occurrence
+    // fraction in basis points.
+    "text_ngram_lm" ->
+      """WITH d0 AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> '') AS w
+        | FROM documents),
+        |d AS (
+        | SELECT doc_id, list_transform(range(1, greatest(len(w), 1)), i -> w[i] || ' ' || w[i+1]) AS bg
+        | FROM d0),
+        |tbl AS (
+        | SELECT bg1 FROM (
+        |  SELECT UNNEST(bg) AS bg1 FROM d) GROUP BY bg1
+        | ORDER BY COUNT(*) DESC, bg1 LIMIT 1000),
+        |db AS (SELECT doc_id, UNNEST(bg) AS bg1 FROM d),
+        |cov AS (
+        | SELECT doc_id, COUNT(*) AS n_covered FROM db JOIN tbl USING (bg1) GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.bg) AS BIGINT) AS n_bigrams,
+        | COALESCE(cov.n_covered, 0) AS n_covered,
+        | CASE WHEN len(d.bg) = 0 THEN 0
+        |      ELSE (COALESCE(cov.n_covered, 0) * 10000) // len(d.bg) END AS coverage_bp
+        |FROM d LEFT JOIN cov ON d.doc_id = cov.doc_id ORDER BY d.doc_id""".stripMargin,
 
     // Flat per-stratum window reference of the global-rank formulation.
     "text_stratified_split" ->

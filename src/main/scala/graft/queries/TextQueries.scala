@@ -349,6 +349,42 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram language-model coverage score — the CCNet/Gopher-style
+    * "does this look like the reference corpus" quality proxy, with
+    * integer arithmetic in place of float log-perplexity so both
+    * engines derive identical values: the corpus's top-1000 word
+    * bigrams (by frequency, lexicographic ties) form the reference LM
+    * table, and each document scores the fraction of its bigram
+    * OCCURRENCES found in the table (basis points). Low coverage =
+    * gibberish/boilerplate/wrong-register text. Scale shape: the LM
+    * table is bounded by the design constant (broadcast join); the
+    * per-doc bigram explode shuffles (doc_id, hit) pairs with map-side
+    * partial counts. */
+  def ngramLmScoreQ(spark: SparkSession, dir: String): DataFrame = {
+    val words = filter(split(lower(col("text")), "[^a-z]+"), w => length(w) > 0)
+    val n = size(words)
+    val bigrams = zip_with(
+      slice(words, lit(1), greatest(n - 1, lit(0))),
+      slice(words, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val d = docs(spark, dir).select(col("doc_id"), bigrams.as("bg"))
+    val table = d.select(explode(col("bg")).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("bigram")).limit(1000)
+      .select(col("bigram"))
+    val covered = d.select(col("doc_id"), explode(col("bg")).as("bigram"))
+      .join(broadcast(table), "bigram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
+    d.select(col("doc_id"), size(col("bg")).cast("long").as("n_bigrams"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+      .withColumn("coverage_bp",
+        when(col("n_bigrams") > 0, expr("n_covered * 10000 div n_bigrams"))
+          .otherwise(lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+
   /** EXACT-proportion stratified 80/10/10 split: within every source
     * stratum, documents are ordered by (rolling hash, doc_id) — a
     * deterministic, content-derived shuffle both engines reproduce —

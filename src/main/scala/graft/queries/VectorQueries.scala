@@ -206,6 +206,31 @@ object VectorQueries {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** KEYFRAME selection over REAL decoded frames (the
+    * shot-boundary-detection step of a video training pipeline): a
+    * frame is a keyframe when its mean luma moves more than 5000 bp
+    * from the previous frame (the first frame always is). The luma
+    * values come from actual RIFF/AVI walks + per-frame PNG decodes
+    * (`MediaOps.videoFrames`), and the window partitions by media_id
+    * (high cardinality at scale — never corpus-wide). Because the
+    * synthetic fills are arithmetic on (doc_id, frame_idx), the DuckDB
+    * oracle re-derives the same keyframe set purely arithmetically —
+    * the hash match proves real pixels drove the selection. */
+  def mmKeyframes(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticAvis(spark, TableLoader.load(spark, dir, "documents"))
+    val frames = graft.multimodal.MediaOps.videoFrames(media).toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("_prev", lag(col("mean_luma_bp"), 1).over(w))
+      .withColumn("luma_delta_bp",
+        when(col("_prev").isNull, col("mean_luma_bp"))
+          .otherwise(abs(col("mean_luma_bp") - col("_prev"))))
+      .where(col("_prev").isNull || col("luma_delta_bp") > 5000)
+      .select(col("media_id"), col("frame_idx"), col("mean_luma_bp"), col("luma_delta_bp"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   /** REAL resize round trip, oracle-checked: synthetic solid-color
     * PNGs are decoded, bilinear-downscaled to maxSide=12 (never
     * upscaled), re-encoded, and decoded AGAIN for metadata. Because

@@ -14,10 +14,11 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query count matches the SURVEY inventory claim") {
-    // 124 query entries (117 at end of round 5 + ann_ivf_pq
+    // 126 query entries (117 at end of round 5 + ann_ivf_pq
     // + ev_stream_sessions + ev_stream_merge + text_decontaminate_chars
-    // + vec_hard_negatives + text_stratified_split + dedup_cluster_sizes);
-    // update alongside SURVEY §2 whenever a query is added.
-    assert(SparkEntry.queries.size === 124, s"got ${SparkEntry.queries.size}")
+    // + vec_hard_negatives + text_stratified_split + dedup_cluster_sizes
+    // + mm_keyframes + text_ngram_lm); update alongside SURVEY §2
+    // whenever a query is added.
+    assert(SparkEntry.queries.size === 126, s"got ${SparkEntry.queries.size}")
   }
 }
