@@ -88,7 +88,26 @@ object Dedup {
     * survivors are the rows with id == comp. `localCheckpoint`
     * truncates the iteration lineage; convergence is a fixpoint of the
     * (edge count, edge fingerprint) pair, one action per round. */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  /** Per-JVM labeling memo (same contract as the centroid/PQ/merge
+    * caches: deterministic computation, keyed on the analyzed pair
+    * plan's semantic hash, so a different source/filter retrains).
+    * The survivor map, the dedup terminal, and the cluster-size report
+    * all label the SAME pair set — one iterative CC run serves all of
+    * them. The cached value is a materialized (eagerly checkpointed)
+    * label table, small by construction (one row per node in a pair). */
+  private val ccCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, Int), DataFrame]()
+
+  def connectedComponents(pairs: DataFrame): DataFrame =
+    ccCache.computeIfAbsent(
+      (pairs.sparkSession, pairs.queryExecution.analyzed.semanticHash()),
+      // LAZY checkpoint: a cache hit reuses the blocks the first
+      // consumer materialized, while a never-again-seen pair plan
+      // (e.g. the incremental fold-in over a checkpointed batch) pays
+      // no extra materialization job for a cache entry nothing reads.
+      _ => connectedComponentsUncached(pairs).localCheckpoint(false))
+
+  private def connectedComponentsUncached(pairs: DataFrame): DataFrame = {
     // Materialize the (usually expensive) candidate-pair plan once: the
     // symmetric union and the nodes/edges branches below would otherwise
     // each recompute it.
