@@ -89,6 +89,7 @@ object SparkEntry {
     "ev_sessionize" -> (EventQueries.sessionize _),
     "ev_funnel" -> (EventQueries.funnel _),
     "ev_asof_join" -> (EventQueries.asofJoin _),
+    "ev_asof_tolerance" -> (EventQueries.asofToleranceQ _),
     "ev_json_extract" -> (EventQueries.jsonExtract _),
     "ev_interval_join" -> (EventQueries.intervalJoin _),
     "ev_retention" -> (EventQueries.retention _),

@@ -179,6 +179,26 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** As-of join with a STALENESS TOLERANCE: like `asofJoin`, but a
+    * carried click older than `tol` (15 min) is dropped to null — the
+    * attribution-window semantics a real as-of consumer wants (a
+    * purchase is not attributed to a click from last month). Same
+    * one-shuffle LOCF plan; the tolerance is a map-only null-out on
+    * the carried timestamp, so it adds zero shuffle or join cost. */
+  def asofToleranceQ(spark: SparkSession, dir: String): DataFrame = {
+    val tolUs = 15L * 60L * 1000000L
+    val ev = events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("ts_us").as("click_ts_us"))
+    Windows.asOfJoin(purchases, clicks, "user_id", "ts_us", Seq("click_ts_us"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        when(col("ts_us") - col("asof_click_ts_us") <= tolUs, col("asof_click_ts_us"))
+          .as("attributed_click_ts_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** JSON property extraction from the props column (semi-structured
     * path), bucketed aggregation. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =

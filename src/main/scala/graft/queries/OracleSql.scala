@@ -962,6 +962,17 @@ object OracleSql {
         |   WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts_us <= p.ts_us) AS asof_click_ts_us
         |FROM e p WHERE p.event_type = 'purchase' ORDER BY p.event_id""".stripMargin,
 
+    "ev_asof_tolerance" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |a AS (
+        | SELECT p.event_id, p.user_id, p.ts_us,
+        |  (SELECT MAX(c.ts_us) FROM e c
+        |    WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts_us <= p.ts_us) AS asof_ts
+        | FROM e p WHERE p.event_type = 'purchase')
+        |SELECT event_id, user_id, ts_us,
+        | CASE WHEN ts_us - asof_ts <= 900000000 THEN asof_ts END AS attributed_click_ts_us
+        |FROM a ORDER BY event_id""".stripMargin,
+
     "text_lang_id" -> langIdSql,
 
     "text_quality" -> {
