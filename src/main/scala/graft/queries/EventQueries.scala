@@ -296,7 +296,7 @@ object EventQueries {
     if (!fx.exists()) {
       val ev = events(spark, dir)
         .select(col("user_id"), col("event_id"), col("ts"), col("value"), col("event_type"))
-      val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
       val sentinel = spark.range(1).select(
         lit(-1L).as("user_id"), lit(-1L).as("event_id"),
         timestamp_micros(lit(maxUs + 4L * 3600L * 1000000L)).as("ts"),

@@ -47,7 +47,7 @@ object UpsertWriter {
       else None
     val incoming = updates.withColumn("_src", lit(1))
     val merged = existing match {
-      case Some(ex) => ex.select(incoming.columns.filter(_ != "_src").map(col): _*)
+      case Some(ex) => ex.select(incoming.columns.filter(_ != "_src").toIndexedSeq.map(col): _*)
         .withColumn("_src", lit(0)).unionByName(incoming)
       case None => incoming
     }
