@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{FloatVecDot, RollingHash, ShingleHashes, SimHashBits, SimHashPacked, VecDotI8, VecQuantizeI8}
+import graft.expressions.{DeflateLen, FloatVecDot, RollingHash, ShingleHashes, SimHashBits, SimHashPacked, VecDotI8, VecQuantizeI8}
 
 /** SparkSessionExtensions entry point: installs the graft native
   * functions into any session via
@@ -55,6 +55,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_q8"),
       info("vec_q8", "vec_q8(v) - per-vector symmetric int8 quantization of array<float>"),
       { exprs: Seq[Expression] => VecQuantizeI8(exprs(0)) }))
+    ext.injectFunction((
+      new FunctionIdentifier("deflate_len"),
+      info("deflate_len", "deflate_len(s) - zlib-deflate compressed length of a string/binary"),
+      { exprs: Seq[Expression] => DeflateLen(exprs(0)) }))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot_i8"),
       info("vec_dot_i8", "vec_dot_i8(a, b) - integer dot product of two array<tinyint>"),

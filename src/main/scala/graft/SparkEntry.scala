@@ -53,6 +53,8 @@ object SparkEntry {
     "q_full_outer" -> (RelationalQueries.qFullOuter _),
     "q_distinct_hll_sketch" -> (RelationalQueries.qDistinctHllSketch _),
     "text_term_freq_cms" -> (TextQueries.termFreqCmsQ _),
+    "text_collocations" -> (TextQueries.collocationsQ _),
+    "text_compress_ratio" -> (TextQueries.compressRatioQ _),
     "text_chunk" -> (TextQueries.chunkQ(_, _)),
     "q_heavy_hitters_approx" -> (RelationalQueries.qHeavyHittersApprox _),
     "q_rank_family" -> (RelationalQueries.qRankFamily _),

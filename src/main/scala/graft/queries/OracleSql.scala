@@ -355,6 +355,26 @@ object OracleSql {
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
     },
 
+    // PMI collocations: zipped-unnest adjacent pairs; the score is the
+    // same left-associated double formula Spark evaluates, floored at
+    // micro-units, so the longs are bit-identical
+    "text_collocations" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+        |  FROM d WHERE len(w) >= 2),
+        |cxy AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY 1, 2),
+        |cw AS (SELECT wd, COUNT(*) AS c_w
+        |  FROM (SELECT unnest(w) AS wd FROM d) GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(SUM(c_xy) AS BIGINT) FROM cxy) AS n_bg,
+        |  (SELECT CAST(SUM(c_w) AS BIGINT) FROM cw) AS n_tok)
+        |SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+        | CAST(cx.c_w AS BIGINT) AS c_x, CAST(cy.c_w AS BIGINT) AS c_y,
+        | CAST(FLOOR(1e6 * ((CAST(c_xy AS DOUBLE) * n_tok * n_tok) /
+        |   (CAST(n_bg AS DOUBLE) * cx.c_w * cy.c_w))) AS BIGINT) AS pmi_micro
+        |FROM cxy JOIN cw cx ON cxy.w1 = cx.wd JOIN cw cy ON cxy.w2 = cy.wd, tot
+        |WHERE c_xy >= 5
+        |ORDER BY pmi_micro DESC, w1, w2 LIMIT 50""".stripMargin,
+
     "q6_revenue_band" ->
       s"""SELECT ${centsR("l_extendedprice * l_discount")} AS revenue_cents,
          | COUNT(*) AS n_lines

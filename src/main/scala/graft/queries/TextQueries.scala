@@ -539,6 +539,69 @@ object TextQueries {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** PMI-ranked bigram collocations (phrase mining): the signal a
+    * vocabulary/phrase pipeline computes before merging multiword
+    * units into single tokens. Joint and marginal counts are exact
+    * integer aggregations; the PMI ratio is floored at micro-units
+    * from the same left-associated double formula both engines
+    * evaluate, so the longs are bit-identical. Scale shape: two
+    * explode->partial-agg aggregations keyed on tokens, two joins
+    * keyed on a word (vocabulary-sized sides, AQE broadcasts them),
+    * one crossJoin with a 1-row totals plan, and the final top-50 is
+    * orderBy+limit — TakeOrdered, never a global sort. */
+  def collocationsQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val words = split(col("text"), " ")
+    val n = size(words)
+    // adjacent-token pairs; tokens are space-split so concat+resplit
+    // round-trips losslessly
+    val bgStr = zip_with(
+      slice(words, lit(1), greatest(n - 1, lit(0))),
+      slice(words, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val pairs = d.select(explode(bgStr).as("bg"))
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"))
+    val cxy = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+    val uni = d.select(explode(words).as("wd"))
+      .groupBy(col("wd")).agg(count(lit(1)).as("c_w"))
+    val totals = cxy.agg(sum(col("c_xy")).as("n_bg"))
+      .crossJoin(uni.agg(sum(col("c_w")).as("n_tok")))
+    cxy
+      .join(uni.select(col("wd").as("w1"), col("c_w").as("c_x")), "w1")
+      .join(uni.select(col("wd").as("w2"), col("c_w").as("c_y")), "w2")
+      .crossJoin(broadcast(totals))
+      .where(col("c_xy") >= 5)
+      .withColumn("pmi_micro",
+        floor(lit(1e6) *
+          ((col("c_xy").cast("double") * col("n_tok") * col("n_tok")) /
+            (col("n_bg").cast("double") * col("c_x") * col("c_y")))).cast("long"))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"), col("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
+  /** Compressibility quality signal: zlib-deflate ratio in basis
+    * points per document, plus the corpus-level signal per source.
+    * Highly compressible text is templated/repetitive — the cheap
+    * quality proxy curation pipelines run alongside the exact
+    * duplicate-bigram gate (text_repetition is this signal family's
+    * oracle-checked twin; no SQL engine exposes deflate, so the
+    * driver records rows-only and TextFunctionsSpec pins
+    * bit-equivalence to java.util.zip.Deflater plus the
+    * repetitive-compresses-further ordering). Map-only per row; the
+    * final sort is the only exchange. */
+  def compressRatioQ(spark: SparkSession, dir: String): DataFrame = {
+    val dl = graft.expressions.DeflateLen.deflateLenNative(spark, col("text"))
+    docs(spark, dir)
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("n_bytes"),
+        dl.cast("long").as("deflate_len"))
+      .withColumn("ratio_bp",
+        when(col("n_bytes") > 0, col("deflate_len") * 10000L / col("n_bytes"))
+          .otherwise(lit(0L)).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   def dedupMinhashQ(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(docs(spark, dir), tauBp = 6000L)
       .orderBy(col("id1"), col("id2"))

@@ -14,11 +14,12 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query count matches the SURVEY inventory claim") {
-    // 126 query entries (117 at end of round 5 + ann_ivf_pq
+    // 129 query entries (117 at end of round 5 + ann_ivf_pq
     // + ev_stream_sessions + ev_stream_merge + text_decontaminate_chars
     // + vec_hard_negatives + text_stratified_split + dedup_cluster_sizes
-    // + mm_keyframes + text_ngram_lm + ev_asof_tolerance); update
+    // + mm_keyframes + text_ngram_lm + ev_asof_tolerance
+    // + text_collocations + text_compress_ratio); update
     // alongside SURVEY §2 whenever a query is added.
-    assert(SparkEntry.queries.size === 127, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size === 129, s"got ${SparkEntry.queries.size}")
   }
 }

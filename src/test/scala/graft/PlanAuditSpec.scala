@@ -206,4 +206,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(filterAt > joinAt, "bloom filter must be below (inside) the join subtree")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("text_collocations: top-50 is TakeOrdered, count joins broadcast, no cartesian") {
+    val p = plan(TextQueries.collocationsQ(spark, Sf))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not be a global sort:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"))
+    // vocabulary-sized marginal-count joins broadcast at this SF; the
+    // 1-row totals side rides a broadcast nested loop
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast count joins:\n${p.take(600)}")
+  }
 }

@@ -86,4 +86,33 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out.get(1L).contains(1L), s"variant not flagged: $out")
     assert(!out.contains(2L), s"clean doc falsely flagged: $out")
   }
+
+  test("deflate_len matches a direct Deflater call and orders repetitive below prose") {
+    import graft.expressions.{DeflateLen, DeflateOps}
+    val texts = Seq(
+      ("ab " * 500).trim,
+      "the quick brown fox jumps over the lazy dog while planners reorder joins",
+      "")
+    val got = texts.toDF("t")
+      .select(DeflateLen.deflateLenNative(spark, col("t"))).as[Int].collect().toSeq
+    val want = texts.map(t => DeflateOps.deflateLen(t.getBytes("UTF-8")))
+    assert(got === want)
+    // templated text compresses far below its size; short prose doesn't
+    assert(want.head < texts.head.length / 10, s"repetitive not compressible: $want")
+    assert(want(1) > texts(1).length / 2, s"prose unexpectedly compressible: $want")
+  }
+
+  test("PMI collocations rank an always-adjacent pair above independent pairs") {
+    import graft.queries.TextQueries
+    // "new york" always adjacent; filler words co-occur independently
+    val phrases = (0 until 40).map(i => (i.toLong, "x", "s",
+      s"new york a b c d a c b d new york b a d c"))
+    val dir = java.nio.file.Files.createTempDirectory("colloc").toString
+    phrases.toDF("doc_id", "lang", "source", "text")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val top = TextQueries.collocationsQ(spark, dir)
+      .select("w1", "w2").as[(String, String)].head(3)
+    assert(top.head === (("new", "york")), s"got $top")
+  }
 }
