@@ -55,6 +55,7 @@ object SparkEntry {
     "text_term_freq_cms" -> (TextQueries.termFreqCmsQ _),
     "text_collocations" -> (TextQueries.collocationsQ _),
     "text_compress_ratio" -> (TextQueries.compressRatioQ _),
+    "text_quality_classifier" -> (TextQueries.qualityClassifierQ _),
     "text_chunk" -> (TextQueries.chunkQ(_, _)),
     "q_heavy_hitters_approx" -> (RelationalQueries.qHeavyHittersApprox _),
     "q_rank_family" -> (RelationalQueries.qRankFamily _),
@@ -88,6 +89,8 @@ object SparkEntry {
     "ev_streaming_parity" -> (EventQueries.streamingParity _),
     "ev_stream_sessions" -> (EventQueries.streamSessions _),
     "ev_stream_merge" -> (EventQueries.streamMerge _),
+    "ev_stream_dedup" -> (EventQueries.streamDedup _),
+    "ev_stream_join" -> (EventQueries.streamJoinQ _),
     "ev_sessionize" -> (EventQueries.sessionize _),
     "ev_funnel" -> (EventQueries.funnel _),
     "ev_asof_join" -> (EventQueries.asofJoin _),

@@ -337,6 +337,69 @@ object EventQueries {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** STREAMING exact dedup, driven end to end: the
+    * `dropDuplicatesWithinWatermark` dedup (`DedupStream.dropDupKeys`,
+    * one bounded state entry per live key) runs as a real Structured
+    * Streaming query over the events parquet and must reproduce the
+    * batch DISTINCT hash-exactly. The delay is longer than the table's
+    * span so no key is evicted mid-run (the bounded-horizon eviction
+    * behavior itself is spec'd in DedupStreamSpec), and only the dedup
+    * key is emitted, so arrival-order nondeterminism in which
+    * duplicate row survives is projected away — the streamed key set
+    * is deterministic. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val src = streamSourceFixture(spark, dir)
+    val schema = spark.read.parquet(src).schema
+    val name = "graft_stream_dedup_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val deduped = graft.streaming.DedupStream.dropDupKeys(
+      spark.readStream.schema(schema).parquet(src)
+        .select(col("user_id"), col("event_type"), col("ts")),
+      Seq("user_id", "event_type"), "30 days")
+    val query = deduped.writeStream
+      .format("memory").queryName(name)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    spark.table(name).where(col("user_id") >= 0)
+      .select(col("user_id"), col("event_type"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** STREAMING stream-stream interval join, driven end to end: the
+    * watermarked left-outer join (`StreamJoin.purchasesWithRecentClicks`
+    * — click state held only until the watermark passes
+    * `click_ts + window`, unmatched purchases flushed on watermark
+    * advance) runs as a real two-stream file query over the events
+    * parquet and, re-aggregated, must reproduce the batch
+    * `ev_interval_join` oracle hash-exactly. The far-future sentinel
+    * rides BOTH side filters (`user_id < 0`) so the trailing micro-batch
+    * advances the watermark past every purchase's window and every
+    * unmatched purchase is emitted before the stream drains. */
+  def streamJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val src = streamSourceFixture(spark, dir)
+    val schema = spark.read.parquet(src).schema
+    def side(t: String) = spark.readStream.schema(schema).parquet(src)
+      .where(col("event_type") === t || col("user_id") < 0)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val joined = graft.streaming.StreamJoin.purchasesWithRecentClicks(
+      side("purchase"), side("click"), windowMinutes = 60, watermark = "1 second")
+    val name = "graft_stream_join_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val query = joined.writeStream
+      .format("memory").queryName(name)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    spark.table(name).where(col("p_user") >= 0)
+      .select(col("purchase_id").as("event_id"), col("p_user").as("user_id"),
+        unix_micros(col("p_ts")).as("ts_us"), unix_micros(col("c_ts")).as("click_us"))
+      .groupBy(col("event_id"), col("user_id"), col("ts_us"))
+      .agg(count(col("click_us")).as("n_clicks_1h"),
+        min(col("click_us")).as("first_click_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** STREAMING MERGE-sink parity, driven end to end: the tumbling
     * aggregation in UPDATE mode upserted into a parquet lake by window
     * identity (`EventStream.runUpsertSink` — last-writer-wins on batch

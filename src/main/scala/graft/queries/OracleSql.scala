@@ -893,6 +893,24 @@ object OracleSql {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // The STREAMED interval join, re-aggregated, must reproduce the
+    // batch interval-join oracle exactly.
+    "ev_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS cu, ts_us AS click_us FROM e WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        | COUNT(c.click_us) AS n_clicks_1h, MIN(c.click_us) AS first_click_us
+        |FROM p LEFT JOIN c ON p.user_id = c.cu
+        | AND c.click_us >= p.ts_us - 3600000000 AND c.click_us <= p.ts_us
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    // The STREAMED dropDuplicatesWithinWatermark key set must equal the
+    // batch DISTINCT (delay > table span, key-only projection).
+    "ev_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
     // The MERGE-sink lake must converge to the batch tumbling answer —
     // same oracle as ev_streaming_parity.
     "ev_stream_merge" ->

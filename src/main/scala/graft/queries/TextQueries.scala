@@ -602,6 +602,56 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-doc quality features (integer basis points) + the heuristic
+    * keep/drop label the classifier trains against. Shared by the
+    * driver query and the spec's in-memory reference loop. */
+  private[graft] def qualityFeatures(d: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val n = size(words)
+    val bigrams = zip_with(
+      slice(words, lit(1), greatest(n - 1, lit(0))),
+      slice(words, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    d.select(col("doc_id"), col("text"), bigrams.as("bg"))
+      .select(col("doc_id"), col("text"),
+        bp(size(col("bg")) - size(array_distinct(col("bg"))),
+          greatest(size(col("bg")), lit(1)).cast("long")).as("rep_bp"),
+        bp(stopwordCount(col("text")), wsTokenCount(col("text"))).as("stop_bp"),
+        bp(alphaCount(col("text")), length(col("text")).cast("long")).as("alpha_bp"),
+        bp(length(replace(col("text"), lit(" "), lit(""))).cast("long"),
+          wsTokenCount(col("text"))).as("wlen_bp"))
+      .withColumn("x_rep", col("rep_bp").cast("double") / 10000.0)
+      .withColumn("x_stop", col("stop_bp").cast("double") / 10000.0)
+      .withColumn("x_alpha", col("alpha_bp").cast("double") / 10000.0)
+      .withColumn("x_wlen", col("wlen_bp").cast("double") / 10000.0)
+      .withColumn("y",
+        when(col("rep_bp") < 1500 && col("stop_bp") < 800, 1.0).otherwise(0.0))
+      .drop("text")
+  }
+
+  private[graft] val QualityFeatCols = Seq("x_rep", "x_stop", "x_alpha", "x_wlen")
+
+  /** Learned quality filter: a tiny logistic regression trained ON THE
+    * CLUSTER against the heuristic keep/drop label, then map-only
+    * scoring of every document — the fastText-style "looks like the
+    * curated slice" classifier pipelines run after the exact gates.
+    * Each training step is one partial-agg aggregation whose gradient
+    * sums ride order-independent fixed-point longs, so the weights
+    * (and these scores) are bit-identical across partitionings; the
+    * spec pins exact weight equality against an in-memory reference
+    * loop over the same features. Driver pacing is `steps`(=25)
+    * bounded jobs (Bpe.trainVocab regime); no SQL engine trains a
+    * model, so the driver records rows-only. */
+  def qualityClassifierQ(spark: SparkSession, dir: String): DataFrame = {
+    val raw = qualityFeatures(docs(spark, dir)).localCheckpoint(true)
+    val (f, _) = graft.operators.QualityModel.standardize(raw, QualityFeatCols)
+    val w = graft.operators.QualityModel.train(f, QualityFeatCols, "y", lr = 2.0, steps = 25)
+    graft.operators.QualityModel.score(f, QualityFeatCols, w)
+      .select(col("doc_id"), col("y").cast("long").as("label_heur"),
+        col("p_micro"), col("pred"))
+      .orderBy(col("doc_id"))
+  }
+
   def dedupMinhashQ(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(docs(spark, dir), tauBp = 6000L)
       .orderBy(col("id1"), col("id2"))

@@ -24,4 +24,12 @@ object DedupStream {
       .withColumn("text_hash", xxhash64(col(textCol)))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("text_hash")
+
+  /** Same state machinery keyed on explicit columns: first arrival per
+    * key survives, repeats within the watermark horizon are dropped,
+    * state is one entry per live key and evicts with the watermark. */
+  def dropDupKeys(stream: DataFrame, keyCols: Seq[String], watermarkDelay: String): DataFrame =
+    stream
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
 }

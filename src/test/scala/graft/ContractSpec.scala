@@ -18,8 +18,9 @@ class ContractSpec extends SparkSpec {
     // + ev_stream_sessions + ev_stream_merge + text_decontaminate_chars
     // + vec_hard_negatives + text_stratified_split + dedup_cluster_sizes
     // + mm_keyframes + text_ngram_lm + ev_asof_tolerance
-    // + text_collocations + text_compress_ratio); update
-    // alongside SURVEY §2 whenever a query is added.
-    assert(SparkEntry.queries.size === 129, s"got ${SparkEntry.queries.size}")
+    // + text_collocations + text_compress_ratio
+    // + text_quality_classifier + ev_stream_dedup + ev_stream_join);
+    // update alongside SURVEY §2 whenever a query is added.
+    assert(SparkEntry.queries.size === 132, s"got ${SparkEntry.queries.size}")
   }
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.QualityModel
+import graft.queries.TextQueries
+
+class QualityModelSpec extends SparkSpec {
+
+  private def rawFeatures = TextQueries.qualityFeatures(
+    graft.sources.TableLoader.load(spark, Sf, "documents"))
+
+  /** The reference pipeline: identical fixed-point arithmetic on
+    * collected raw features — floor'd long sums for the feature stats
+    * AND the per-step gradients, the same left-associated expressions
+    * everywhere. Returns (weights, standardized features, labels). */
+  private def referenceTrain(raw: Array[(Array[Double], Double)], lr: Double,
+                             steps: Int): (Array[Double], Array[Array[Double]]) = {
+    val S = QualityModel.Scale
+    val n = raw.length.toDouble
+    val k = raw.head._1.length
+    val stats = Array.tabulate(k) { j =>
+      val s = raw.map(r => math.floor(r._1(j) * S).toLong).sum
+      val s2 = raw.map(r => math.floor(r._1(j) * r._1(j) * S).toLong).sum
+      val m = (s / S) / n
+      val e2 = (s2 / S) / n
+      val v = e2 - m * m
+      (m, if (v > 0) math.sqrt(v) else 1.0)
+    }
+    val xs = raw.map { case (x, _) =>
+      Array.tabulate(k)(j => (x(j) - stats(j)._1) / stats(j)._2)
+    }
+    val w = Array.fill(k + 1)(0.0)
+    for (_ <- 1 to steps) {
+      val sums = Array.fill(k + 1)(0L)
+      var i = 0
+      while (i < xs.length) {
+        val err = raw(i)._2 - QualityModel.forward(w, xs(i))
+        sums(0) += math.floor(err * S).toLong
+        var j = 0
+        while (j < k) { sums(j + 1) += math.floor(err * xs(i)(j) * S).toLong; j += 1 }
+        i += 1
+      }
+      var j = 0
+      while (j <= k) { w(j) = w(j) + lr * (sums(j) / S) / n; j += 1 }
+    }
+    (w, xs)
+  }
+
+  private def collectRaw = rawFeatures
+    .select(TextQueries.QualityFeatCols.map(col) :+ col("y"): _*)
+    .collect()
+    .map(r => (Array(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)),
+      r.getDouble(4)))
+
+  test("distributed standardize+train equals the in-memory reference bit-for-bit") {
+    val rawDf = rawFeatures.localCheckpoint(true)
+    val (f, _) = QualityModel.standardize(rawDf, TextQueries.QualityFeatCols)
+    val w = QualityModel.train(f, TextQueries.QualityFeatCols, "y", 2.0, 25)
+    val (wRef, _) = referenceTrain(collectRaw, 2.0, 25)
+    assert(w.toSeq === wRef.toSeq, s"distributed ${w.toSeq} != reference ${wRef.toSeq}")
+  }
+
+  test("training is bit-stable across input partitionings") {
+    val rawDf = rawFeatures.localCheckpoint(true)
+    val (f, _) = QualityModel.standardize(rawDf, TextQueries.QualityFeatCols)
+    val w1 = QualityModel.train(f.repartition(1), TextQueries.QualityFeatCols, "y", 2.0, 5)
+    val w7 = QualityModel.train(f.repartition(7), TextQueries.QualityFeatCols, "y", 2.0, 5)
+    assert(w1.toSeq === w7.toSeq)
+  }
+
+  test("the learned filter beats the majority-class baseline, both classes predicted") {
+    val rawDf = rawFeatures.localCheckpoint(true)
+    val (f, _) = QualityModel.standardize(rawDf, TextQueries.QualityFeatCols)
+    val w = QualityModel.train(f, TextQueries.QualityFeatCols, "y", 2.0, 25)
+    val agg = QualityModel.score(f, TextQueries.QualityFeatCols, w).agg(
+      avg((col("pred") === col("y").cast("long")).cast("double")),
+      avg(col("y")),
+      countDistinct(col("pred"))).head()
+    val (acc, base, nPred) = (agg.getDouble(0), agg.getDouble(1), agg.getLong(2))
+    val majority = math.max(base, 1.0 - base)
+    assert(acc > majority, s"accuracy $acc does not beat majority $majority")
+    assert(nPred === 2L, "degenerate classifier: one predicted class")
+  }
+}
