@@ -549,8 +549,10 @@ object TextQueries {
     * keyed on a word (vocabulary-sized sides, AQE broadcasts them),
     * one crossJoin with a 1-row totals plan, and the final top-50 is
     * orderBy+limit — TakeOrdered, never a global sort. */
-  def collocationsQ(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+  def collocationsQ(spark: SparkSession, dir: String): DataFrame =
+    collocations(docs(spark, dir), minCount = 5, k = 50)
+
+  private[graft] def collocations(d: DataFrame, minCount: Long, k: Int): DataFrame = {
     val words = split(col("text"), " ")
     val n = size(words)
     // adjacent-token pairs; tokens are space-split so concat+resplit
@@ -571,14 +573,14 @@ object TextQueries {
       .join(uni.select(col("wd").as("w1"), col("c_w").as("c_x")), "w1")
       .join(uni.select(col("wd").as("w2"), col("c_w").as("c_y")), "w2")
       .crossJoin(broadcast(totals))
-      .where(col("c_xy") >= 5)
+      .where(col("c_xy") >= minCount)
       .withColumn("pmi_micro",
         floor(lit(1e6) *
           ((col("c_xy").cast("double") * col("n_tok") * col("n_tok")) /
             (col("n_bg").cast("double") * col("c_x") * col("c_y")))).cast("long"))
       .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"), col("pmi_micro"))
       .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
-      .limit(50)
+      .limit(k)
   }
 
   /** Compressibility quality signal: zlib-deflate ratio in basis

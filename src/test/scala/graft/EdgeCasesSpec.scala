@@ -100,6 +100,24 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out === want)
   }
 
+  test("collocations below min-count and on single-token docs yield empty, not errors") {
+    import graft.queries.TextQueries
+    // every bigram occurs once < minCount=5; one doc has no bigrams at all
+    val d = Seq((0L, "alpha beta gamma"), (1L, "delta epsilon"), (2L, "solo"))
+      .toDF("doc_id", "text")
+    assert(TextQueries.collocations(d, minCount = 5, k = 10).count() === 0)
+    // minCount=1 keeps them; the single-token doc contributes unigrams only
+    val got = TextQueries.collocations(d, minCount = 1, k = 10)
+      .select("w1", "w2").as[(String, String)].collect().toSet
+    assert(got === Set(("alpha", "beta"), ("beta", "gamma"), ("delta", "epsilon")))
+  }
+
+  test("deflate_len of an empty string is a small constant, never negative") {
+    import graft.expressions.DeflateOps
+    assert(DeflateOps.deflateLen(Array.emptyByteArray) >= 0)
+    assert(DeflateOps.deflateLen("".getBytes) <= 8)
+  }
+
   test("pqTopK works when the corpus is smaller than the codebook size") {
     import graft.operators.Similarity
     val rows = (0L until 6L).map(i =>
