@@ -91,6 +91,8 @@ object SparkEntry {
     "ev_stream_merge" -> (EventQueries.streamMerge _),
     "ev_stream_dedup" -> (EventQueries.streamDedup _),
     "ev_stream_join" -> (EventQueries.streamJoinQ _),
+    "dedup_stats" -> (TextQueries.dedupStatsQ _),
+    "validate_drift" -> (IngestQueries.validateDriftQ _),
     "ev_sessionize" -> (EventQueries.sessionize _),
     "ev_funnel" -> (EventQueries.funnel _),
     "ev_asof_join" -> (EventQueries.asofJoin _),

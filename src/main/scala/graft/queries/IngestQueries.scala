@@ -108,6 +108,27 @@ object IngestQueries {
       Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
       .orderBy(col("column"), col("metric"))
 
+  /** Snapshot drift report: per-column profile deltas between two
+    * period slices of the same table — the schema/distribution drift
+    * check a pipeline runs before appending a new period to the lake.
+    * Two scans with the date range pushed into parquet, one tiny join
+    * keyed (column, metric); output bounded by columns x metrics.
+    * Profiled columns are ints/strings only, so the stringified
+    * values compare exactly cross-engine. */
+  def validateDriftQ(spark: SparkSession, dir: String): DataFrame = {
+    val o = TableLoader.load(spark, dir, "orders")
+    val cols = Seq("o_orderstatus", "o_orderpriority", "o_custkey")
+    def slice(y: String) = o.where(col("o_orderdate") >= lit(s"$y-01-01").cast("date") &&
+      col("o_orderdate") < lit(s"${y.toInt + 1}-01-01").cast("date"))
+    val p1 = Validate.profile("orders", slice("1995"), cols)
+      .select(col("column"), col("metric"), col("value").as("v_1995"))
+    val p2 = Validate.profile("orders", slice("1996"), cols)
+      .select(col("column"), col("metric"), col("value").as("v_1996"))
+    p1.join(p2, Seq("column", "metric"))
+      .withColumn("drifted", when(col("v_1995") <=> col("v_1996"), 0L).otherwise(1L))
+      .orderBy(col("column"), col("metric"))
+  }
+
   /** Month-calendar generation (dates.py analog) left-joined with order
     * activity — includes empty months, exact cents. */
   def periodCalendar(spark: SparkSession, dir: String): DataFrame = {

@@ -170,6 +170,27 @@ object OracleSql {
       }.mkString("", " UNION ALL ", " ORDER BY \"column\", metric")
     },
 
+    // snapshot drift: the q_profile metric set on two date slices,
+    // joined on (column, metric); int/string columns only so the
+    // stringified values compare exactly cross-engine
+    "validate_drift" -> {
+      val cols = Seq("o_orderstatus", "o_orderpriority", "o_custkey")
+      def prof(lo: String, hi: String) = cols.flatMap { c =>
+        val w = s"o_orderdate >= DATE '$lo' AND o_orderdate < DATE '$hi'"
+        Seq(
+          s"""SELECT '$c' AS "column", 'nulls' AS metric, CAST((SELECT COUNT(*) FROM orders WHERE $w AND $c IS NULL) AS VARCHAR) AS value""",
+          s"""SELECT '$c', 'distinct', CAST((SELECT COUNT(DISTINCT $c) FROM orders WHERE $w) AS VARCHAR)""",
+          s"""SELECT '$c', 'min', CAST((SELECT MIN($c) FROM orders WHERE $w) AS VARCHAR)""",
+          s"""SELECT '$c', 'max', CAST((SELECT MAX($c) FROM orders WHERE $w) AS VARCHAR)""")
+      }.mkString(" UNION ALL ")
+      s"""WITH p1 AS (${prof("1995-01-01", "1996-01-01")}),
+         |p2 AS (${prof("1996-01-01", "1997-01-01")})
+         |SELECT p1."column", p1.metric, p1.value AS v_1995, p2.value AS v_1996,
+         | CAST(CASE WHEN p1.value IS DISTINCT FROM p2.value THEN 1 ELSE 0 END AS BIGINT) AS drifted
+         |FROM p1 JOIN p2 ON p1."column" = p2."column" AND p1.metric = p2.metric
+         |ORDER BY p1."column", p1.metric""".stripMargin
+    },
+
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS sum_qty,
@@ -1201,6 +1222,21 @@ object OracleSql {
          |SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
          | CAST(sz * COUNT(*) AS BIGINT) AS n_docs
          |FROM s GROUP BY sz ORDER BY sz""".stripMargin,
+
+    // per-source dedup report: same component semantics as
+    // dedup_survivors, losers joined back to provenance
+    "dedup_stats" ->
+      s"""$nearDupCc,
+         |lab AS (
+         | SELECT n.id, LEAST(n.id, MIN(r.dst)) AS comp
+         | FROM nodes n LEFT JOIN reach r ON r.src = n.id GROUP BY n.id),
+         |losers AS (SELECT id FROM lab WHERE id <> comp)
+         |SELECT d.source, COUNT(*) AS n_docs,
+         | CAST(COUNT(*) - COUNT(l.id) AS BIGINT) AS n_survivors,
+         | CAST(COUNT(l.id) AS BIGINT) AS n_pruned,
+         | CAST(FLOOR(10000.0 * COUNT(l.id) / COUNT(*)) AS BIGINT) AS prune_bp
+         |FROM documents d LEFT JOIN losers l ON d.doc_id = l.id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     "text_sample_split" ->
       s"""WITH h AS (

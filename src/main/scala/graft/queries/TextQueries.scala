@@ -426,6 +426,27 @@ object TextQueries {
       .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
       .orderBy(col("cluster_size"))
 
+  /** Per-source dedup report (the read a curator does before mixing):
+    * docs, survivors, pruned count and prune rate per source. Rides
+    * the memoized CC labeling, so survivors, corpus terminal, cluster
+    * sizes and this report share ONE iterative run; the join is an
+    * 8-byte-id left join and the output is bounded by source count.
+    * Oracle is the full recursive-CTE reachability (hash-exact). */
+  def dedupStatsQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val losers = Dedup.connectedComponents(Dedup.ngramJaccardPairs(d, tauBp = 6000L))
+      .where(col("id") =!= col("comp")).select(col("id").as("_loser"))
+    d.join(losers, d("doc_id") === col("_loser"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), count(col("_loser")).as("n_pruned"))
+      .select(col("source"),
+        col("n_docs"),
+        (col("n_docs") - col("n_pruned")).as("n_survivors"),
+        col("n_pruned"),
+        bp(col("n_pruned"), col("n_docs")).as("prune_bp"))
+      .orderBy(col("source"))
+  }
+
   /** Per-source corpus rollup (provenance dimension — the slice a
     * training-data pipeline filters/reweights by). */
   def bySourceQ(spark: SparkSession, dir: String): DataFrame =

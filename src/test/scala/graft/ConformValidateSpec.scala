@@ -43,4 +43,34 @@ class ConformValidateSpec extends SparkSpec {
     assert(rep.getString(2) === "fk->parent.pk")
     assert(rep.getLong(3) === 2L) // 99 and 98; the null is NOT an orphan
   }
+
+  test("drift report covers every metric pair, keeps stable metrics unflagged") {
+    val drift = graft.queries.IngestQueries.validateDriftQ(spark, Sf)
+      .select("column", "metric", "drifted")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // 3 columns x 4 metrics, every pair present exactly once
+    assert(drift.size === 12)
+    // no nulls in either slice -> the null metrics never drift
+    assert(Seq("o_orderstatus", "o_orderpriority", "o_custkey")
+      .forall(c => drift((c, "nulls")) === 0L))
+    // the slices are different months of orders: something must drift
+    assert(drift.valuesIterator.sum >= 1L)
+  }
+
+  test("per-source dedup report is consistent with the corpus and survivors") {
+    import graft.queries.TextQueries
+    val docs = graft.sources.TableLoader.load(spark, Sf, "documents")
+    val stats = TextQueries.dedupStatsQ(spark, Sf)
+    val totals = stats.agg(sum("n_docs"), sum("n_survivors"), sum("n_pruned")).head
+    assert(totals.getLong(0) === docs.count())
+    assert(totals.getLong(0) === totals.getLong(1) + totals.getLong(2))
+    // survivors per source must equal the dedup_corpus terminal per source
+    val corpusBySource = graft.operators.Dedup.dedupedCorpus(docs,
+        graft.operators.Dedup.ngramJaccardPairs(docs, tauBp = 6000L))
+      .groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val survBySource = stats.select("source", "n_survivors")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(survBySource === corpusBySource)
+  }
 }

@@ -19,8 +19,9 @@ class ContractSpec extends SparkSpec {
     // + vec_hard_negatives + text_stratified_split + dedup_cluster_sizes
     // + mm_keyframes + text_ngram_lm + ev_asof_tolerance
     // + text_collocations + text_compress_ratio
-    // + text_quality_classifier + ev_stream_dedup + ev_stream_join);
-    // update alongside SURVEY §2 whenever a query is added.
-    assert(SparkEntry.queries.size === 132, s"got ${SparkEntry.queries.size}")
+    // + text_quality_classifier + ev_stream_dedup + ev_stream_join
+    // + dedup_stats + validate_drift); update alongside SURVEY §2
+    // when adding a query.
+    assert(SparkEntry.queries.size === 134, s"got ${SparkEntry.queries.size}")
   }
 }
