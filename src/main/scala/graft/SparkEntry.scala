@@ -93,6 +93,7 @@ object SparkEntry {
     "ev_stream_join" -> (EventQueries.streamJoinQ _),
     "dedup_stats" -> (TextQueries.dedupStatsQ _),
     "validate_drift" -> (IngestQueries.validateDriftQ _),
+    "text_pipeline_corpus" -> (TextQueries.pipelineCorpusQ _),
     "ev_sessionize" -> (EventQueries.sessionize _),
     "ev_funnel" -> (EventQueries.funnel _),
     "ev_asof_join" -> (EventQueries.asofJoin _),

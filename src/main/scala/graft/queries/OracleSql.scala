@@ -1238,6 +1238,44 @@ object OracleSql {
          |FROM documents d LEFT JOIN losers l ON d.doc_id = l.id
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
+    // the pipeline terminal: quality gates -> near-dup CC dedup over
+    // the gated docs -> word-8-gram decontamination vs the eval slice
+    // (which is itself excluded). Stage order mirrors the Spark side.
+    "text_pipeline_corpus" -> {
+      val stops = TextFunctions.Stopwords.map(s => s"t = '$s'").mkString(" OR ")
+      s"""WITH RECURSIVE
+         |q0 AS (SELECT doc_id, lang, source, n_chars, string_split(text, ' ') AS w FROM documents),
+         |q1 AS (SELECT *, list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bgl FROM q0),
+         |g AS (SELECT doc_id, lang, source, n_chars, w FROM q1
+         |  WHERE FLOOR(10000.0 * (len(bgl) - len(list_distinct(bgl))) / greatest(len(bgl), 1)) < 1500
+         |    AND FLOOR(10000.0 * len(list_filter(w, t -> ($stops))) / len(w)) < 800
+         |    AND doc_id % 29 <> 0),
+         |d AS (SELECT doc_id, $shingleHashesFromW AS sh FROM g),
+         |dd AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
+         |p AS (
+         | SELECT a.doc_id AS id1, b.doc_id AS id2
+         | FROM dd a JOIN dd b ON a.doc_id < b.doc_id
+         | WHERE 10000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 6000),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM p UNION SELECT id2, id1 FROM p),
+         |reach(src, dst) AS (
+         | SELECT src, dst FROM edges
+         | UNION
+         | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |lab AS (SELECT n.id, LEAST(n.id, MIN(r.dst)) AS comp
+         |  FROM nodes n LEFT JOIN reach r ON r.src = n.id GROUP BY n.id),
+         |losers AS (SELECT id FROM lab WHERE id <> comp),
+         |surv AS (SELECT g.* FROM g LEFT JOIN losers l ON g.doc_id = l.id WHERE l.id IS NULL),
+         |e8 AS (SELECT DISTINCT UNNEST(sh) AS h
+         |  FROM (SELECT $shingle8HashesFromW AS sh FROM q0 WHERE doc_id % 29 = 0)),
+         |t8 AS (SELECT doc_id, UNNEST(sh) AS h
+         |  FROM (SELECT doc_id, $shingle8HashesFromW AS sh FROM surv)),
+         |cont AS (SELECT DISTINCT t8.doc_id FROM t8 JOIN e8 ON t8.h = e8.h)
+         |SELECT s.doc_id, s.lang, s.source, s.n_chars
+         |FROM surv s LEFT JOIN cont c ON s.doc_id = c.doc_id
+         |WHERE c.doc_id IS NULL ORDER BY s.doc_id""".stripMargin
+    },
+
     "text_sample_split" ->
       s"""WITH h AS (
          | SELECT doc_id, lang, ${rh("text")} % 100 AS bucket FROM documents)

@@ -447,6 +447,35 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** The curation pipeline terminal, end to end in ONE query: quality
+    * gates (the classifier's heuristic label — duplicate-bigram and
+    * stopword-ratio thresholds) -> exact near-dup dedup over the
+    * gated docs -> word-8-gram decontamination against the held-out
+    * eval slice (doc_id % 29 == 0, itself excluded from the corpus).
+    * What a training-data pipeline actually ships. Every stage reuses
+    * the individually oracle-checked machinery (qualityFeatures,
+    * ngramJaccardPairs + CC, the shared shingle-hash family), and the
+    * COMPOSITION is hash-exact against one recursive-CTE oracle —
+    * stage order and filter placement are proven, not assumed. */
+  def pipelineCorpusQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val keep = qualityFeatures(d).where(col("y") === 1.0)
+      .select(col("doc_id").as("_kid"))
+    val gated = d.join(keep, d("doc_id") === col("_kid")).drop("_kid")
+      .where(pmod(col("doc_id"), lit(29L)) =!= 0)
+    val survivors = Dedup.dedupedCorpus(gated,
+      Dedup.ngramJaccardPairs(gated, tauBp = 6000L))
+    val sh8 = shingleHashesNative(spark, col("text"), 8)
+    val evalHashes = d.where(pmod(col("doc_id"), lit(29L)) === 0)
+      .select(explode(sh8).as("h")).distinct()
+    val contaminated = survivors
+      .select(col("doc_id").as("_cid"), explode(sh8).as("h"))
+      .join(evalHashes, "h").select(col("_cid")).distinct()
+    survivors.join(contaminated, survivors("doc_id") === col("_cid"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source corpus rollup (provenance dimension — the slice a
     * training-data pipeline filters/reweights by). */
   def bySourceQ(spark: SparkSession, dir: String): DataFrame =

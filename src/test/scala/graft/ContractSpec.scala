@@ -20,8 +20,8 @@ class ContractSpec extends SparkSpec {
     // + mm_keyframes + text_ngram_lm + ev_asof_tolerance
     // + text_collocations + text_compress_ratio
     // + text_quality_classifier + ev_stream_dedup + ev_stream_join
-    // + dedup_stats + validate_drift); update alongside SURVEY §2
-    // when adding a query.
-    assert(SparkEntry.queries.size === 134, s"got ${SparkEntry.queries.size}")
+    // + dedup_stats + validate_drift + text_pipeline_corpus); update
+    // alongside SURVEY §2 when adding a query.
+    assert(SparkEntry.queries.size === 135, s"got ${SparkEntry.queries.size}")
   }
 }

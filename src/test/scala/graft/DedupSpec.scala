@@ -108,4 +108,18 @@ class DedupSpec extends SparkSpec {
       .select("id1", "id2", "hamming").as[(Long, Long, Long)].collect()
     assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0L))
   }
+
+  test("pipeline corpus output is gated, deduped, and eval-free") {
+    import graft.queries.TextQueries
+    val real = graft.sources.TableLoader.load(spark, Sf, "documents")
+    val out = TextQueries.pipelineCorpusQ(spark, Sf)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.nonEmpty, "pipeline dropped everything")
+    assert(out.forall(_ % 29 != 0), "eval-slice doc leaked into the corpus")
+    val keep = TextQueries.qualityFeatures(real).where(col("y") === 1.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.subsetOf(keep), "a low-quality doc survived the gate")
+    assert(out.size < keep.count(_ % 29 != 0),
+      "dedup+decontamination stages pruned nothing — pipeline is a no-op")
+  }
 }
