@@ -52,6 +52,7 @@ object SparkEntry {
     "q_decile_share" -> (RelationalQueries.qDecileShare _),
     "q_full_outer" -> (RelationalQueries.qFullOuter _),
     "q_distinct_hll_sketch" -> (RelationalQueries.qDistinctHllSketch _),
+    "graph_pagerank" -> (GraphQueries.qPageRank _),
     "text_term_freq_cms" -> (TextQueries.termFreqCmsQ _),
     "text_collocations" -> (TextQueries.collocationsQ _),
     "text_compress_ratio" -> (TextQueries.compressRatioQ _),
@@ -104,6 +105,7 @@ object SparkEntry {
     "ev_session_window" -> (EventQueries.sessionWindow _),
     "ev_outliers" -> (EventQueries.outliers _),
     "ev_value_histogram" -> (EventQueries.valueHistogram _),
+    "ev_cusum" -> (EventQueries.cusumQ _),
     // §2.5 dedup
     "dedup_exact" -> (TextQueries.dedupExactQ _),
     "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccardQ _),
@@ -115,6 +117,7 @@ object SparkEntry {
     "dedup_simhash" -> (TextQueries.dedupSimhashQ _),
     "dedup_embedding" -> (VectorQueries.dedupEmbedding _),
     "dedup_embedding_lsh" -> (VectorQueries.dedupEmbeddingLsh _),
+    "dedup_semantic" -> (VectorQueries.dedupSemantic _),
     // §2.6 similarity search
     "ann_bruteforce" -> (VectorQueries.annBruteForce _),
     "ann_lsh" -> (VectorQueries.annLsh _),
@@ -135,6 +138,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextQueries.fingerprintQ _),
     "text_repetition" -> (TextQueries.repetitionQ _),
     "text_tfidf" -> (TextQueries.tfidfQ _),
+    "text_bm25" -> (TextQueries.bm25Q _),
     "text_normalize" -> (TextQueries.normalizeQ _),
     "text_redact" -> (TextQueries.redactQ _),
     "text_corpus_stats" -> (TextQueries.corpusStatsQ _),

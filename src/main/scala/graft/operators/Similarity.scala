@@ -565,6 +565,32 @@ object Similarity {
       .select(col("id1"), col("id2"), col("cos_micro"))
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540) — the data-adaptive scale path for embedding
+    * dedup, complementing the hyperplane-LSH one above: k-means
+    * cluster the corpus (bounded-sample Lloyd, bit-stable centroids —
+    * the same trainer the IVF index uses), then score pairs only
+    * WITHIN a cluster. Versus fixed hyperplanes the buckets follow the
+    * corpus distribution, so duplicate-dense regions get finer
+    * partitions. The candidate join is an equijoin on the centroid id;
+    * nothing O(n^2) unblocked. Recall vs the exact all-pairs dedup is
+    * spec'd in SimilaritySpec. */
+  def semanticNearDupPairs(corpus: DataFrame, nCentroids: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = kmeansCentroids(corpus, nCentroids)
+    val c = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("n", vecDot(spark, col("embedding"), col("embedding")))
+      .withColumn("cid", nearestCentroidId(spark, col("embedding"), cents))
+    val a = c.select(col("vec_id").as("id1"), col("embedding").as("v1"),
+      col("n").as("n1"), col("cid"))
+    val b = c.select(col("vec_id").as("id2"), col("embedding").as("v2"),
+      col("n").as("n2"), col("cid").as("cid2"))
+    a.join(b, col("cid") === col("cid2") && col("id1") < col("id2"))
+      .withColumn("cos_micro",
+        cosMicro(spark, col("v1"), col("n1"), col("v2"), col("n2")))
+      .select(col("cid"), col("id1"), col("id2"), col("cos_micro"))
+  }
+
   /** Majority vote over a (q_id, n_label) neighbor set: most frequent
     * label wins, smaller label on ties. */
   private def majorityVote(nn: DataFrame): DataFrame = {

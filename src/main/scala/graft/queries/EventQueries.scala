@@ -263,6 +263,40 @@ object EventQueries {
     * values too, where `div` would truncate toward zero). One shuffle,
     * ~n_buckets groups, fully partial-aggregated map-side — the profile
     * of a 100 TB column costs one scan plus a tiny exchange. */
+  /** CUSUM change-point detection over hourly event counts, per type:
+    * the top-5 hours by cumulative upward deviation from the series
+    * mean. The textbook recursion s_i = max(0, s_{i-1} + (x_i - mean))
+    * is not window-expressible, so this uses the exact identity
+    * s_i = cum_i - min(0, min_{j<=i} cum_j): one cumulative sum plus
+    * one running min — two ordinary window passes that parallelize
+    * over the (event_type)-partitioned series (GraphSpec pins the
+    * identity against the literal recursion). All arithmetic is
+    * integer (counts in millis vs a floor-divided mean), so the DuckDB
+    * oracle hash-matches exactly. Scale: the windows partition by
+    * event_type over HOURLY rows — cardinality is types x hours, not
+    * events; raw events are reduced by the partial-agg groupBy first. */
+  def cusumQ(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = hourly.groupBy(col("event_type").as("et2"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("cnt")).as("total"))
+      .select(col("et2"), expr("(total * 1000L) div n_hours").as("mean_milli"))
+    val wSeq = W.partitionBy(col("event_type")).orderBy(col("hour_epoch"))
+    val series = hourly.join(broadcast(stats), col("event_type") === col("et2"))
+      .withColumn("cum", sum(col("cnt") * lit(1000L) - col("mean_milli")).over(wSeq))
+      .withColumn("cusum_milli",
+        col("cum") - least(min(col("cum")).over(wSeq), lit(0L)))
+    val wTop = W.partitionBy(col("event_type"))
+      .orderBy(col("cusum_milli").desc, col("hour_epoch"))
+    series.withColumn("rnk", row_number().over(wTop))
+      .where(col("rnk") <= 5)
+      .select(col("event_type"), col("rnk").cast("int").as("rnk"),
+        col("hour_epoch"), col("cnt"), col("cusum_milli"))
+      .orderBy(col("event_type"), col("rnk"))
+  }
+
   def valueHistogram(spark: SparkSession, dir: String): DataFrame = {
     val w = lit(2000L) // $20 buckets
     val e = events(spark, dir).select(

@@ -990,6 +990,36 @@ object OracleSql {
         | CAST(SUM(CASE WHEN lhs * lhs > rhs THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // CUSUM via the exact identity s_i = cum_i - min(0, min_{j<=i} cum_j)
+    // (equivalent to the max(0, s_{i-1} + d_i) recursion); all-integer
+    // millis arithmetic. Window SUM/MIN return HUGEINT in DuckDB —
+    // cast back to BIGINT at each step.
+    "ev_cusum" ->
+      """WITH hourly AS (
+        | SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        |  COUNT(*) AS cnt
+        | FROM events GROUP BY 1, 2),
+        |stats AS (
+        | SELECT event_type AS et2,
+        |  CAST((CAST(SUM(cnt) AS BIGINT) * 1000) // COUNT(*) AS BIGINT) AS mean_milli
+        | FROM hourly GROUP BY 1),
+        |c1 AS (
+        | SELECT event_type, hour_epoch, cnt,
+        |  CAST(SUM(cnt * 1000 - mean_milli)
+        |   OVER (PARTITION BY event_type ORDER BY hour_epoch) AS BIGINT) AS cum
+        | FROM hourly JOIN stats ON event_type = et2),
+        |c2 AS (
+        | SELECT *, cum - LEAST(CAST(MIN(cum)
+        |   OVER (PARTITION BY event_type ORDER BY hour_epoch) AS BIGINT), 0) AS cusum_milli
+        | FROM c1),
+        |r AS (
+        | SELECT event_type, hour_epoch, cnt, cusum_milli,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type
+        |   ORDER BY cusum_milli DESC, hour_epoch) AS rnk
+        | FROM c2)
+        |SELECT event_type, CAST(rnk AS INT) AS rnk, hour_epoch, cnt, cusum_milli
+        |FROM r WHERE rnk <= 5 ORDER BY event_type, rnk""".stripMargin,
+
     // Sign-safe floor bucketing: v - ((v % w + w) % w) == Spark's
     // v - pmod(v, w) for negative cents too.
     "ev_value_histogram" ->
@@ -1284,6 +1314,53 @@ object OracleSql {
          |FROM h
          |WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
          |ORDER BY doc_id""".stripMargin,
+
+    // Okapi BM25 (k1=1.2, b=0.75) in pure integer fixed-point — each
+    // floor division mirrors the Spark `div` on the same positive
+    // operands, so the ranking hash-matches bit-for-bit.
+    "text_bm25" ->
+      """WITH terms AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY 1),
+        |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms
+        |       WHERE term IN ('vector', 'join', 'scan') GROUP BY 1, 2),
+        |df AS (SELECT term AS t2, COUNT(DISTINCT doc_id) AS df FROM terms
+        |       WHERE term IN ('vector', 'join', 'scan') GROUP BY 1),
+        |s0 AS (SELECT doc_id, term, tf, df, dl, n_docs, total_tokens // n_docs AS avgdl
+        |       FROM tf JOIN df ON term = t2 JOIN dl USING (doc_id) CROSS JOIN stats),
+        |s1 AS (SELECT *, (7500 * dl) // avgdl AS normq FROM s0),
+        |s2 AS (SELECT *, tf * 10000 + (12 * (2500 + normq)) // 10 AS denom FROM s1),
+        |s3 AS (SELECT *, (tf * 22000 * 1000000) // denom AS tfpart,
+        |       ((2 * (n_docs - df) + 1) * 1000000) // (2 * df + 1) AS idf FROM s2),
+        |sc AS (SELECT doc_id, CAST((idf * tfpart) // 1000000 AS BIGINT) AS score FROM s3),
+        |ds AS (SELECT doc_id, CAST(SUM(score) AS BIGINT) AS bm25, COUNT(*) AS n_terms_hit
+        |       FROM sc GROUP BY 1),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk FROM ds)
+        |SELECT CAST(rnk AS INT) AS rnk, doc_id, n_terms_hit, bm25
+        |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+
+    // 5 unrolled power iterations of the fixed-point PageRank —
+    // generated as chained CTEs so the oracle runs the IDENTICAL
+    // integer recurrence the Spark loop runs.
+    "graph_pagerank" -> {
+      val iters = 5
+      val rounds = (1 to iters).map { i =>
+        s""",
+           |r$i AS (SELECT dst AS node,
+           | CAST(150000 + (85 * CAST(SUM(pr // outdeg) AS BIGINT)) // 100 AS BIGINT) AS pr
+           | FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node GROUP BY 1)""".stripMargin
+      }.mkString
+      s"""WITH base AS (
+         | SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+         | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (SELECT c AS src, s AS dst FROM base UNION ALL SELECT s, c FROM base),
+         |deg AS (SELECT src AS dsrc, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+         |e AS (SELECT src, dst, outdeg FROM edges JOIN deg ON src = dsrc),
+         |r0 AS (SELECT dsrc AS node, CAST(1000000 AS BIGINT) AS pr FROM deg)$rounds,
+         |rk AS (SELECT node, pr, ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS rnk FROM r$iters)
+         |SELECT CAST(rnk AS INT) AS rnk, node, CAST(node % 2 AS INT) AS is_supplier, pr
+         |FROM rk WHERE rnk <= 25 ORDER BY rnk""".stripMargin
+    },
 
     "text_tfidf" ->
       """WITH terms AS (

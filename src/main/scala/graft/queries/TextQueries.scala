@@ -199,6 +199,58 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** BM25 retrieval: top-20 documents for a fixed query term set, the
+    * ranking function a search/RAG retrieval layer runs over a corpus.
+    * Okapi BM25 (k1=1.2, b=0.75) re-expressed in pure integer
+    * fixed-point: idf as the scaled rational ((2(N-df)+1)*1e6) div
+    * (2df+1) — exactly (N-df+0.5)/(df+0.5) — and the tf saturation
+    * term via scaled floor divisions, so the DuckDB oracle
+    * hash-matches bit-for-bit (same trick as text_tfidf; a log-based
+    * idf would differ in final ulps across engines). Monotone in the
+    * true BM25 ordering at these scales (GraphSpec pins a reference).
+    *
+    * Scale: tf is filtered to the query terms BEFORE the groupBy (the
+    * per-doc shuffle carries only matching terms), doc lengths are a
+    * separate partial-agg count, and df + corpus stats are broadcast
+    * scalars — the only per-document state that moves is (doc_id, dl).
+    */
+  def bm25Q(spark: SparkSession, dir: String): DataFrame = {
+    val qTerms = Seq("vector", "join", "scan")
+    val d = docs(spark, dir)
+    val terms = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_tokens"))
+    val qt = terms.where(col("term").isin(qTerms: _*))
+    val tf = qt.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = qt.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumnRenamed("term", "t2")
+    val scored = tf.join(broadcast(df), col("term") === col("t2"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", expr("total_tokens div n_docs"))
+      .withColumn("normq", expr("(7500L * dl) div avgdl"))
+      .withColumn("denom", expr("tf * 10000L + (12L * (2500L + normq)) div 10L"))
+      .withColumn("tfpart", expr("(tf * 22000L * 1000000L) div denom"))
+      .withColumn("idf",
+        expr("((2L * (n_docs - df) + 1L) * 1000000L) div (2L * df + 1L)"))
+      .withColumn("score", expr("(idf * tfpart) div 1000000L"))
+    val docScore = scored.groupBy(col("doc_id"))
+      .agg(sum(col("score")).as("bm25"), count(lit(1)).as("n_terms_hit"))
+    // Global top-20 via orderBy+limit (TakeOrderedAndProject — a
+    // per-partition heap + driver merge, never a one-partition sort of
+    // the whole doc-score table); the rank window then runs over the
+    // 20 survivors only.
+    val top = docScore.orderBy(col("bm25").desc, col("doc_id")).limit(20)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25").desc, col("doc_id"))
+    top.withColumn("rnk", row_number().over(w))
+      .select(col("rnk").cast("int").as("rnk"), col("doc_id"),
+        col("n_terms_hit"), col("bm25"))
+      .orderBy(col("rnk"))
+  }
+
   /** Deterministic stratified sampling + train/test split: membership
     * comes from the text's rolling hash (not rand()), so the sample is
     * reproducible run-to-run and engine-to-engine — the only sampling

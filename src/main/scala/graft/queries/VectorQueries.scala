@@ -167,6 +167,16 @@ object VectorQueries {
       .orderBy(col("cos_micro").desc, col("id1"), col("id2"))
       .limit(20)
 
+  /** SemDeDup semantic near-dup pairs (k-means-clustered scale path
+    * for dedup_embedding; data-adaptive where the LSH path is fixed-
+    * hyperplane): top-20 within-cluster pairs by cosine. No SQL oracle
+    * (Lloyd k-means is not SQL-expressible); anchored by the exact
+    * all-pairs dedup_embedding and the recall spec in SimilaritySpec. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticNearDupPairs(emb(spark, dir))
+      .orderBy(col("cos_micro").desc, col("id1"), col("id2"))
+      .limit(20)
+
   /** Multimodal feature extraction over synthetic binary payloads —
     * real binary-column plumbing, documented stub decode. */
   def mmFeatures(spark: SparkSession, dir: String): DataFrame = {

@@ -14,14 +14,9 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query count matches the SURVEY inventory claim") {
-    // 129 query entries (117 at end of round 5 + ann_ivf_pq
-    // + ev_stream_sessions + ev_stream_merge + text_decontaminate_chars
-    // + vec_hard_negatives + text_stratified_split + dedup_cluster_sizes
-    // + mm_keyframes + text_ngram_lm + ev_asof_tolerance
-    // + text_collocations + text_compress_ratio
-    // + text_quality_classifier + ev_stream_dedup + ev_stream_join
-    // + dedup_stats + validate_drift + text_pipeline_corpus); update
-    // alongside SURVEY §2 when adding a query.
-    assert(SparkEntry.queries.size === 135, s"got ${SparkEntry.queries.size}")
+    // 139 query entries (135 at start of round 6 + text_bm25 + ev_cusum
+    // + graph_pagerank + dedup_semantic); update alongside SURVEY §2
+    // when adding a query.
+    assert(SparkEntry.queries.size === 139, s"got ${SparkEntry.queries.size}")
   }
 }

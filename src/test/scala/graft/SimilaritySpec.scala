@@ -212,6 +212,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall=$recall over ${exact.size} exact pairs")
   }
 
+  test("SemDeDup pairs recover high-cosine pairs on clustered data") {
+    import graft.expressions.FloatVecDot.vecDot
+    val corp = clustered.where(col("vec_id") < 500)
+    val c = corp.select(col("vec_id"), col("embedding"))
+      .withColumn("n", vecDot(spark, col("embedding"), col("embedding")))
+    val a = c.select(col("vec_id").as("id1"), col("embedding").as("v1"), col("n").as("n1"))
+    val b = c.select(col("vec_id").as("id2"), col("embedding").as("v2"), col("n").as("n2"))
+    val tau = 990000L
+    val exact = a.join(b, col("id1") < col("id2"))
+      .withColumn("cos_micro",
+        floor(lit(1e6) * (vecDot(spark, col("v1"), col("v2")) /
+          (sqrt(col("n1")) * sqrt(col("n2"))))).cast("long"))
+      .where(col("cos_micro") >= tau)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val approx = Similarity.semanticNearDupPairs(corp, nCentroids = 10)
+      .where(col("cos_micro") >= tau)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "clustered data must contain high-cosine pairs")
+    assert(approx.subsetOf(exact), "SemDeDup pairs must be a subset of exact pairs")
+    // Near-identical vectors share a nearest centroid almost surely on
+    // cluster-structured data — k-means buckets follow the clusters.
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall over ${exact.size} exact pairs")
+  }
+
   test("bucketed kNN classifiers agree with the exact classifier on clustered data") {
     val q = clustered.where(col("vec_id") >= 500)
     val corp = clustered.where(col("vec_id") < 500)
