@@ -77,6 +77,37 @@ object Dedup {
       .select(col("a_id").as("id1"), col("b_id").as("id2"), col("jaccard_bp"))
   }
 
+  /** Exact shingle-set CONTAINMENT pairs — the asymmetric complement
+    * of `ngramJaccardPairs`: containment(A in B) = |sh(A) n sh(B)| /
+    * |sh(A)| finds documents mostly CONTAINED in another (quotes,
+    * copies with additions, boilerplate wrappers) that symmetric
+    * Jaccard misses whenever the outer document is much longer.
+    * Emits BOTH directions of each candidate pair that clear `tauBp`
+    * basis points. Same inverted-shingle-index blocking as the
+    * Jaccard path (equijoin on shingle hash; pairs sharing nothing
+    * are never materialized), same optional stop-shingle cap. */
+  def containmentPairs(docs: DataFrame, tauBp: Long,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       maxShingleDf: Option[Long] = None): DataFrame = {
+    val sh = withShingles(docs, idCol, textCol)
+    val invAll = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    val inv = maxShingleDf.fold(invAll) { cap =>
+      val rare = invAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .where(col("df") <= cap).select(col("s").as("s_keep"))
+      invAll.join(rare, col("s") === col("s_keep")).drop("s_keep")
+    }
+    val a = inv.toDF("a_id", "a_n", "s")
+    val b = inv.toDF("b_id", "b_n", "s2")
+    val common = a.join(b, col("s") === col("s2") && col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
+      .agg(count(lit(1)).as("common"))
+    val ab = common.select(col("a_id").as("inner_id"), col("b_id").as("outer_id"),
+      floor(lit(10000.0) * col("common") / col("a_n")).cast("long").as("containment_bp"))
+    val ba = common.select(col("b_id").as("inner_id"), col("a_id").as("outer_id"),
+      floor(lit(10000.0) * col("common") / col("b_n")).cast("long").as("containment_bp"))
+    ab.unionAll(ba).where(col("containment_bp") >= tauBp)
+  }
+
   /** Connected components over near-dup pairs via alternating
     * large-star/small-star rounds (the two-phase min-star formulation
     * from the MapReduce CC literature): converges in O(log n) rounds

@@ -1,58 +1,73 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Iterative graph analytics beyond connected components (see
   * [[Dedup]] for large-star/small-star CC): fixed-point-arithmetic
   * PageRank by synchronous power iteration.
   *
-  * All rank arithmetic is integer (rank scaled by 1e6, damping as a
-  * basis-point-style 85/100 rational, contributions via integral
-  * division `pr div outdeg`), so the result is bit-identical across
-  * engines and partitionings — a floating-point PageRank depends on
-  * partial-sum order and cannot be hash-checked. The deliberate cost
-  * is the truncation of each division: this is "PageRank with floor
+  * All rank arithmetic is integer (rank scaled by 1e6, damping as the
+  * 85/100 rational, contributions via integral division
+  * `pr div outdeg`), so the result is bit-identical across engines and
+  * partitionings — a floating-point PageRank depends on partial-sum
+  * order and cannot be hash-checked. The deliberate cost is the
+  * truncation of each division: this is "PageRank with floor
   * division", the same function the DuckDB oracle computes, and rank
-  * ORDER converges exactly like the float version for the iteration
-  * counts used here.
+  * ORDER behaves like the float version at these iteration counts.
   *
-  * Scale shape: each iteration is one equijoin of the edge list with
-  * the (nodes-sized) rank table on the source key plus one groupBy on
-  * the destination key — the same shuffle pair every distributed
-  * PageRank (e.g. GraphX's) pays. Ranks are lazily localCheckpointed
-  * per iteration so the plan stays flat (5 iterations would otherwise
-  * nest 10 shuffles deep and re-run earlier rounds on recompute).
+  * Scale shape: the edge list is hash-partitioned on `src` ONCE and
+  * persisted — the cached partitioning survives into every
+  * iteration's join, so the per-round cost is shuffling the (much
+  * smaller) rank table to the edges plus one partial-agg shuffle of
+  * the contributions, never a re-shuffle of the edges themselves.
+  * Joins carry a shuffle-hash hint (build on the rank/degree side):
+  * a sort-merge join would re-sort the edge partitions every round.
+  * Ranks are lazily localCheckpointed per iteration so the plan stays
+  * flat; the final round is an EAGER checkpoint, after which the edge
+  * cache is dropped — the operator leaves no pinned state behind.
   */
 object Graph {
 
   /** Synchronous PageRank over a directed edge list.
     *
-    * @param edges DataFrame with `src` and `dst` long columns. Every
-    *              node is assumed to have at least one OUT-edge (true
-    *              for symmetrized graphs; dangling-node mass is
-    *              otherwise dropped, as in the classic formulation).
+    * @param edges DataFrame with `src` and `dst` long columns; rows
+    *              may repeat — the edge set is deduplicated here,
+    *              riding the src repartition (HashPartitioning(src)
+    *              satisfies the (src, dst) clustering, so the dedup
+    *              adds no exchange). Every node is assumed to have at
+    *              least one OUT-edge (true for symmetrized graphs;
+    *              dangling-node mass is otherwise dropped, as in the
+    *              classic formulation).
     * @param iters number of power iterations (synchronous updates).
     * @return (node, pr) with pr scaled by 1e6; initial rank 1e6 per
     *         node, damping 0.85 as `150000 + (85 * contribs) div 100`.
     */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
-    val deg = edges.groupBy(col("src").as("dsrc"))
-      .agg(count(lit(1)).as("outdeg"))
-    // Edge list with out-degree riding along; reused by every
-    // iteration, so pin it once (lazy — materializes on first use).
-    val e = edges.join(deg, col("src") === col("dsrc"))
-      .select(col("src"), col("dst"), col("outdeg"))
-      .localCheckpoint(false)
-    var ranks = deg.select(col("dsrc").as("node"), lit(1000000L).as("pr"))
-    for (_ <- 1 to iters) {
-      ranks = e.join(ranks, col("src") === col("node"))
+    val ed = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Out-degrees aggregate WITHIN the src partitioning (no exchange),
+    // and the zero-exchange join back keeps the edge partitioning.
+    val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = ed.join(deg.hint("shuffle_hash"), "src")
+    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
+    for (i <- 1 to iters) {
+      val next = e.join(ranks.hint("shuffle_hash"), col("src") === col("node"))
         .select(col("dst"), expr("pr div outdeg").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("contribs"))
         .select(col("dst").as("node"),
           (lit(150000L) + expr("(85L * contribs) div 100L")).as("pr"))
-        .localCheckpoint(false)
+      // Per-round checkpoints pin each (tiny, nodes-sized) rank table
+      // and keep every AQE query one join+agg deep — measured faster
+      // than handing the optimizer the full 5-round nested plan. The
+      // final round is EAGER so the edge cache can be released before
+      // returning.
+      ranks = next.localCheckpoint(i == iters)
     }
+    ed.unpersist()
     ranks
   }
 }

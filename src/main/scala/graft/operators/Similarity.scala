@@ -565,6 +565,60 @@ object Similarity {
       .select(col("id1"), col("id2"), col("cos_micro"))
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    * 1998): from each query's exact top-`kCand` cosine shortlist,
+    * greedily select `kSel` results that trade relevance against
+    * redundancy — pick_i = argmax over unselected candidates of
+    * lambda*rel - (1-lambda)*max_sim_to_selected, with lambda=0.7.
+    * The diversification a RAG retrieval layer runs so the context
+    * window isn't five copies of the same passage.
+    *
+    * All scoring stays in integer micro-cosines and the score is the
+    * UNDIVIDED 10x form `7*rel - 3*maxsim` (division-free: trunc-vs-
+    * floor on negative cosines can't diverge between engines), so the
+    * DuckDB oracle — the same greedy unrolled round by round — is
+    * hash-exact. Every round is a join + partial-agg max + per-group
+    * argmax over (queries x kCand)-bounded frames partitioned by q_id;
+    * nothing scales with the corpus beyond the shortlist step. */
+  def mmrTopK(queries: DataFrame, corpus: DataFrame,
+              kCand: Int = 20, kSel: Int = 5): DataFrame = {
+    val spark = queries.sparkSession
+    val cand = bruteForceTopK(queries, corpus, kCand)
+      .select(col("q_id"), col("n_id"), col("cos_micro").as("rel"))
+      .localCheckpoint(false)
+    // Pairwise sims WITHIN each query's candidate set: (q, kCand^2)
+    // rows, an equijoin on q_id — never corpus x corpus.
+    val ce = cand.join(
+        corpus.select(col("vec_id"), col("embedding")), col("n_id") === col("vec_id"))
+      .withColumn("n", vecDot(spark, col("embedding"), col("embedding")))
+      .select(col("q_id"), col("n_id"), col("rel"), col("embedding"), col("n"))
+    val a = ce.select(col("q_id"), col("n_id").as("aid"), col("embedding").as("va"), col("n").as("na"))
+    val b = ce.select(col("q_id").as("q2"), col("n_id").as("bid"), col("embedding").as("vb"), col("n").as("nb"))
+    val ps = a.join(b, col("q_id") === col("q2") && col("aid") =!= col("bid"))
+      .withColumn("sim", cosMicro(spark, col("va"), col("na"), col("vb"), col("nb")))
+      .select(col("q_id"), col("aid"), col("bid"), col("sim"))
+      .localCheckpoint(false)
+    val wPick = Window.partitionBy(col("q_id")).orderBy(col("score_x10").desc, col("n_id"))
+    var picks = cand
+      .withColumn("score_x10", col("rel") * 7L)
+      .withColumn("rn", row_number().over(wPick)).where(col("rn") === 1)
+      .select(col("q_id"), lit(1).as("mmr_rank"), col("n_id"), col("score_x10"))
+    for (i <- 2 to kSel) {
+      val selSet = picks.select(col("q_id").as("sq"), col("n_id").as("s_id"))
+      val ms = ps.join(selSet, col("q_id") === col("sq") && col("bid") === col("s_id"))
+        .groupBy(col("q_id").as("mq"), col("aid"))
+        .agg(max(col("sim")).as("maxsim"))
+      val rem = cand.join(selSet,
+          col("q_id") === col("sq") && col("n_id") === col("s_id"), "left_anti")
+      val scored = rem.join(ms, col("q_id") === col("mq") && col("n_id") === col("aid"))
+        .withColumn("score_x10", col("rel") * 7L - col("maxsim") * 3L)
+      val pick = scored.withColumn("rn", row_number().over(wPick)).where(col("rn") === 1)
+        .select(col("q_id"), lit(i).as("mmr_rank"), col("n_id"), col("score_x10"))
+      picks = picks.unionAll(pick).localCheckpoint(false)
+    }
+    picks
+  }
+
   /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
     * arXiv:2303.09540) — the data-adaptive scale path for embedding
     * dedup, complementing the hyperplane-LSH one above: k-means

@@ -34,13 +34,17 @@ object GraphQueries {
     * orientation exploits.
     */
   def qPageRank(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      .join(t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
+    // Edge derivation in ONE shuffle: broadcast the key-projected
+    // orders side onto the lineitem scan (map-side join), symmetrize
+    // BEFORE deduplicating, and let pageRank's repartition-by-src
+    // carry the distinct — HashPartitioning(src) satisfies the
+    // (src, dst) clustering, so the dedup is partition-local.
+    val raw = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(broadcast(t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
-    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
-      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+    val edges = raw.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(raw.select(col("s").as("src"), col("c").as("dst")))
     val ranked = Graph.pageRank(edges, iters = 5)
     // Global top-25 via orderBy+limit (TakeOrderedAndProject: partition
     // heaps + driver merge), then rank only the 25 survivors — no

@@ -1380,6 +1380,22 @@ object OracleSql {
          |SELECT text_hash, text_hash2, MIN(doc_id) AS doc_id, COUNT(*) AS copies
          |FROM h GROUP BY 1, 2 ORDER BY text_hash, text_hash2""".stripMargin,
 
+    // Asymmetric containment: both directions of each shared-shingle
+    // pair, |intersect| / |own shingles| in floor basis points.
+    "text_containment" ->
+      s"""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |d AS (SELECT doc_id, $shingleHashesFromW AS sh FROM d0),
+         |dd AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
+         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  len(list_intersect(a.sh, b.sh)) AS common, len(a.sh) AS n1, len(b.sh) AS n2
+         |  FROM dd a JOIN dd b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) > 0),
+         |dir AS (SELECT id1 AS inner_id, id2 AS outer_id,
+         |    CAST(FLOOR(10000.0 * common / n1) AS BIGINT) AS containment_bp FROM p
+         |  UNION ALL SELECT id2, id1, CAST(FLOOR(10000.0 * common / n2) AS BIGINT) FROM p)
+         |SELECT inner_id, outer_id, containment_bp FROM dir
+         |WHERE containment_bp >= 6000 ORDER BY inner_id, outer_id""".stripMargin,
+
     "dedup_ngram_jaccard" ->
       s"""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |d AS (SELECT doc_id, $shingleHashesFromW AS sh FROM d0),
@@ -1445,6 +1461,47 @@ object OracleSql {
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_micro DESC, n_id) AS rnk FROM s)
          |SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, n_label, cos_micro
          |FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+
+    // MMR greedy selection unrolled round by round: each round scores
+    // the unselected candidates as 7*rel - 3*max(sim to selected) —
+    // the UNDIVIDED 10x MMR score with lambda=0.7 — and picks the
+    // argmax (lowest n_id on ties). Division-free on purpose: rel/sim
+    // can be negative, where trunc-vs-floor divisions diverge.
+    "vec_mmr" -> {
+      val kSel = 5
+      val rounds = (2 to kSel).map { i =>
+        s""",
+           |ms$i AS (SELECT ps.q_id AS mq, aid, MAX(sim) AS maxsim
+           |  FROM ps JOIN ss${i - 1} ON ps.q_id = ss${i - 1}.q_id AND ps.bid = ss${i - 1}.n_id
+           |  GROUP BY 1, 2),
+           |sc$i AS (SELECT c.q_id, c.n_id, 7 * rel - 3 * maxsim AS score_x10
+           |  FROM cand c JOIN ms$i ON c.q_id = mq AND c.n_id = aid
+           |  WHERE NOT EXISTS (SELECT 1 FROM ss${i - 1} s
+           |                    WHERE s.q_id = c.q_id AND s.n_id = c.n_id)),
+           |sel$i AS (SELECT q_id, n_id, $i AS mmr_rank, score_x10 FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+           |    ORDER BY score_x10 DESC, n_id) AS rn FROM sc$i) WHERE rn = 1),
+           |ss$i AS (SELECT q_id, n_id FROM ss${i - 1}
+           |  UNION ALL SELECT q_id, n_id FROM sel$i)""".stripMargin
+      }.mkString
+      val unionAll = (1 to kSel).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+         |c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
+         |s AS (SELECT q_id, n_id, ${cosMicro("qv", "nv")} AS rel
+         |  FROM q, c WHERE q_id <> n_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id) AS rnk FROM s),
+         |cand AS (SELECT q_id, n_id, rel FROM r WHERE rnk <= 20),
+         |ce AS (SELECT cand.q_id, cand.n_id, rel, embedding AS v
+         |  FROM cand JOIN embeddings ON n_id = vec_id),
+         |ps AS (SELECT a.q_id, a.n_id AS aid, b.n_id AS bid, ${cosMicro("a.v", "b.v")} AS sim
+         |  FROM ce a JOIN ce b ON a.q_id = b.q_id AND a.n_id <> b.n_id),
+         |sel1 AS (SELECT q_id, n_id, 1 AS mmr_rank, 7 * rel AS score_x10 FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id) AS rn
+         |  FROM cand) WHERE rn = 1),
+         |ss1 AS (SELECT q_id, n_id FROM sel1)$rounds
+         |SELECT q_id, CAST(mmr_rank AS INT) AS mmr_rank, n_id, score_x10
+         |FROM ($unionAll) ORDER BY q_id, mmr_rank""".stripMargin
+    },
 
     "vec_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label AS q_label

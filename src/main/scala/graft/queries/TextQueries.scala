@@ -545,6 +545,13 @@ object TextQueries {
     Dedup.ngramJaccardPairs(docs(spark, dir), tauBp = 6000L)
       .orderBy(col("id1"), col("id2"))
 
+  /** Asymmetric containment pairs (doc mostly contained in another):
+    * catches quote/wrapper duplication that symmetric Jaccard misses
+    * when the outer document is much longer. */
+  def textContainmentQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(docs(spark, dir), tauBp = 6000L)
+      .orderBy(col("inner_id"), col("outer_id"))
+
   /** Survivor assignment: connected components over the exact near-dup
     * pairs — each duplicated document mapped to its canonical (min id)
     * representative. */

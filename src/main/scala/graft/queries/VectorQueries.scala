@@ -177,6 +177,16 @@ object VectorQueries {
       .orderBy(col("cos_micro").desc, col("id1"), col("id2"))
       .limit(20)
 
+  /** MMR-diversified retrieval: greedy maximal-marginal-relevance
+    * re-rank of each query's exact top-20 shortlist down to 5 results
+    * (lambda=0.7, division-free integer scoring). The DuckDB oracle
+    * unrolls the identical greedy rounds, so this is hash-exact. */
+  def vecMmr(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir)
+    Similarity.mmrTopK(all.where(col("vec_id") % 100 === 0), all, kCand = 20, kSel = 5)
+      .orderBy(col("q_id"), col("mmr_rank"))
+  }
+
   /** Multimodal feature extraction over synthetic binary payloads —
     * real binary-column plumbing, documented stub decode. */
   def mmFeatures(spark: SparkSession, dir: String): DataFrame = {

@@ -14,9 +14,9 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query count matches the SURVEY inventory claim") {
-    // 139 query entries (135 at start of round 6 + text_bm25 + ev_cusum
-    // + graph_pagerank + dedup_semantic); update alongside SURVEY §2
-    // when adding a query.
-    assert(SparkEntry.queries.size === 139, s"got ${SparkEntry.queries.size}")
+    // 141 query entries (135 at start of round 6 + text_bm25 + ev_cusum
+    // + graph_pagerank + dedup_semantic + vec_mmr + text_containment);
+    // update alongside SURVEY §2 when adding a query.
+    assert(SparkEntry.queries.size === 141, s"got ${SparkEntry.queries.size}")
   }
 }

@@ -51,6 +51,23 @@ class EdgeCasesSpec extends SparkSpec {
     assert(capped === Set((0L, 1L)))
   }
 
+  test("containmentPairs finds a quoted doc that symmetric Jaccard misses") {
+    // Doc 0 is fully contained in the much longer doc 1: containment
+    // (0 in 1) is 10000 bp, while Jaccard is diluted by doc 1's extra
+    // shingles and stays under a 6000 bp threshold.
+    val short = "aa bb cc dd ee"
+    val docs = Seq(
+      (0L, short),
+      (1L, short + " ff gg hh ii jj kk ll mm nn oo pp")).toDF("doc_id", "text")
+    val jac = Dedup.ngramJaccardPairs(docs, tauBp = 6000L)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(jac.isEmpty, s"fixture broke: Jaccard should miss the pair, got $jac")
+    val cont = Dedup.containmentPairs(docs, tauBp = 6000L)
+      .select("inner_id", "outer_id", "containment_bp")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(cont === Set((0L, 1L, 10000L)), s"got $cont")
+  }
+
   test("vec_q8 handles zero vectors and empty arrays without dividing by zero") {
     import graft.expressions.Int8Vec.{vecDotI8, vecQ8}
     val df = Seq(

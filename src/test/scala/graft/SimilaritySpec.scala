@@ -237,6 +237,38 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall=$recall over ${exact.size} exact pairs")
   }
 
+  test("MMR suppresses a near-duplicate of an already-picked result") {
+    // Relevance must be SHARED across two directions for MMR to bite:
+    // if the first pick equals the query direction, sim(c, picked) ==
+    // rel(c) and the lambda=0.7 score 7*rel - 3*sim preserves the
+    // plain ranking (that degenerate case originally sat here and
+    // correctly failed). Query = e0 + e2; A(e0) and B(e2) are equally
+    // relevant but mutually orthogonal, A' duplicates A, and C spreads
+    // relevance onto a third axis. Plain top-3 is {A, A', B}; MMR must
+    // pick A, then B (diverse), then C — suppressing A'.
+    def v(parts: (Int, Double)*): Seq[Float] = {
+      val arr = Array.fill(64)(0.001f)
+      parts.foreach { case (i, x) => arr(i) = x.toFloat }
+      arr.toSeq
+    }
+    val corpus = Seq(
+      (1L, v(0 -> 1.0), 0L),                            // A
+      (2L, v(0 -> 1.0, 1 -> 0.02), 0L),                 // A' ~ A
+      (3L, v(2 -> 1.0), 0L),                            // B, orthogonal to A
+      (4L, v(0 -> 0.4, 2 -> 0.4, 4 -> 0.8), 0L),        // C, spread
+      (5L, v(5 -> 1.0), 0L)                             // irrelevant
+    ).toDF("vec_id", "embedding", "label")
+    val q = Seq((100L, v(0 -> 1.0, 2 -> 1.0), 0L)).toDF("vec_id", "embedding", "label")
+    val top3 = Similarity.bruteForceTopK(q, corpus, k = 3)
+      .select("n_id").as[Long].collect().toSet
+    assert(top3 === Set(1L, 2L, 3L), s"fixture broke: plain top-3 was $top3")
+    val mmr = Similarity.mmrTopK(q, corpus, kCand = 5, kSel = 3)
+      .orderBy(col("mmr_rank"))
+      .select("n_id").as[Long].collect().toSeq
+    assert(mmr === Seq(1L, 3L, 4L),
+      s"expected A, then diverse B, then C (A' suppressed), got $mmr")
+  }
+
   test("bucketed kNN classifiers agree with the exact classifier on clustered data") {
     val q = clustered.where(col("vec_id") >= 500)
     val corp = clustered.where(col("vec_id") < 500)
