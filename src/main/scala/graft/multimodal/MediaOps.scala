@@ -1,6 +1,7 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
 
 /** Typed media operations over opaque binary payloads: decode, resize,
   * frame-sample — the operator surface an image/audio/video training
@@ -60,6 +61,91 @@ object MediaOps {
           img.getColorModel.getNumComponents, meanLumaBp(img))
       }
     }))
+  }
+
+  case class ImageHash(media_id: Long, phash: Long)
+
+  /** 64-bit difference hash (dHash) over REAL decoded pixels: integer
+    * luma per pixel (the meanLumaBp formula), area-averaged down to a
+    * 9x8 grid with pure integer block sums (no AWT smooth-scaling, so
+    * the hash is bit-deterministic), then bit(y*8+x) = grid is
+    * brighter than its left neighbor. Invariant to uniform brightness
+    * shifts (adjacent differences are preserved) and tolerant of small
+    * local damage — the standard cheap perceptual fingerprint for
+    * image-level dedup. Non-decodable payloads are dropped. */
+  def imageDHash(media: Dataset[Multimodal.MediaRow],
+                 batchSize: Int = 64): Dataset[ImageHash] = {
+    implicit val enc = Encoders.product[ImageHash]
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.iterator.flatMap { m =>
+      decodeImage(m.payload).map(img => ImageHash(m.media_id, dHash64(img)))
+    }))
+  }
+
+  private def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val pixels = img.getRGB(0, 0, w, h, null, 0, w)
+    val (gw, gh) = (9, 8)
+    val grid = Array.ofDim[Long](gh, gw)
+    var gy = 0
+    while (gy < gh) {
+      val y0 = gy * h / gh; val y1 = math.max(y0 + 1, (gy + 1) * h / gh)
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * w / gw; val x1 = math.max(x0 + 1, (gx + 1) * w / gw)
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = pixels(y * w + x)
+            sum += (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) + 29 * (rgb & 0xff)) >> 8
+            x += 1
+          }
+          y += 1
+        }
+        grid(gy)(gx) = sum / ((y1 - y0).toLong * (x1 - x0))
+        gx += 1
+      }
+      gy += 1
+    }
+    var hash = 0L
+    var bit = 0
+    var y = 0
+    while (y < gh) {
+      var x = 0
+      while (x < gw - 1) {
+        if (grid(y)(x + 1) > grid(y)(x)) hash |= (1L << bit)
+        bit += 1
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** Perceptual-hash near-dup pairs at Hamming distance <= maxDist:
+    * the image twin of the SimHash text path. 8-segment pigeonhole
+    * blocking (8 bits each) is lossless for maxDist <= 7 — candidates
+    * shuffle only (id, 8-bit segment), signatures join back by id,
+    * and the verify is codegen'd `bit_count(a ^ b)`. */
+  def phashPairs(hashes: DataFrame, maxDist: Int = 6): DataFrame = {
+    require(maxDist <= 7, "8-segment blocking covers Hamming distance <= 7")
+    val sigs = hashes.select(col("media_id").as("id"), col("phash").as("sig"))
+    val seg = sigs.select(col("id"), posexplode(array((0 until 8).map { s =>
+      shiftrightunsigned(col("sig"), s * 8).bitwiseAND(lit(0xffL))
+    }: _*)).as(Seq("seg_idx", "seg")))
+    val cand = seg.toDF("a_id", "seg_idx", "seg")
+      .join(seg.toDF("b_id", "seg_idx2", "seg2"),
+        col("seg_idx") === col("seg_idx2") && col("seg") === col("seg2") &&
+          col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    cand
+      .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")), "a_id")
+      .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")), "b_id")
+      .withColumn("hamming",
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast("long"))
+      .where(col("hamming") <= maxDist)
+      .select(col("a_id").as("id1"), col("b_id").as("id2"), col("hamming"))
   }
 
   /** Real image resize: longest side scaled down to `maxSide` (never

@@ -55,6 +55,47 @@ object Multimodal {
     }
   }
 
+  /** Deterministic PATTERNED PNG per document, with near-duplicate
+    * group structure for the perceptual-hash dedup path: documents in
+    * the same `doc_id % 40` group share one sinusoidal luma pattern
+    * (frequency/phase derived from the group), and differ only by a
+    * per-id uniform brightness shift plus two brightened id-dependent
+    * pixels — the edits a dHash is designed to see through. Distinct
+    * groups get distinct frequencies, i.e. genuinely different images.
+    * Encoded as REAL PNGs on the executors; the dedup query decodes
+    * actual pixels back. */
+  def syntheticPatternImages(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      val (w, h) = (18, 16)
+      val g = (id % 40).toInt
+      val kx = 0.25 + 0.13 * (g % 5)
+      val ky = 0.2 + 0.17 * ((g / 5) % 4)
+      val phase = (g % 7) * math.Pi / 7.0
+      val bright = ((id / 40) % 30).toInt - 15
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var luma = 128 + bright + (90 * math.sin(kx * x + ky * y + phase)).toInt
+          // Two id-dependent brightened pixels: small local damage a
+          // perceptual hash should tolerate.
+          val pos = y * w + x
+          if (pos == (id * 31 % (w * h)) || pos == (id * 17 % (w * h))) luma += 40
+          val v = math.max(0, math.min(255, luma))
+          img.setRGB(x, y, v * 0x010101)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      MediaRow(id, "image", bos.toByteArray)
+    }
+  }
+
   /** Deterministic synthetic PNG per document: dimensions and fill
     * color are pure arithmetic on doc_id, then a REAL PNG encode on the
     * executors. Downstream `MediaOps.imageMeta` must recover exactly

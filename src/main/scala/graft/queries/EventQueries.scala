@@ -297,6 +297,28 @@ object EventQueries {
       .orderBy(col("event_type"), col("rnk"))
   }
 
+  /** SCD Type-2 dimension build from the event change log: per user,
+    * consecutive same-type events collapse into one validity interval
+    * [valid_from_us, valid_to_us) with the half-open end at the NEXT
+    * state change (NULL-as-max for the current row) — the
+    * slowly-changing-dimension table a warehouse derives from a
+    * mutation stream. Two window passes (LAG to find change rows, LEAD
+    * over the changes for interval ends), both partitioned by user_id;
+    * one shuffle, integer epoch-micros arithmetic → hash-exact oracle. */
+  def scd2Q(spark: SparkSession, dir: String): DataFrame = {
+    val w = W.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val changes = events(spark, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    val wc = W.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    changes
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(wc))
+      .select(col("user_id"), col("event_type"), col("ts_us").as("valid_from_us"),
+        col("valid_to_us"),
+        when(col("valid_to_us").isNull, 1).otherwise(0).cast("int").as("is_current"))
+      .orderBy(col("user_id"), col("valid_from_us"))
+  }
+
   def valueHistogram(spark: SparkSession, dir: String): DataFrame = {
     val w = lit(2000L) // $20 buckets
     val e = events(spark, dir).select(

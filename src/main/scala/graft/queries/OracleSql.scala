@@ -990,6 +990,22 @@ object OracleSql {
         | CAST(SUM(CASE WHEN lhs * lhs > rhs THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // SCD2 build: change rows via LAG, half-open interval ends via
+    // LEAD over the change rows only.
+    "ev_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |ch AS (
+        | SELECT * FROM (
+        |  SELECT user_id, event_id, event_type, ts_us,
+        |   LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+        |  FROM e)
+        | WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type, ts_us AS valid_from_us,
+        | LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us,
+        | CAST(CASE WHEN LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |   IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+        |FROM ch ORDER BY user_id, valid_from_us""".stripMargin,
+
     // CUSUM via the exact identity s_i = cum_i - min(0, min_{j<=i} cum_j)
     // (equivalent to the max(0, s_{i-1} + d_i) recursion); all-integer
     // millis arithmetic. Window SUM/MIN return HUGEINT in DuckDB —

@@ -273,4 +273,21 @@ object VectorQueries {
     val media = Multimodal.syntheticImages(spark, TableLoader.load(spark, dir, "documents"))
     graft.multimodal.MediaOps.imageMeta(media).toDF().orderBy(col("media_id"))
   }
+
+  /** Image-level near-dup dedup via 64-bit dHash over REAL decoded
+    * pixels: patterned PNGs (same `doc_id % 40` group = same sinusoid,
+    * differing by brightness shift + two damaged pixels) are decoded,
+    * difference-hashed on an integer 9x8 luma grid, and paired through
+    * the 8-segment pigeonhole blocking — the image twin of the SimHash
+    * text path. No SQL oracle (a real PNG decode has no DuckDB
+    * equivalent); MultimodalSpec pins brightness invariance, same-
+    * group recovery, and cross-group separation. */
+  def mmPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticPatternImages(
+      spark, TableLoader.load(spark, dir, "documents"))
+    val hashes = graft.multimodal.MediaOps.imageDHash(media).toDF()
+    graft.multimodal.MediaOps.phashPairs(hashes, maxDist = 6)
+      .orderBy(col("hamming"), col("id1"), col("id2"))
+      .limit(20)
+  }
 }

@@ -14,9 +14,10 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query count matches the SURVEY inventory claim") {
-    // 141 query entries (135 at start of round 6 + text_bm25 + ev_cusum
-    // + graph_pagerank + dedup_semantic + vec_mmr + text_containment);
-    // update alongside SURVEY §2 when adding a query.
-    assert(SparkEntry.queries.size === 141, s"got ${SparkEntry.queries.size}")
+    // 143 query entries (135 at start of round 6 + text_bm25 + ev_cusum
+    // + graph_pagerank + dedup_semantic + vec_mmr + text_containment
+    // + ev_scd2 + mm_phash_dedup); update alongside SURVEY §2 when
+    // adding a query.
+    assert(SparkEntry.queries.size === 143, s"got ${SparkEntry.queries.size}")
   }
 }

@@ -168,4 +168,34 @@ class MultimodalSpec extends SparkSpec {
     val text = docs.where("doc_id = 0").select("text").head.getString(0)
     assert(new String(row.payload, "UTF-8") === text)
   }
+
+  test("dHash sees through brightness shifts and pixel damage, separates patterns") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(0, 120).select(col("id").as("doc_id"))
+    val media = Multimodal.syntheticPatternImages(spark, docs)
+    val hashes = graft.multimodal.MediaOps.imageDHash(media)
+      .collect().map(h => h.media_id -> h.phash).toMap
+    assert(hashes.size === 120, "every PNG must decode")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // ids 0 and 40 and 80: same pattern group, different brightness +
+    // damage — the perceptual hash must call them near-identical.
+    assert(ham(hashes(0L), hashes(40L)) <= 6, s"got ${ham(hashes(0L), hashes(40L))}")
+    assert(ham(hashes(40L), hashes(80L)) <= 6, s"got ${ham(hashes(40L), hashes(80L))}")
+    // Different sinusoid frequencies are genuinely different images.
+    assert(ham(hashes(0L), hashes(1L)) > 6, s"got ${ham(hashes(0L), hashes(1L))}")
+    // Pair recovery through the blocked join: each (0,40)-style pair
+    // must survive the 8-segment pigeonhole at maxDist=6.
+    val pairs = graft.multimodal.MediaOps.phashPairs(
+        graft.multimodal.MediaOps.imageDHash(media).toDF(), maxDist = 6)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 40L)) || ham(hashes(0L), hashes(40L)) > 6)
+    assert(pairs.nonEmpty)
+    // Blocking is lossless at this radius: pairs == all hash pairs
+    // within distance 6 (brute-force check over the 120 hashes).
+    val brute = (for {
+      (i, hi) <- hashes.toSeq; (j, hj) <- hashes.toSeq
+      if i < j && ham(hi, hj) <= 6
+    } yield (i, j)).toSet
+    assert(pairs === brute, s"blocked join missed ${(brute -- pairs).take(5)}")
+  }
 }

@@ -215,4 +215,31 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row totals side rides a broadcast nested loop
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast count joins:\n${p.take(600)}")
   }
+
+  test("text_bm25: global top-20 is TakeOrdered over the doc scores, never a one-partition sort") {
+    val p = plan(TextQueries.bm25Q(spark, Sf))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not be a global sort:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"))
+    // df + corpus stats are scalar/vocabulary-sized broadcasts
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast stat joins:\n${p.take(600)}")
+  }
+
+  test("text_containment: candidates come from the shingle equijoin, never a cartesian") {
+    val p = plan(TextQueries.textContainmentQ(spark, Sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment blocking must stay an equijoin:\n${p.take(600)}")
+  }
+
+  test("ev_cusum: every window pass is partitioned by event_type") {
+    val p = plan(graft.queries.EventQueries.cusumQ(spark, Sf))
+    // Each windowspecdefinition in the executed plan must carry the
+    // event_type partition key — an empty partition spec would funnel
+    // the series through one task.
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"expected window passes in:\n${p.take(600)}")
+    assert(specs.forall(_.contains("event_type#")),
+      s"unpartitioned window spec found: $specs")
+  }
 }
