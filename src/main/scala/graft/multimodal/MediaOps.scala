@@ -123,6 +123,49 @@ object MediaOps {
     hash
   }
 
+  /** 63-bit audio energy-contour fingerprint over REAL decoded PCM:
+    * the audio twin of `imageDHash`. The decoded byte stream is split
+    * into 64 equal windows, mean |amplitude| per window in integers,
+    * bit w = window w+1 is louder than window w. Invariant to uniform
+    * gain (relative energies preserved) and tolerant of one damaged
+    * window — the cheap fingerprint an audio dedup pass runs before
+    * anything spectral. Non-decodable payloads are dropped. */
+  def audioFingerprint(media: Dataset[Multimodal.MediaRow],
+                       batchSize: Int = 64): Dataset[ImageHash] = {
+    implicit val enc = Encoders.product[ImageHash]
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.iterator.flatMap { m =>
+      try {
+        readAudio(m.payload).flatMap { in =>
+          try {
+            val bytes = in.readAllBytes()
+            if (bytes.length < 64) None
+            else {
+              val nWin = 64
+              val e = new Array[Long](nWin)
+              var w = 0
+              while (w < nWin) {
+                val x0 = w * bytes.length / nWin
+                val x1 = math.max(x0 + 1, (w + 1) * bytes.length / nWin)
+                var sum = 0L
+                var i = x0
+                while (i < x1) { sum += math.abs((bytes(i) & 0xff) - 128); i += 1 }
+                e(w) = sum / (x1 - x0)
+                w += 1
+              }
+              var hash = 0L
+              var b = 0
+              while (b < nWin - 1) {
+                if (e(b + 1) > e(b)) hash |= (1L << b)
+                b += 1
+              }
+              Some(ImageHash(m.media_id, hash))
+            }
+          } finally in.close()
+        }
+      } catch { case _: Exception => None }
+    }))
+  }
+
   /** Perceptual-hash near-dup pairs at Hamming distance <= maxDist:
     * the image twin of the SimHash text path. 8-segment pigeonhole
     * blocking (8 bits each) is lossless for maxDist <= 7 — candidates

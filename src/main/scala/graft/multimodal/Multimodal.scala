@@ -118,6 +118,46 @@ object Multimodal {
     }
   }
 
+  /** Deterministic PATTERNED WAV per document, with near-duplicate
+    * group structure for the audio-fingerprint dedup path: documents
+    * in the same `doc_id % 40` group share one sinusoidal amplitude
+    * ENVELOPE over 64 windows (the fingerprint's feature), and differ
+    * only by a per-id uniform gain plus one boosted id-dependent
+    * window — edits an energy-contour fingerprint sees through.
+    * Distinct groups get distinct envelope frequencies. Written as
+    * REAL RIFF/WAVE containers; the dedup query decodes actual PCM. */
+  def syntheticPatternWavs(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      val sampleRate = 8000
+      val (nWin, winLen) = (64, 32)
+      val g = (id % 40).toInt
+      val k = 0.15 + 0.11 * (g % 5)
+      val phase = (g % 7) * math.Pi / 7.0
+      val gainPct = 60 + ((id / 40) % 5).toInt * 10        // 60..100%
+      val boosted = (id * 13 % nWin).toInt
+      val data = new Array[Byte](nWin * winLen)
+      var w = 0
+      while (w < nWin) {
+        var env = 55 + (35 * math.sin(k * w + phase)).toInt
+        if (w == boosted) env += 25
+        val amp = math.min(127, env * gainPct / 100)
+        var i = 0
+        while (i < winLen) {
+          data(w * winLen + i) = (128 + (if (i % 2 == 0) amp else -amp)).toByte
+          i += 1
+        }
+        w += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 8, 1, false, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, data.length.toLong)
+      MediaOps.writeAudio(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      MediaRow(id, "audio", bos.toByteArray)
+    }
+  }
+
   /** Deterministic synthetic WAV per document: 8-bit mono PCM square
     * wave whose frame count and amplitude are pure arithmetic on
     * doc_id, written as a REAL RIFF/WAVE container on the executors.

@@ -290,4 +290,21 @@ object VectorQueries {
       .orderBy(col("hamming"), col("id1"), col("id2"))
       .limit(20)
   }
+
+  /** Audio-level near-dup dedup via the 63-bit energy-contour
+    * fingerprint over REAL decoded PCM: patterned WAVs (same
+    * `doc_id % 40` group = same amplitude envelope, differing by
+    * uniform gain + one boosted window) decode through javax.sound and
+    * pair through the same pigeonhole blocking as images and text —
+    * dedup now covers all three modalities. No SQL oracle (real WAV
+    * decode); MultimodalSpec pins gain invariance, damage tolerance,
+    * separation, and blocked == brute parity. */
+  def mmAudioFpDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticPatternWavs(
+      spark, TableLoader.load(spark, dir, "documents"))
+    val hashes = graft.multimodal.MediaOps.audioFingerprint(media).toDF()
+    graft.multimodal.MediaOps.phashPairs(hashes, maxDist = 6)
+      .orderBy(col("hamming"), col("id1"), col("id2"))
+      .limit(20)
+  }
 }

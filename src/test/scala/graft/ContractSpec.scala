@@ -14,10 +14,10 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query count matches the SURVEY inventory claim") {
-    // 143 query entries (135 at start of round 6 + text_bm25 + ev_cusum
+    // 144 query entries (135 at start of round 6 + text_bm25 + ev_cusum
     // + graph_pagerank + dedup_semantic + vec_mmr + text_containment
-    // + ev_scd2 + mm_phash_dedup); update alongside SURVEY §2 when
-    // adding a query.
-    assert(SparkEntry.queries.size === 143, s"got ${SparkEntry.queries.size}")
+    // + ev_scd2 + mm_phash_dedup + mm_audio_fp_dedup); update alongside
+    // SURVEY §2 when adding a query.
+    assert(SparkEntry.queries.size === 144, s"got ${SparkEntry.queries.size}")
   }
 }

@@ -198,4 +198,29 @@ class MultimodalSpec extends SparkSpec {
     } yield (i, j)).toSet
     assert(pairs === brute, s"blocked join missed ${(brute -- pairs).take(5)}")
   }
+
+  test("audio fingerprint sees through gain and a boosted window, separates envelopes") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(0, 120).select(col("id").as("doc_id"))
+    val media = Multimodal.syntheticPatternWavs(spark, docs)
+    val hashes = graft.multimodal.MediaOps.audioFingerprint(media)
+      .collect().map(h => h.media_id -> h.phash).toMap
+    assert(hashes.size === 120, "every WAV must decode")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // Same envelope group at different gains + damage: near-identical.
+    assert(ham(hashes(0L), hashes(40L)) <= 6, s"got ${ham(hashes(0L), hashes(40L))}")
+    assert(ham(hashes(40L), hashes(80L)) <= 6, s"got ${ham(hashes(40L), hashes(80L))}")
+    // Different envelope frequencies are genuinely different audio.
+    assert(ham(hashes(0L), hashes(1L)) > 6, s"got ${ham(hashes(0L), hashes(1L))}")
+    // Blocked pairing is lossless at this radius.
+    val pairs = graft.multimodal.MediaOps.phashPairs(
+        graft.multimodal.MediaOps.audioFingerprint(media).toDF(), maxDist = 6)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val brute = (for {
+      (i, hi) <- hashes.toSeq; (j, hj) <- hashes.toSeq
+      if i < j && ham(hi, hj) <= 6
+    } yield (i, j)).toSet
+    assert(pairs === brute, s"blocked join missed ${(brute -- pairs).take(5)}")
+    assert(pairs.nonEmpty)
+  }
 }
