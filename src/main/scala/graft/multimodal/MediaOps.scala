@@ -173,7 +173,13 @@ object MediaOps {
     * and the verify is codegen'd `bit_count(a ^ b)`. */
   def phashPairs(hashes: DataFrame, maxDist: Int = 6): DataFrame = {
     require(maxDist <= 7, "8-segment blocking covers Hamming distance <= 7")
+    // Pin the (id, sig) table before fanning out: it feeds the
+    // self-joined segment explode AND both signature join-backs, and
+    // upstream of it sits the real decode + fingerprint pipeline —
+    // without the checkpoint every consumer would re-decode the whole
+    // media corpus. The pinned table is 16 bytes/doc.
     val sigs = hashes.select(col("media_id").as("id"), col("phash").as("sig"))
+      .localCheckpoint(false)
     val seg = sigs.select(col("id"), posexplode(array((0 until 8).map { s =>
       shiftrightunsigned(col("sig"), s * 8).bitwiseAND(lit(0xffL))
     }: _*)).as(Seq("seg_idx", "seg")))

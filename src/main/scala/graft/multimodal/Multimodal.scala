@@ -19,6 +19,19 @@ import org.apache.spark.sql.Encoders
   */
 object Multimodal {
 
+  /** Doc-id projection for the synthetic generators, spread across the
+    * session's full parallelism: the documents table is one small
+    * parquet file, so without the repartition every generator's
+    * encode — and the REAL decode downstream of it — would run in a
+    * single task. The shuffle moves only 8-byte ids; the media bytes
+    * themselves are born distributed. */
+  private def ids(spark: SparkSession, documents: DataFrame): Dataset[Long] = {
+    import spark.implicits._
+    documents.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long]
+  }
+
   case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
                            byte_sum: Long, distinct_bytes: Long, mean_byte_bp: Long)
@@ -66,7 +79,7 @@ object Multimodal {
     * actual pixels back. */
   def syntheticPatternImages(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].map { id =>
+    ids(spark, documents).map { id =>
       val (w, h) = (18, 16)
       val g = (id % 40).toInt
       val kx = 0.25 + 0.13 * (g % 5)
@@ -104,7 +117,7 @@ object Multimodal {
     * expected metadata from doc_id in SQL). */
   def syntheticImages(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].map { id =>
+    ids(spark, documents).map { id =>
       val w = 8 + (id % 16).toInt
       val h = 8 + ((id / 16) % 8).toInt
       val rgb = ((id * 2654435761L) & 0xffffffL).toInt
@@ -128,7 +141,7 @@ object Multimodal {
     * REAL RIFF/WAVE containers; the dedup query decodes actual PCM. */
   def syntheticPatternWavs(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].map { id =>
+    ids(spark, documents).map { id =>
       val sampleRate = 8000
       val (nWin, winLen) = (64, 32)
       val g = (id % 40).toInt
@@ -166,7 +179,7 @@ object Multimodal {
     * oracle-checkable like the image path. */
   def syntheticWavs(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].map { id =>
+    ids(spark, documents).map { id =>
       val sampleRate = 8000
       val n = 400 + (id % 100).toInt * 4                   // even frame count
       val amp = 32 + (id % 64).toInt                       // |sample - 128|
@@ -191,7 +204,7 @@ object Multimodal {
     * oracle-checkable like images and audio. */
   def syntheticMp4s(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].map { id =>
+    ids(spark, documents).map { id =>
       val timescale = 600L
       val duration = 600L + (id % 1000) * 3
       def be32(v: Long): Array[Byte] = Array(
@@ -234,7 +247,7 @@ object Multimodal {
   def syntheticAvis(spark: SparkSession, documents: DataFrame,
                     codec: String = "png"): Dataset[MediaRow] = {
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    ids(spark, documents)
       .map(id => MediaRow(id, "video", buildAvi(id, codec)))
   }
 

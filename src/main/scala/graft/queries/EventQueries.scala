@@ -366,6 +366,26 @@ object EventQueries {
     fx.getAbsolutePath
   }
 
+  /** Run `f` with the session's shuffle-partition count — which fixes
+    * the STATE STORE partition count of any streaming query started
+    * inside — set to `spark.graft.stream.statePartitions` (default 8).
+    * State partitioning is priced per partition per micro-batch (a
+    * store commit each), so it should be sized to STATE VOLUME, not to
+    * the batch parallelism of the surrounding session: at this lake's
+    * state size (tens of thousands of live keys) 32 partitions cost
+    * 4x the commits of 8 for zero added parallelism. A production
+    * deployment with hundreds of millions of live keys raises the
+    * knob; the checkpoint pins whatever was set at first start. Only
+    * the streaming queries below use this — batch plans keep the
+    * session default. */
+  private def withStatePartitions[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key,
+      spark.conf.get("spark.graft.stream.statePartitions", "8"))
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** STREAMING gap-sessionization, driven end to end: the stateful
     * `flatMapGroupsWithState` sessionizer (`SessionStream.sessionize`,
     * one bounded open-session state per user, closed by gap or by
@@ -373,7 +393,7 @@ object EventQueries {
     * the events parquet and must reproduce the batch `ev_sessionize`
     * oracle hash-exactly — the strongest check a streaming operator can
     * get, not a spec on toy rows. */
-  def streamSessions(spark: SparkSession, dir: String): DataFrame = {
+  def streamSessions(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     import spark.implicits._
     val src = streamSourceFixture(spark, dir)
     val schema = spark.read.parquet(src).schema
@@ -403,7 +423,7 @@ object EventQueries {
     * key is emitted, so arrival-order nondeterminism in which
     * duplicate row survives is projected away — the streamed key set
     * is deterministic. */
-  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     val src = streamSourceFixture(spark, dir)
     val schema = spark.read.parquet(src).schema
     val name = "graft_stream_dedup_" +
@@ -432,7 +452,7 @@ object EventQueries {
     * rides BOTH side filters (`user_id < 0`) so the trailing micro-batch
     * advances the watermark past every purchase's window and every
     * unmatched purchase is emitted before the stream drains. */
-  def streamJoinQ(spark: SparkSession, dir: String): DataFrame = {
+  def streamJoinQ(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     val src = streamSourceFixture(spark, dir)
     val schema = spark.read.parquet(src).schema
     def side(t: String) = spark.readStream.schema(schema).parquet(src)
