@@ -1201,6 +1201,57 @@ object OracleSql {
          |FROM t JOIN e ON t.h = e.h GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
+    // Duplicated-span removal: same word-8-gram rolling-hash family,
+    // the same exclusive-range gram starts, coverage expanded 8-fold
+    // and anti-joined off the token stream, and the kept text
+    // reassembled in position order — the final hash proves the
+    // reconstructed post-removal text matches token for token.
+    "text_dedup_spans" -> {
+      val gramHash = rh("array_to_string(w[s:s+7], ' ')")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, UNNEST(range(1, greatest(len(w) - 6, 1))) AS s, w FROM d),
+         |grams AS (SELECT doc_id, s, $gramHash AS h FROM g),
+         |dup AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) >= 2),
+         |ds AS (SELECT grams.doc_id, grams.s FROM grams JOIN dup USING (h)),
+         |cover AS (SELECT DISTINCT doc_id, s + o AS pos
+         | FROM ds CROSS JOIN (SELECT UNNEST(range(0, 8)) AS o)),
+         |toks AS (SELECT doc_id, UNNEST(range(1, len(w) + 1)) AS pos, UNNEST(w) AS tok FROM d),
+         |kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t
+         | WHERE NOT EXISTS (SELECT 1 FROM cover c
+         |   WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+         |ka AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |  string_agg(tok, ' ' ORDER BY pos) AS kept_text FROM kept GROUP BY doc_id),
+         |nd AS (SELECT doc_id, COUNT(*) AS n_dup_grams FROM ds GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tokens,
+         | CAST(COALESCE(nd.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+         | CAST(len(d.w) - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed,
+         | CAST(COALESCE(${rh("ka.kept_text")}, 0) AS BIGINT) AS kept_hash
+         |FROM d LEFT JOIN ka USING (doc_id) LEFT JOIN nd USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // Winnowing fingerprints: identical word-3-gram hashes, and the
+    // identical (mod - h) * 2^31 + pos encoding whose windowed MAX is
+    // the rightmost-minimum selection — integer division/modulo on
+    // positives agree across engines.
+    "text_winnow" -> {
+      val gramHash = rh("array_to_string(w[p:p+2], ' ')")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, UNNEST(range(1, greatest(len(w) - 1, 1))) AS p, w FROM d),
+         |grams AS (SELECT doc_id, p, $gramHash AS h FROM g),
+         |wind AS (SELECT doc_id, p, COUNT(*) OVER (PARTITION BY doc_id) AS m,
+         |  MAX((1000000007 - h) * 2147483648 + p) OVER (PARTITION BY doc_id ORDER BY p
+         |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS sel
+         | FROM grams),
+         |sel AS (SELECT DISTINCT doc_id, m, sel % 2147483648 AS pos,
+         |  1000000007 - sel // 2147483648 AS sh
+         | FROM wind WHERE p <= greatest(m - 7, 1))
+         |SELECT doc_id, CAST(MAX(m) AS BIGINT) AS n_grams,
+         | CAST(COUNT(*) AS BIGINT) AS n_selected,
+         | CAST(${rh("string_agg(CAST(sh AS VARCHAR), ',' ORDER BY pos)")} AS BIGINT) AS fp_hash
+         |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
     "text_mixture_resample" ->
       s"""WITH d AS (
          | SELECT doc_id, source,
@@ -1358,6 +1409,35 @@ object OracleSql {
     // 5 unrolled power iterations of the fixed-point PageRank —
     // generated as chained CTEs so the oracle runs the IDENTICAL
     // integer recurrence the Spark loop runs.
+    // Triangle counting: identical mutual-top-5 sparsification, the
+    // identical deg * 2^32 + node total order, and the identical
+    // oriented wedge close — every triangle counted once, at its
+    // minimum-order vertex.
+    "graph_triangles" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |pr AS (SELECT x.l_suppkey AS a, y.l_suppkey AS b, COUNT(*) AS n_orders
+        | FROM os x JOIN os y ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+        | GROUP BY 1, 2),
+        |adj AS (SELECT a AS s, b AS p, n_orders FROM pr
+        | UNION ALL SELECT b, a, n_orders FROM pr),
+        |topn AS (SELECT s, p FROM (SELECT s, p,
+        |  ROW_NUMBER() OVER (PARTITION BY s ORDER BY n_orders DESC, p) AS rn FROM adj)
+        | WHERE rn <= 5),
+        |edges AS (SELECT DISTINCT LEAST(s, p) AS a, GREATEST(s, p) AS b FROM topn),
+        |deg AS (SELECT node, COUNT(*) AS dg FROM (
+        | SELECT a AS node FROM edges UNION ALL SELECT b FROM edges) GROUP BY 1),
+        |rk AS (SELECT node, dg * 4294967296 + node AS rk FROM deg),
+        |e AS (SELECT CASE WHEN ra.rk < rb.rk THEN a ELSE b END AS src,
+        |  CASE WHEN ra.rk < rb.rk THEN b ELSE a END AS dst,
+        |  GREATEST(ra.rk, rb.rk) AS rkd
+        | FROM edges JOIN rk ra ON ra.node = edges.a JOIN rk rb ON rb.node = edges.b),
+        |tri AS (SELECT x.src AS u, x.dst AS v, y.dst AS w
+        | FROM e x JOIN e y ON x.src = y.src AND x.rkd < y.rkd
+        | JOIN e z ON z.src = x.dst AND z.dst = y.dst)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        | SELECT u AS node FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri)
+        |GROUP BY 1 ORDER BY n_triangles DESC, node LIMIT 50""".stripMargin,
+
     "graph_pagerank" -> {
       val iters = 5
       val rounds = (1 to iters).map { i =>

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Window => W}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.expressions.ShingleHashes.shingleHashesNative
@@ -341,6 +342,120 @@ object TextQueries {
     * against the same held-out slice as text_decontaminate. */
   def decontaminateCharsQ(spark: SparkSession, dir: String): DataFrame =
     charDecontaminate(docs(spark, dir), pmod(col("doc_id"), lit(29L)) === 0)
+
+  /** Duplicated-SPAN REMOVAL (the step past flagging): the corpus-level
+    * substring dedup of Lee et al. 2022 realized at word-8-gram
+    * granularity — any 8-gram occurring more than once in the corpus
+    * marks its 8 token positions as duplicated, and every marked token
+    * is REMOVED from the document (not the whole document: boilerplate
+    * headers/footers/license blocks go, the unique prose stays). The
+    * output carries the kept-text rolling hash, so the driver check
+    * proves the reconstructed post-removal text matches token for
+    * token, not just the counts.
+    *
+    * Scale shape: gram hashing is map-side (one corpus scan), the
+    * duplicate set is one count-aggregation on the 8-byte hash, the
+    * coverage expansion is a bounded k-fold explode of duplicated gram
+    * starts, and the removal is a LEFT ANTI equijoin of tokens against
+    * covered (doc, pos) pairs — no range join, no per-doc driver work.
+    * The kept-text rebuild groups by doc_id (high cardinality).
+    */
+  def dedupSpans(d: DataFrame, k: Int = 8): DataFrame = {
+    val spark = d.sparkSession
+    graft.expressions.RollingHash.register(spark)
+    val base = d.select(col("doc_id"), split(col("text"), " ").as("w"))
+    // Word k-gram rolling hashes with their 1-based start position.
+    // Docs shorter than k tokens emit no grams (mirrors the shingle
+    // kernel and keeps the oracle's exclusive range() identical).
+    val grams = base.where(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(w) - ${k - 1}), " +
+          s"i -> rolling_hash(concat_ws(' ', slice(w, i, $k)), 31, 1000000007))"))
+        .as(Seq("s0", "h")))
+      .select(col("doc_id"), (col("s0") + 1).as("s"), col("h"))
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2).select(col("h"))
+    val dupStarts = grams.join(dup, "h").select(col("doc_id"), col("s"))
+      .localCheckpoint(false) // feeds coverage AND the per-doc dup count
+    val cover = dupStarts
+      .select(col("doc_id"), explode(sequence(col("s"), col("s") + (k - 1))).as("pos"))
+      .distinct()
+    val toks = base.select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    val kept = toks.join(cover, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("kept_text"))
+    val nd = dupStarts.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_grams"))
+    base.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .join(nd, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        graft.expressions.RollingHash.rollingHashNative(spark,
+          coalesce(col("kept_text"), lit("")), 31L, HashMod).as("kept_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Driver entry: span-level dedup of the documents table. */
+  def dedupSpansQ(spark: SparkSession, dir: String): DataFrame =
+    dedupSpans(docs(spark, dir))
+
+  /** WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    * the MOSS algorithm): over each document's word-3-gram hash
+    * sequence, every window of `w` consecutive hashes selects its
+    * minimum (rightmost on ties), and the selected set is the
+    * fingerprint. The guarantee — at least one selection in every
+    * w-window, matches only at shared grams — is what makes the
+    * fingerprint both bounded (~2/(w+1) of grams) and alignment-free,
+    * the overlap detector a plagiarism/contamination pass runs at
+    * corpus scale.
+    *
+    * The rightmost-minimum is computed without a self-join: encode
+    * (mod - h) * 2^31 + pos into one comparable long — max over the
+    * w-row window frame picks the smallest hash, then the largest
+    * position. Window partitions by doc_id (high cardinality); the
+    * per-doc fingerprint hash folds the selected hashes in position
+    * order. Positions are bounded by 2^31 tokens per document.
+    */
+  def winnow(d: DataFrame, w: Int = 8): DataFrame = {
+    val spark = d.sparkSession
+    graft.expressions.RollingHash.register(spark)
+    val k = 3
+    val enc = 1L << 31
+    val base = d.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val grams = base.where(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(w) - ${k - 1}), " +
+          s"i -> rolling_hash(concat_ws(' ', slice(w, i, $k)), 31, 1000000007))"))
+        .as(Seq("s0", "h")))
+      .select(col("doc_id"), (col("s0") + 1).as("p"), col("h"))
+    val win = W.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(W.currentRow, w - 1)
+    val nGrams = W.partitionBy(col("doc_id"))
+    val sel = grams
+      .withColumn("m", count(lit(1)).over(nGrams))
+      .withColumn("sel", max((lit(HashMod) - col("h")) * enc + col("p")).over(win))
+      // only full-or-first windows define selections: starts 1..max(m-w+1, 1)
+      .where(col("p") <= greatest(col("m") - (w - 1), lit(1)))
+      .select(col("doc_id"), col("m"),
+        pmod(col("sel"), lit(enc)).as("pos"),
+        (lit(HashMod) - expr(s"sel div ${enc}L")).as("sh"))
+      .distinct()
+    sel.groupBy(col("doc_id"))
+      .agg(max(col("m")).as("n_grams"),
+        count(lit(1)).as("n_selected"),
+        graft.expressions.RollingHash.rollingHashNative(spark,
+          concat_ws(",", transform(array_sort(collect_list(struct(col("pos"), col("sh")))),
+            x => x.getField("sh").cast("string"))), 31L, HashMod).as("fp_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Driver entry: winnowed fingerprints of the documents table. */
+  def winnowQ(spark: SparkSession, dir: String): DataFrame =
+    winnow(docs(spark, dir))
 
   /** Deterministic domain-mixture resampling: per-source target weights
     * (src0-4 ×2.5 upsample, src5-9 keep, rest ×0.4 downsample) realised

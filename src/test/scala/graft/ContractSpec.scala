@@ -14,10 +14,9 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query count matches the SURVEY inventory claim") {
-    // 144 query entries (135 at start of round 6 + text_bm25 + ev_cusum
-    // + graph_pagerank + dedup_semantic + vec_mmr + text_containment
-    // + ev_scd2 + mm_phash_dedup + mm_audio_fp_dedup); update alongside
-    // SURVEY §2 when adding a query.
-    assert(SparkEntry.queries.size === 144, s"got ${SparkEntry.queries.size}")
+    // 147 query entries (144 at the round-6 second batch + the third
+    // batch's graph_triangles + text_dedup_spans + text_winnow); update
+    // alongside SURVEY §2 when adding a query.
+    assert(SparkEntry.queries.size === 147, s"got ${SparkEntry.queries.size}")
   }
 }

@@ -54,6 +54,33 @@ class GraphSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("triangles counts a handcrafted graph exactly, once per triangle") {
+    // K4 on {1,2,3,4} (4 triangles, every vertex on 3), a pendant
+    // vertex 5, and a triangle-free component {6,7}: pendant and
+    // triangle-free nodes must not appear.
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (k4 ++ Seq((1L, 5L), (6L, 7L))).toDF("a", "b")
+    val got = Graph.triangles(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangles on a hub graph: orientation bounds the wedge fan-out but counts stay exact") {
+    // Star hub 0 connected to 1..20, plus rim edges (i, i+1) for
+    // i in 1..19: triangles are exactly (0, i, i+1) — 19 of them; the
+    // hub sits on all 19, each rim node on the triangles of its
+    // incident rim edges.
+    val star = (1L to 20L).map(i => (0L, i))
+    val rim = (1L to 19L).map(i => (i, i + 1))
+    val got = Graph.triangles((star ++ rim).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) === 19L)
+    assert(got(1L) === 1L && got(20L) === 1L)
+    assert((2L to 19L).forall(got(_) === 2L))
+    // once-per-triangle: per-node counts sum to 3x the triangle count
+    assert(got.values.sum === 3 * 19)
+  }
+
   test("integer BM25 ranks a term-stuffed short doc above a diluted long doc") {
     // Reference semantics checks on a corpus where the true BM25
     // ordering is unambiguous: doc 1 mentions the query term densely,
