@@ -231,6 +231,29 @@ class PlanAuditSpec extends SparkSpec {
       s"containment blocking must stay an equijoin:\n${p.take(600)}")
   }
 
+  test("graph_triangles: equijoin wedges only, top-50 is TakeOrdered") {
+    val p = plan(graft.queries.GraphQueries.qTriangles(spark, Sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge enumeration must stay an equijoin:\n${p.take(600)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 must not be a global sort:\n${p.take(600)}")
+  }
+
+  test("text_dedup_spans: coverage removal is an equijoin anti-join, never a range join") {
+    val p = plan(TextQueries.dedupSpansQ(spark, Sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span coverage must stay an equijoin:\n${p.take(600)}")
+  }
+
+  test("text_winnow: the selection windows are partitioned by doc_id") {
+    val p = plan(TextQueries.winnowQ(spark, Sf))
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"expected window passes in:\n${p.take(600)}")
+    assert(specs.forall(_.contains("doc_id#")),
+      s"unpartitioned window spec found: $specs")
+  }
+
   test("ev_cusum: every window pass is partitioned by event_type") {
     val p = plan(graft.queries.EventQueries.cusumQ(spark, Sf))
     // Each windowspecdefinition in the executed plan must carry the
