@@ -76,12 +76,20 @@ object GraphQueries {
     * bounded-degree edge list. No stage depends on corpus-wide order.
     */
   def qTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val os = t(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val pairs = os.as("x").join(os.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_suppkey") < col("y.l_suppkey"))
-      .groupBy(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
+    // Per-order supplier sets (collect_set partial-aggregates map-side
+    // and is bounded by order size), pairs expanded map-side from each
+    // set — one shuffle on the order key and one on the pair, where
+    // the distinct + self-join formulation pays a third shuffle and
+    // materializes the join. Semantics identical: distinct supplier
+    // pairs sharing an order, counted per pair.
+    val pairs = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_suppkey")).as("sups"))
+      .select(explode(expr(
+        "flatten(transform(sups, x -> transform(filter(sups, y -> y > x), " +
+          "y -> struct(x AS a, y AS b))))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_orders"))
     val adj = pairs.select(col("a").as("s"), col("b").as("p"), col("n_orders"))
       .unionAll(pairs.select(col("b").as("s"), col("a").as("p"), col("n_orders")))

@@ -41,6 +41,87 @@ object IngestQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** Typed orders slice for the format round-trips: longs, strings,
+    * and a real DATE column — the types whose text/binary encodings
+    * differ across formats and therefore prove reader fidelity. */
+  private def ordersSlice(spark: SparkSession, dir: String): DataFrame =
+    TableLoader.load(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_orderpriority"), to_date(col("o_orderdate")).as("o_date"))
+
+  /** One-time per input dir: materialize `df` under /tmp in `fmt`
+    * (staging + rename, so concurrent runs can't see a half-written
+    * fixture — the same discipline as the stream-source fixture). */
+  private def formatFixture(dir: String, fmt: String)(write: String => Unit): String = {
+    val fx = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_fmt_${fmt}_v1_${Integer.toHexString(dir.hashCode)}")
+    if (!fx.exists()) {
+      val staging = new java.io.File(fx.getParent, fx.getName + ".tmp")
+      write(staging.getAbsolutePath)
+      if (!staging.renameTo(fx)) // benign race: another run won
+        org.apache.hadoop.fs.FileUtil.fullyDelete(staging)
+    }
+    fx.getAbsolutePath
+  }
+
+  /** CSV ingest round-trip: the orders slice is written as
+    * header-carrying CSV (quoting, date rendering, text escaping all
+    * exercised for real) and read back through Spark's csv source with
+    * an explicit schema — the result must equal the parquet original.
+    * Distributed end to end: the fixture is written partitioned and
+    * read split-per-file; no driver funnel. */
+  def csvIngest(spark: SparkSession, dir: String): DataFrame = {
+    val src = formatFixture(dir, "csv") { p =>
+      ordersSlice(spark, dir).write.option("header", "true").csv(p)
+    }
+    spark.read.option("header", "true")
+      .schema("o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, " +
+        "o_orderpriority STRING, o_date DATE")
+      .csv(src)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"), date_format(col("o_date"), "yyyy-MM-dd").as("o_date"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** JSON-lines ingest round-trip: same slice through the json source
+    * (name-based field binding, typed date parse from the string
+    * rendering). The shape every web-scrape/training-data drop lands
+    * in before it reaches the lake. */
+  def jsonlIngest(spark: SparkSession, dir: String): DataFrame = {
+    val src = formatFixture(dir, "jsonl") { p =>
+      ordersSlice(spark, dir).write.json(p)
+    }
+    spark.read
+      .schema("o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, " +
+        "o_orderpriority STRING, o_date DATE")
+      .json(src)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"), date_format(col("o_date"), "yyyy-MM-dd").as("o_date"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** ORC ingest round-trip: the customer table (including the DOUBLE
+    * account balance, preserved bit-exactly by the binary format)
+    * through Spark's orc source; cents are derived AFTER the read, so
+    * a hash match proves the double survived the container. Output
+    * shape mirrors xml_ingest. */
+  def orcIngest(spark: SparkSession, dir: String): DataFrame = {
+    val src = formatFixture(dir, "orc") { p =>
+      TableLoader.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .write.orc(p)
+    }
+    spark.read.orc(src)
+      .select(
+        col("c_custkey").cast("long"),
+        col("c_name"),
+        col("c_nationkey").cast("int"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("acct_cents"),
+        col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
   val SegmentCodes: Seq[(String, Int)] = Seq(
     "AUTOMOBILE" -> 0, "BUILDING" -> 1, "FURNITURE" -> 2,
     "HOUSEHOLD" -> 3, "MACHINERY" -> 4)

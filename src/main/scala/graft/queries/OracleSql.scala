@@ -101,6 +101,23 @@ object OracleSql {
         | CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acct_cents, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
+    // Format round-trips: the oracle is the parquet original — a hash
+    // match proves the csv/json/orc encode + decode was lossless.
+    "csv_ingest" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+        | strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "jsonl_ingest" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+        | strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "orc_ingest" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        | CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acct_cents, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
     "schema_conform" ->
       """SELECT CAST(c_custkey AS BIGINT) AS customer_id, c_name AS customer_name,
         | c_nationkey AS nation_id,

@@ -14,9 +14,10 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query count matches the SURVEY inventory claim") {
-    // 147 query entries (144 at the round-6 second batch + the third
-    // batch's graph_triangles + text_dedup_spans + text_winnow); update
-    // alongside SURVEY §2 when adding a query.
-    assert(SparkEntry.queries.size === 147, s"got ${SparkEntry.queries.size}")
+    // 150 query entries (144 at the round-6 second batch + the third
+    // batch's graph_triangles + text_dedup_spans + text_winnow +
+    // csv_ingest + jsonl_ingest + orc_ingest); update alongside
+    // SURVEY §2 when adding a query.
+    assert(SparkEntry.queries.size === 150, s"got ${SparkEntry.queries.size}")
   }
 }
