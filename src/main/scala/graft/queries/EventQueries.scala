@@ -56,6 +56,22 @@ object EventQueries {
         col("n_events"), col("value_cents"))
       .orderBy(col("win_start_us"), col("event_type"))
 
+  /** Distinct users per hopping window — the audience-reach metric.
+    * Exact distinct over overlapping windows is the shape that
+    * punishes naive plans at scale: Spark expands it into the
+    * two-phase aggregate (partial dedup on (window, type, user), then
+    * a partial-agg'd count), so no executor ever holds a per-window
+    * user SET and the first shuffle carries already-deduplicated
+    * triples. The approximate twins (q_distinct_approx / HLL
+    * sketches) cover the cheaper end of the same question. */
+  def hoppingUsers(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(unix_micros(col("w.start")).as("win_start_us"), col("event_type"),
+        col("n_users"))
+      .orderBy(col("win_start_us"), col("event_type"))
+
   /** Path mining: each user's first three events (by time, event_id
     * tie-break) joined into a `a>b>c` path string, counted per
     * distinct path — the onboarding-flow report. Per-user ordering
@@ -377,7 +393,10 @@ object EventQueries {
     * deployment with hundreds of millions of live keys raises the
     * knob; the checkpoint pins whatever was set at first start. Only
     * the streaming queries below use this — batch plans keep the
-    * session default. */
+    * session default. The set/restore mutates the shared session conf,
+    * so these queries must not be SUBMITTED concurrently from one
+    * session (running them sequentially, as Verify/Bench do, is the
+    * supported mode; concurrent use needs separate sessions). */
   private def withStatePartitions[T](spark: SparkSession)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)

@@ -910,6 +910,16 @@ object OracleSql {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "ev_hopping_users" ->
+      """WITH e AS (SELECT epoch_us(ts) AS ts_us, event_type, user_id FROM events),
+        |x AS (
+        | SELECT (ts_us // 1800000000) * 1800000000 AS win_start_us, event_type, user_id FROM e
+        | UNION ALL
+        | SELECT (ts_us // 1800000000) * 1800000000 - 1800000000, event_type, user_id FROM e)
+        |SELECT CAST(win_start_us AS BIGINT) AS win_start_us, event_type,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "ev_streaming_parity" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
         | COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
