@@ -210,6 +210,41 @@ object IngestQueries {
       .orderBy(col("column"), col("metric"))
   }
 
+  /** Version-to-version change report, end to end through the
+    * snapshot-versioned table: two deterministic corpus versions are
+    * COMMITTED to a versioned fixture (v1 = the documents projection;
+    * v2 drops doc_id % 17, bumps n_chars for % 13, adds re-keyed
+    * copies of % 19), and `VersionedTable.diff` must classify every
+    * key as added/removed/updated — the "what changed between the
+    * corpus my model trained on and today's" question. Because both
+    * versions are pure functions of the documents table, the DuckDB
+    * oracle re-derives the exact classification without reading any
+    * fixture — a hash match proves commit, pinned read, content
+    * hashing, and the three-way outer-join classification all
+    * composed correctly. */
+  def versionDiffQ(spark: SparkSession, dir: String): DataFrame = {
+    val fx = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_vtq_v1_${Integer.toHexString(dir.hashCode)}")
+    if (!fx.exists()) {
+      val d = TableLoader.load(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val v2 = d.where(pmod(col("doc_id"), lit(17L)) =!= 0)
+        .withColumn("n_chars",
+          when(pmod(col("doc_id"), lit(13L)) === 0, col("n_chars") + 1)
+            .otherwise(col("n_chars")))
+        .unionByName(d.where(pmod(col("doc_id"), lit(19L)) === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      val staging = new java.io.File(fx.getParent, fx.getName + ".tmp")
+      graft.sinks.VersionedTable.commit(d, staging.getAbsolutePath)
+      graft.sinks.VersionedTable.commit(v2, staging.getAbsolutePath)
+      if (!staging.renameTo(fx)) // benign race: another run won
+        org.apache.hadoop.fs.FileUtil.fullyDelete(staging)
+    }
+    graft.sinks.VersionedTable
+      .diff(spark, fx.getAbsolutePath, from = 0L, to = 1L, keyCols = Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Month-calendar generation (dates.py analog) left-joined with order
     * activity — includes empty months, exact cents. */
   def periodCalendar(spark: SparkSession, dir: String): DataFrame = {

@@ -101,6 +101,20 @@ object OracleSql {
         | CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acct_cents, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
+    // Version diff: v1/v2 are pure functions of documents, so the
+    // classification is re-derivable without reading the versioned
+    // fixture — removed = %17, updated = surviving %13 (content bump
+    // always changes the hash), added = re-keyed %19 copies.
+    "validate_version_diff" ->
+      """WITH d AS (SELECT doc_id FROM documents)
+        |SELECT doc_id, change FROM (
+        | SELECT doc_id, 'removed' AS change FROM d WHERE doc_id % 17 = 0
+        | UNION ALL
+        | SELECT doc_id, 'updated' FROM d WHERE doc_id % 17 <> 0 AND doc_id % 13 = 0
+        | UNION ALL
+        | SELECT doc_id + 1000000, 'added' FROM d WHERE doc_id % 19 = 0)
+        |ORDER BY doc_id""".stripMargin,
+
     // Format round-trips: the oracle is the parquet original — a hash
     // match proves the csv/json/orc encode + decode was lossless.
     "csv_ingest" ->
