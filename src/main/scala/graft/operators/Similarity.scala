@@ -672,4 +672,36 @@ object Similarity {
   def knnClassifyIvf(queries: DataFrame, corpus: DataFrame, k: Int,
                      nCentroids: Int = 16, nProbe: Int = 2): DataFrame =
     majorityVote(ivfTopK(queries, corpus, k, nCentroids, nProbe))
+
+  /** Persist a trained quantizer to the lake: one row per (cid,
+    * embedding). The index-maintenance contract a daily embedding drop
+    * needs — the quantizer is trained ONCE, frozen, and every later
+    * batch is assigned against the stored centroids (map-only), so
+    * posting lists grow incrementally and historical assignments stay
+    * valid. Float32 round-trips parquet exactly, so the reloaded
+    * quantizer is bit-identical to the trained one (spec-asserted). */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession,
+                    cents: Array[Array[Float]], path: String): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a stored quantizer (small by definition: nCentroids rows). */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Array[Array[Float]] = {
+    import spark.implicits._
+    spark.read.parquet(path).orderBy(col("cid"))
+      .select(col("embedding")).as[Seq[Float]].collect().map(_.toArray)
+  }
+
+  /** Map-only assignment of a vector batch to a (stored) quantizer:
+    * centroids ride the plan as literals — no shuffle, no training.
+    * Because assignment is row-independent, incrementally indexing
+    * batch after batch against the frozen quantizer lands every vector
+    * in exactly the bucket a full rebuild would (spec-asserted). */
+  def assignToCentroids(vectors: DataFrame, cents: Array[Array[Float]]): DataFrame =
+    vectors.withColumn("cid",
+      nearestCentroidId(vectors.sparkSession, col("embedding"), cents))
 }

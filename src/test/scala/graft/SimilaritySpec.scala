@@ -285,4 +285,27 @@ class SimilaritySpec extends SparkSpec {
     assert(aLsh >= 0.9, s"LSH agreement=$aLsh") // measured 1.0
     assert(aIvf >= 0.9, s"IVF agreement=$aIvf") // measured 1.0
   }
+
+  test("stored quantizer: save/load is bit-exact and incremental indexing equals a rebuild") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_store").toString + "/quantizer"
+    val trained = Similarity.kmeansCentroids(emb, nCentroids = 16)
+    Similarity.saveCentroids(spark, trained, root)
+    val loaded = Similarity.loadCentroids(spark, root)
+    // float32 round-trips parquet exactly: the reloaded quantizer IS
+    // the trained one, so frozen-quantizer assignment can never drift
+    assert(loaded.length === trained.length)
+    assert(loaded.zip(trained).forall { case (a, b) => a.sameElements(b) })
+    // index maintenance: assigning yesterday's corpus and today's batch
+    // separately against the stored centroids lands every vector in
+    // exactly the bucket one full rebuild over the union would
+    val isOld = pmod(xxhash64(col("vec_id")), lit(2L)) === 0
+    def asgn(df: org.apache.spark.sql.DataFrame) =
+      Similarity.assignToCentroids(df, loaded)
+        .select("vec_id", "cid").as[(Long, Int)].collect().toMap
+    val incremental = asgn(emb.where(isOld)) ++ asgn(emb.where(!isOld))
+    val rebuild = asgn(emb)
+    assert(incremental === rebuild)
+    // every centroid list is populated on this corpus (sane quantizer)
+    assert(rebuild.values.toSet.size === 16)
+  }
 }
