@@ -123,4 +123,39 @@ object Graph {
       .unionAll(tri.select(col("w").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007's LPA in its
+    * deterministic fixed-round form): every node starts as its own
+    * label; each round every node adopts the most frequent label among
+    * its neighbors, ties to the SMALLEST label — both choices make the
+    * algorithm a pure function of the graph, so the result is
+    * hash-checkable (classic asynchronous LPA is order-dependent).
+    *
+    * Per round: one equijoin of the adjacency against the nodes-sized
+    * label table, one partial-agg'd count on (node, label), and an
+    * argmax via max(struct(count, -label)) — no window wider than one
+    * node's neighbor-label set, no corpus-wide ordering anywhere.
+    * Rounds are lazily checkpointed so each round's plan stays one
+    * join deep (the same pacing as [[pageRank]]).
+    *
+    * @param edges  undirected simple edge list: DISTINCT (a, b), a < b.
+    * @param rounds synchronous update rounds.
+    * @return (node, label) — label is the community representative.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val adj = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(false) // consumed once per round
+    var labels = adj.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      labels = adj.join(labels, col("v") === col("node"))
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("u"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("u").as("node"), (-col("m.nl")).as("label"))
+        .localCheckpoint(false)
+    }
+    labels
+  }
 }

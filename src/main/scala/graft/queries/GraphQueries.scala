@@ -75,13 +75,23 @@ object GraphQueries {
     * cardinality, never global; the wedge join runs on the oriented
     * bounded-degree edge list. No stage depends on corpus-wide order.
     */
-  def qTriangles(spark: SparkSession, dir: String): DataFrame = {
-    // Per-order supplier sets (collect_set partial-aggregates map-side
-    // and is bounded by order size), pairs expanded map-side from each
-    // set — one shuffle on the order key and one on the pair, where
-    // the distinct + self-join formulation pays a third shuffle and
-    // materializes the join. Semantics identical: distinct supplier
-    // pairs sharing an order, counted per pair.
+  def qTriangles(spark: SparkSession, dir: String): DataFrame =
+    Graph.triangles(coSupplierEdges(spark, dir))
+      .orderBy(col("n_triangles").desc, col("node"))
+      .limit(50)
+
+  /** Mutual-top-5 co-supplier graph: undirected simple edges (a < b).
+    *
+    * Per-order supplier sets (collect_set partial-aggregates map-side
+    * and is bounded by order size), pairs expanded map-side from each
+    * set — one shuffle on the order key and one on the pair, where a
+    * distinct + self-join formulation pays a third shuffle and
+    * materializes the join. The partner ranking windows by supplier
+    * (high cardinality, never global); keeping each supplier's top 5
+    * by shared orders is the kNN sparsification that bounds degree
+    * (<= 10 after symmetrization) at every scale, where the raw
+    * co-occurrence graph saturates toward a clique. */
+  private def coSupplierEdges(spark: SparkSession, dir: String): DataFrame = {
     val pairs = t(spark, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_suppkey")).as("sups"))
@@ -94,12 +104,32 @@ object GraphQueries {
     val adj = pairs.select(col("a").as("s"), col("b").as("p"), col("n_orders"))
       .unionAll(pairs.select(col("b").as("s"), col("a").as("p"), col("n_orders")))
     val w = Window.partitionBy(col("s")).orderBy(col("n_orders").desc, col("p"))
-    val edges = adj.withColumn("rn", row_number().over(w))
+    adj.withColumn("rn", row_number().over(w))
       .where(col("rn") <= 5)
       .select(least(col("s"), col("p")).as("a"), greatest(col("s"), col("p")).as("b"))
       .distinct()
-    Graph.triangles(edges)
-      .orderBy(col("n_triangles").desc, col("node"))
-      .limit(50)
+  }
+
+  /** Synchronous label propagation (community detection) over the
+    * mutual-top-5 co-supplier graph, 4 rounds: every node starts as
+    * its own label and each round adopts the most frequent label among
+    * its neighbors (ties to the smallest label) — the deterministic
+    * fixed-round variant of Raghavan et al. 2007's LPA, the cheap
+    * community detector that complements PageRank (importance),
+    * triangles (cohesion), and connected components (reachability).
+    *
+    * Per round: one equijoin of the bounded-degree adjacency against
+    * the nodes-sized label table, one partial-agg'd count on
+    * (node, label), and an argmax by max(struct(count, -label)) — no
+    * window over anything larger than a node's neighbor labels. The
+    * DuckDB oracle unrolls the identical 4 rounds as chained CTEs, so
+    * the check is hash-exact. Output: each node's community and the
+    * community's size, ordered by node. */
+  def qLabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Graph.labelPropagation(coSupplierEdges(spark, dir), rounds = 4)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "label")
+      .select(col("node"), col("label").as("community"), col("community_size"))
+      .orderBy(col("node"))
   }
 }

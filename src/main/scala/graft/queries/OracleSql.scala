@@ -1479,6 +1479,36 @@ object OracleSql {
         | SELECT u AS node FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri)
         |GROUP BY 1 ORDER BY n_triangles DESC, node LIMIT 50""".stripMargin,
 
+    // Synchronous LPA: identical mutual-top-5 adjacency, identical
+    // 4 unrolled rounds, identical argmax (count desc, label asc —
+    // Spark's max(struct(c, -label))).
+    "graph_label_prop" -> {
+      val rounds = (1 to 4).map { i =>
+        s""",
+           |l$i AS (SELECT u AS node, label FROM (
+           | SELECT adj.u, l.label, COUNT(*) AS c,
+           |  ROW_NUMBER() OVER (PARTITION BY adj.u
+           |    ORDER BY COUNT(*) DESC, l.label) AS rn
+           | FROM adj JOIN l${i - 1} l ON adj.v = l.node
+           | GROUP BY adj.u, l.label) WHERE rn = 1)""".stripMargin
+      }.mkString
+      s"""WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         |pr AS (SELECT x.l_suppkey AS a, y.l_suppkey AS b, COUNT(*) AS n_orders
+         | FROM os x JOIN os y ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+         | GROUP BY 1, 2),
+         |adj0 AS (SELECT a AS s, b AS p, n_orders FROM pr
+         | UNION ALL SELECT b, a, n_orders FROM pr),
+         |topn AS (SELECT s, p FROM (SELECT s, p,
+         |  ROW_NUMBER() OVER (PARTITION BY s ORDER BY n_orders DESC, p) AS rn FROM adj0)
+         | WHERE rn <= 5),
+         |edges AS (SELECT DISTINCT LEAST(s, p) AS a, GREATEST(s, p) AS b FROM topn),
+         |adj AS (SELECT a AS u, b AS v FROM edges UNION ALL SELECT b, a FROM edges),
+         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM adj)$rounds
+         |SELECT l4.node, l4.label AS community, CAST(s.cnt AS BIGINT) AS community_size
+         |FROM l4 JOIN (SELECT label, COUNT(*) AS cnt FROM l4 GROUP BY 1) s USING (label)
+         |ORDER BY node""".stripMargin
+    },
+
     "graph_pagerank" -> {
       val iters = 5
       val rounds = (1 to iters).map { i =>

@@ -14,11 +14,11 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query count matches the SURVEY inventory claim") {
-    // 152 query entries (144 at the round-6 second batch + the third
-    // batch's graph_triangles + text_dedup_spans + text_winnow +
-    // csv_ingest + jsonl_ingest + orc_ingest + ev_hopping_users +
-    // validate_version_diff); update alongside SURVEY §2 when adding
-    // a query.
-    assert(SparkEntry.queries.size === 152, s"got ${SparkEntry.queries.size}")
+    // 153 query entries (144 at the round-6 second batch + the third
+    // batch's graph_triangles + graph_label_prop + text_dedup_spans +
+    // text_winnow + csv_ingest + jsonl_ingest + orc_ingest +
+    // ev_hopping_users + validate_version_diff); update alongside
+    // SURVEY §2 when adding a query.
+    assert(SparkEntry.queries.size === 153, s"got ${SparkEntry.queries.size}")
   }
 }

@@ -81,6 +81,32 @@ class GraphSpec extends SparkSpec {
     assert(got.values.sum === 3 * 19)
   }
 
+  test("labelPropagation matches the literal synchronous reference, min-label ties") {
+    // two triangles bridged by one edge — LPA should resolve two
+    // communities (the bridge cannot outvote either triangle)
+    val edgeList = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val rounds = 4
+    val got = Graph.labelPropagation(edgeList.toDF("a", "b"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // Literal synchronous reference: most frequent neighbor label,
+    // ties to the smallest label.
+    val adj = (edgeList ++ edgeList.map(_.swap))
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    var lab: Map[Long, Long] = adj.keys.map(k => k -> k).toMap
+    for (_ <- 1 to rounds) {
+      lab = adj.map { case (u, vs) =>
+        val counts = vs.map(lab).groupBy(identity).map { case (l, xs) => l -> xs.size }
+        u -> counts.toSeq.maxBy { case (l, c) => (c, -l) }._1
+      }
+    }
+    assert(got === lab)
+    // community structure: each triangle coheres on one label
+    assert(Set(got(1L), got(2L)).size === 1 && got(1L) === got(3L))
+    assert(Set(got(4L), got(5L)).size === 1 && got(4L) === got(6L))
+  }
+
   test("integer BM25 ranks a term-stuffed short doc above a diluted long doc") {
     // Reference semantics checks on a corpus where the true BM25
     // ordering is unambiguous: doc 1 mentions the query term densely,
