@@ -67,25 +67,40 @@ object Bpe {
     * Naive "top-m disjoint" batching without (b) is WRONG: merging
     * (a,b) in "a b x c d" creates (ab,x) with the same count, which
     * sequentially outranks a disjoint (c,d) — condition (b) stops the
-    * batch before that can happen. The batch halts at the first
-    * interacting or non-dominating candidate (continuing past an
-    * interacting pair would also diverge: its own count may drop, but
-    * sequentially it might STILL outrank later candidates), so late
-    * rounds degrade gracefully to one merge per action — guarded
-    * merge-for-merge by BpeSpec on two corpora. Measured ~1.8x fewer
-    * actions on the English-like test corpus (letter pairs interact
-    * heavily in the Zipf head); symbol-diverse distributions batch
-    * deeper. */
+    * batch before that can happen. Condition (b) bounds NEWLY created
+    * occurrences only, so a third guard (c) covers string collisions:
+    * when a batched merge's output string equals a symbol that already
+    * exists from a DIFFERENT split ('ab'+'c' and 'a'+'bc' both print
+    * "abc" — possible only via a prior merge output, batched or from
+    * an earlier round; initial symbols cannot collide because the bare
+    * end-of-word marker is never a standalone symbol), pairs adjacent
+    * to that symbol GROW from a nonzero base, so a candidate's listed
+    * count understates its sequential count and (b)'s comparison is
+    * unsound. The batch therefore also stops at any candidate touching
+    * a batched output symbol, and immediately after any merge whose
+    * output collides with a known-existing symbol string. The batch
+    * halts at the first interacting or non-dominating candidate
+    * (continuing past an interacting pair would also diverge: its own
+    * count may drop, but sequentially it might STILL outrank later
+    * candidates), so late rounds degrade gracefully to one merge per
+    * action — guarded merge-for-merge by BpeSpec on two corpora.
+    * Measured ~1.8x fewer actions on the English-like test corpus
+    * (letter pairs interact heavily in the Zipf head); symbol-diverse
+    * distributions batch deeper. */
   private def safeBatch(top: Seq[(String, String, Long)],
-                        wasFull: Boolean): Seq[(String, String, Long)] = {
+                        wasFull: Boolean,
+                        priorOutputs: Set[String]): Seq[(String, String, Long)] = {
     val unseenBound = if (wasFull) top.last._3 else 0L
     val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var used = Set.empty[String]
+    // Output strings of merges batched THIS round.
+    var outs = Set.empty[String]
     // Upper bound on any pair created by the batched merges so far.
     var createdBound = Long.MinValue
     var stop = false
     for (c @ (l, r, n) <- top if !stop) {
-      if (batch.nonEmpty && (used(l) || used(r) || n <= createdBound)) stop = true
+      if (batch.nonEmpty &&
+          (used(l) || used(r) || outs(l) || outs(r) || n <= createdBound)) stop = true
       else {
         batch += c
         used += l; used += r
@@ -94,6 +109,11 @@ object Bpe {
         }
         createdBound = (createdBound max unseenBound) max
           (if (adj.isEmpty) unseenBound else adj.max)
+        val out = l + r
+        // Guard (c): output collides with an existing symbol string —
+        // later candidates adjacent to it may have grown; stop here.
+        if (priorOutputs(out) || outs(out)) stop = true
+        outs += out
       }
     }
     batch.toSeq
@@ -141,7 +161,8 @@ object Bpe {
         lastTrainRounds = rounds
         return merges.toSeq
       }
-      val batch = safeBatch(top, wasFull = top.size == m)
+      val batch = safeBatch(top, wasFull = top.size == m,
+          priorOutputs = merges.iterator.map(_._4).toSet)
         .take(nMerges - merges.size)
       batch.foreach { case (l, r, n) => merges += ((merges.size, l, r, l + r, n)) }
       // Boundary-safe merges everywhere, applied IN RANK ORDER as one

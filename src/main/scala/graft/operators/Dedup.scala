@@ -125,18 +125,48 @@ object Dedup {
     * The survivor map, the dedup terminal, and the cluster-size report
     * all label the SAME pair set — one iterative CC run serves all of
     * them. The cached value is a materialized (eagerly checkpointed)
-    * label table, small by construction (one row per node in a pair). */
+    * label table, small by construction (one row per node in a pair).
+    *
+    * Bounded: an LRU capped at [[CcCacheMax]] entries — the pinned
+    * checkpoint blocks of an evicted (or cleared) entry are released
+    * by Spark's ContextCleaner once the DataFrame is unreferenced, so
+    * a long-lived session labeling many distinct pair plans holds at
+    * most [[CcCacheMax]] label tables, not one per plan ever seen.
+    * Caveat (inherent to localCheckpoint): the blocks are
+    * non-recoverable, so on a cluster an executor loss poisons any
+    * entry whose blocks it held — call [[clearCcCache]] after such a
+    * failure (or before a retry) to force recomputation. */
+  private val CcCacheMax = 8
   private val ccCache =
-    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, Int), DataFrame]()
+    new java.util.LinkedHashMap[(org.apache.spark.sql.SparkSession, Int), DataFrame](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(org.apache.spark.sql.SparkSession, Int), DataFrame]): Boolean =
+        size() > CcCacheMax
+    }
 
-  def connectedComponents(pairs: DataFrame): DataFrame =
-    ccCache.computeIfAbsent(
-      (pairs.sparkSession, pairs.queryExecution.analyzed.semanticHash()),
+  /** Drop all memoized label tables (e.g. after an executor loss
+    * invalidated their non-recoverable localCheckpoint blocks). */
+  def clearCcCache(): Unit = ccCache.synchronized(ccCache.clear())
+
+  private[graft] def ccCacheSize: Int = ccCache.synchronized(ccCache.size())
+
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val key = (pairs.sparkSession, pairs.queryExecution.analyzed.semanticHash())
+    ccCache.synchronized(Option(ccCache.get(key))).getOrElse {
       // LAZY checkpoint: a cache hit reuses the blocks the first
       // consumer materialized, while a never-again-seen pair plan
       // (e.g. the incremental fold-in over a checkpointed batch) pays
       // no extra materialization job for a cache entry nothing reads.
-      _ => connectedComponentsUncached(pairs).localCheckpoint(false))
+      // (Computed outside the lock — an iterative job under a lock
+      // would serialize unrelated callers; a rare duplicate compute
+      // is deterministic and benign.)
+      val labeled = connectedComponentsUncached(pairs).localCheckpoint(false)
+      ccCache.synchronized {
+        Option(ccCache.get(key)).getOrElse { ccCache.put(key, labeled); labeled }
+      }
+    }
+  }
 
   private def connectedComponentsUncached(pairs: DataFrame): DataFrame = {
     // Materialize the (usually expensive) candidate-pair plan once: the

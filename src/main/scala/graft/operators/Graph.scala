@@ -30,6 +30,16 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
+  /** The checkpoint-pinned RDD behind a localCheckpointed DataFrame
+    * (its logical plan is a LogicalRDD over the materialized blocks) —
+    * the handle needed to RELEASE those blocks once a later round
+    * supersedes the table. */
+  private def pinnedRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical match {
+      case r: org.apache.spark.sql.execution.LogicalRDD => Some(r.rdd)
+      case _ => None
+    }
+
   /** Synchronous PageRank over a directed edge list.
     *
     * @param edges DataFrame with `src` and `dst` long columns; rows
@@ -54,18 +64,65 @@ object Graph {
     val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val e = ed.join(deg.hint("shuffle_hash"), "src")
     var ranks = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
+    // Round r-1's pinned blocks, released as soon as round r lands.
+    var prevPin: Option[org.apache.spark.rdd.RDD[_]] = None
     for (i <- 1 to iters) {
       val next = e.join(ranks.hint("shuffle_hash"), col("src") === col("node"))
         .select(col("dst"), expr("pr div outdeg").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("contribs"))
         .select(col("dst").as("node"),
           (lit(150000L) + expr("(85L * contribs) div 100L")).as("pr"))
-      // Per-round checkpoints pin each (tiny, nodes-sized) rank table
-      // and keep every AQE query one join+agg deep — measured faster
-      // than handing the optimizer the full 5-round nested plan. The
-      // final round is EAGER so the edge cache can be released before
-      // returning.
-      ranks = next.localCheckpoint(i == iters)
+      // Per-round EAGER checkpoints pin each (tiny, nodes-sized) rank
+      // table and keep every AQE query one join+agg deep — measured
+      // faster than handing the optimizer the full 5-round nested
+      // plan. Eager materialization lets round r-1's blocks be
+      // released immediately, so no matter how many iterations run,
+      // at most TWO rank tables are ever pinned at once (unbounded
+      // accumulation was executor storage pressure at high iters).
+      ranks = next.localCheckpoint(true)
+      prevPin.foreach(_.unpersist(false))
+      prevPin = pinnedRdd(ranks)
+    }
+    ed.unpersist()
+    ranks
+  }
+
+  /** Weighted synchronous PageRank: each node's rank is split across
+    * its out-edges PROPORTIONALLY TO EDGE WEIGHT instead of uniformly
+    * — contribution = `(pr * w) div sw` with `sw` the node's total
+    * outgoing weight — which is what a real importance ranking over an
+    * interaction graph wants (a supplier reached through 40 orders
+    * should pull more rank than one reached through 1; the unweighted
+    * variant throws that multiplicity away).
+    *
+    * Input rows are (src, dst, w) and may repeat: parallel edges are
+    * combined by SUMMING weights, riding the same src repartition the
+    * unweighted variant uses for its dedup (HashPartitioning(src)
+    * satisfies the (src, dst) clustering — no extra exchange). Every
+    * other scale property matches [[pageRank]]: big edge side
+    * stationary and partitioned once, nodes-sized rank table moving,
+    * shuffle-hash joins, eager per-round checkpoints with round r-1
+    * released as round r lands. Integer fixed-point throughout —
+    * `pr * w` stays far under 2^63 for any realistic weight scale
+    * (pr ~ 1e6-1e9, w ~ multiplicities). */
+  def pageRankWeighted(edges: DataFrame, iters: Int): DataFrame = {
+    val ed = edges.select(col("src"), col("dst"), col("w"))
+      .repartition(col("src"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sw = ed.groupBy(col("src")).agg(sum(col("w")).as("sw"))
+    val e = ed.join(sw.hint("shuffle_hash"), "src")
+    var ranks = sw.select(col("src").as("node"), lit(1000000L).as("pr"))
+    var prevPin: Option[org.apache.spark.rdd.RDD[_]] = None
+    for (_ <- 1 to iters) {
+      val next = e.join(ranks.hint("shuffle_hash"), col("src") === col("node"))
+        .select(col("dst"), expr("(pr * w) div sw").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("contribs"))
+        .select(col("dst").as("node"),
+          (lit(150000L) + expr("(85L * contribs) div 100L")).as("pr"))
+      ranks = next.localCheckpoint(true)
+      prevPin.foreach(_.unpersist(false))
+      prevPin = pinnedRdd(ranks)
     }
     ed.unpersist()
     ranks
@@ -135,8 +192,11 @@ object Graph {
     * label table, one partial-agg'd count on (node, label), and an
     * argmax via max(struct(count, -label)) — no window wider than one
     * node's neighbor-label set, no corpus-wide ordering anywhere.
-    * Rounds are lazily checkpointed so each round's plan stays one
-    * join deep (the same pacing as [[pageRank]]).
+    * Rounds are eagerly checkpointed so each round's plan stays one
+    * join deep, and round r-1's blocks are released the moment round
+    * r materializes — at most two label tables (plus the adjacency)
+    * are pinned at any point, regardless of the round count (the same
+    * pacing as [[pageRank]]).
     *
     * @param edges  undirected simple edge list: DISTINCT (a, b), a < b.
     * @param rounds synchronous update rounds.
@@ -145,17 +205,22 @@ object Graph {
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     val adj = edges.select(col("a").as("u"), col("b").as("v"))
       .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint(false) // consumed once per round
+      .localCheckpoint(false) // consumed once per round; released below
     var labels = adj.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
+    var prevPin: Option[org.apache.spark.rdd.RDD[_]] = None
     for (_ <- 1 to rounds) {
       labels = adj.join(labels, col("v") === col("node"))
         .groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
         .groupBy(col("u"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("u").as("node"), (-col("m.nl")).as("label"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
+      prevPin.foreach(_.unpersist(false))
+      prevPin = pinnedRdd(labels)
     }
+    // The adjacency is dead once the final round has materialized.
+    pinnedRdd(adj).foreach(_.unpersist(false))
     labels
   }
 }

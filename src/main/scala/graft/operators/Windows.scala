@@ -109,10 +109,14 @@ object Windows {
     * `row_number() OVER (ORDER BY order*)` as long as `order` is a
     * total order (include tie-breaker columns).
     *
-    * `nParts` sizes the parallel width; the default (`<= 0`) follows the
-    * input's own partition count (capped at 4096), so the rank stage
-    * keeps the scan's parallelism at any scale without the caller having
-    * to know the knob exists.
+    * `nParts` sizes the parallel width; the default (`<= 0`) uses the
+    * session's configured shuffle parallelism (capped at 4096) — NOT
+    * `df.rdd.getNumPartitions`, because under AQE `.rdd` finalizes the
+    * adaptive plan by materializing every upstream shuffle stage, i.e.
+    * the input would execute once just to read a partition count and
+    * then again through the range exchange. The shuffle-partition conf
+    * is the same width Spark itself would give any exchange over this
+    * input, known without touching the plan.
     *
     * The range-partitioned frame is materialized via a lazy local
     * checkpoint before fanning out to the rank and size consumers:
@@ -125,7 +129,8 @@ object Windows {
                       rankCol: String = "rank"): DataFrame = {
     val width =
       if (nParts > 0) nParts
-      else math.min(math.max(df.rdd.getNumPartitions, 1), 4096)
+      else math.min(math.max(
+        df.sparkSession.sessionState.conf.numShufflePartitions, 1), 4096)
     val ranged = df.repartitionByRange(width, order: _*)
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint(false)

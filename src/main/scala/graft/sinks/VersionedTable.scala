@@ -53,7 +53,52 @@ object VersionedTable {
 
   /** Commit `df` as the next version; returns the new version id.
     * Staging + atomic rename: a concurrent committer loses the rename
-    * and retries onto the next id — versions are never overwritten. */
+    * and retries onto the next id — versions are never overwritten.
+    *
+    * Race subtlety: Hadoop `FileSystem.rename` into an EXISTING
+    * directory moves the source UNDER it, so a committer that loses
+    * the exists-check race would otherwise "succeed" by nesting its
+    * staging dir inside the winner's version (invisible to parquet
+    * readers — dot-prefixed — i.e. silent data loss). After every
+    * successful rename we verify the staging dir did not land nested;
+    * if it did, we pull it back out and retry onto the next id. A
+    * rename that fails with NO contention (missing parent, permissions)
+    * is a permanent FS error and fails fast instead of burning
+    * retries. */
+  private[graft] sealed trait RenameOutcome
+  private[graft] case object Renamed extends RenameOutcome
+  private[graft] case object LostRace extends RenameOutcome
+  private[graft] case object RenameFailed extends RenameOutcome
+
+  /** True iff `staging` ended up nested under `target` (the signature
+    * of a rename that raced with a concurrent winner); recovers it
+    * back to its original location before returning. */
+  private[graft] def recoverIfNested(f: org.apache.hadoop.fs.FileSystem,
+                                     staging: Path, target: Path): Boolean = {
+    val nested = new Path(target, staging.getName)
+    if (!f.exists(nested)) false
+    else {
+      if (!f.rename(nested, staging)) {
+        f.delete(nested, true)
+        throw new java.io.IOException(
+          s"could not recover nested staging dir $nested")
+      }
+      true
+    }
+  }
+
+  /** One guarded rename attempt of `staging` onto `target`.
+    * (Local FS throws FileNotFoundException where HDFS returns false
+    * for a vanished source — both are the same permanent failure.) */
+  private[graft] def renameNoNest(f: org.apache.hadoop.fs.FileSystem,
+                                  staging: Path, target: Path): RenameOutcome =
+    if (f.exists(target)) LostRace
+    else if (try f.rename(staging, target)
+             catch { case _: java.io.FileNotFoundException => false }) {
+      if (recoverIfNested(f, staging, target)) LostRace else Renamed
+    } else if (f.exists(target)) LostRace // appeared mid-flight; FS refused
+    else RenameFailed
+
   def commit(df: DataFrame, root: String, maxAttempts: Int = 5): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
@@ -64,8 +109,15 @@ object VersionedTable {
     while (attempt < maxAttempts) {
       val next = latestVersion(spark, root).getOrElse(-1L) + 1
       val target = new Path(root, s"v=$next")
-      if (!f.exists(target) && f.rename(staging, target)) return next
-      attempt += 1
+      renameNoNest(f, staging, target) match {
+        case Renamed => return next
+        case LostRace => attempt += 1
+        case RenameFailed =>
+          f.delete(staging, true)
+          throw new java.io.IOException(
+            s"rename $staging -> $target failed without contention " +
+              "(missing parent directory or permissions?)")
+      }
     }
     f.delete(staging, true)
     throw new IllegalStateException(
@@ -83,14 +135,23 @@ object VersionedTable {
     * whose content was `added`, `removed`, or `updated` (content
     * compared by a column-order-stable xxhash64 over every non-key
     * column). One full outer equijoin on the key — intermediate
-    * versions are never read. */
+    * versions are never read.
+    *
+    * Null handling: Spark's hash functions pass the seed through
+    * unchanged on a null child, so a raw `xxhash64(a, b)` cannot tell
+    * (x, null) from (null, x). Each value column is therefore encoded
+    * null-distinguishingly — `coalesce(cast(c as string), '\u0000NULL')`
+    * — before hashing. Key columns must be non-null: a null key never
+    * equijoins, so such rows would be misreported as added+removed. */
   def diff(spark: SparkSession, root: String, from: Long, to: Long,
            keyCols: Seq[String]): DataFrame = {
     def hashed(v: Long) = {
       val df = read(spark, root, Some(v))
       val valueCols = df.columns.filterNot(keyCols.contains).sorted
+      val encoded = valueCols.map(c =>
+        coalesce(col(c).cast("string"), lit("\u0000NULL")))
       df.select(keyCols.map(col) :+
-        xxhash64(valueCols.map(col): _*).as("_vh"): _*)
+        xxhash64(encoded: _*).as("_vh"): _*)
     }
     val a = hashed(from).withColumnRenamed("_vh", "_vh_from")
     val b = hashed(to).withColumnRenamed("_vh", "_vh_to")

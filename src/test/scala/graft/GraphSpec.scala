@@ -35,6 +35,38 @@ class GraphSpec extends SparkSpec {
     assert(got.values.forall(_ > 0))
   }
 
+  test("pageRankWeighted matches the literal weighted recurrence; parallel edges sum") {
+    // Same 4-node topology as the unweighted case, but 1->3 carries
+    // weight 3 (as one weighted row AND as parallel rows — both forms
+    // must combine identically) so node 3 pulls most of node 1's rank.
+    val weighted = Seq(
+      (1L, 2L, 1L), (1L, 3L, 3L), (2L, 3L, 1L),
+      (3L, 1L, 2L), (4L, 3L, 1L), (3L, 4L, 1L))
+    val got = Graph.pageRankWeighted(weighted.toDF("src", "dst", "w"), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // Parallel-edge form: 1->3 three times at weight 1, 3->1 twice.
+    val parallel = weighted.flatMap { case (s, d, w) =>
+      Seq.fill(w.toInt)((s, d, 1L)) }
+    val gotParallel = Graph.pageRankWeighted(parallel.toDF("src", "dst", "w"), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotParallel === got)
+
+    // Literal reference: contribution (pr * w) / sw, truncating division.
+    val sw = weighted.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var pr: Map[Long, Long] = sw.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 5) {
+      val contribs = weighted.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _, w) => pr(s) * w / sw(s) }.sum
+      }
+      pr = contribs.map { case (n, c) => n -> (150000L + 85L * c / 100L) }
+    }
+    assert(got === pr)
+    // The weight matters: node 3 outranks everything (it absorbs 3/4
+    // of node 1's mass plus all of 2's and 4's).
+    assert(got(3L) === got.values.max)
+  }
+
   test("CUSUM window identity equals the literal max(0, s+d) recursion") {
     // The query computes s_i = cum_i - min(0, min_{j<=i} cum_j); the
     // textbook recursion is s_i = max(0, s_{i-1} + d_i). Pin the
@@ -105,6 +137,27 @@ class GraphSpec extends SparkSpec {
     // community structure: each triangle coheres on one label
     assert(Set(got(1L), got(2L)).size === 1 && got(1L) === got(3L))
     assert(Set(got(4L), got(5L)).size === 1 && got(4L) === got(6L))
+  }
+
+  test("iterative rounds release superseded checkpoints (bounded storage)") {
+    // Rounds are eagerly checkpointed and round r-1 is unpersisted as
+    // round r lands: net pinned RDDs after a many-round run must be
+    // the FINAL table only, not one per round.
+    val edgeList = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val labels = Graph.labelPropagation(edgeList.toDF("a", "b"), rounds = 8)
+    labels.count()
+    val afterLpa = spark.sparkContext.getPersistentRDDs.size
+    assert(afterLpa - before <= 1,
+      s"8-round LPA left ${afterLpa - before} pinned RDDs (want <= 1: final labels)")
+
+    val pr = Graph.pageRank(
+      (edgeList ++ edgeList.map(_.swap)).toDF("src", "dst"), iters = 8)
+    pr.count()
+    val afterPr = spark.sparkContext.getPersistentRDDs.size
+    assert(afterPr - afterLpa <= 1,
+      s"8-iter pageRank left ${afterPr - afterLpa} pinned RDDs (want <= 1: final ranks)")
   }
 
   test("integer BM25 ranks a term-stuffed short doc above a diluted long doc") {

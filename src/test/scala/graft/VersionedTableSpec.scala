@@ -38,6 +38,60 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.diff(spark, root, 1L, 2L, Seq("id")).count() === 0L)
   }
 
+  test("rename race: nesting under a concurrent winner is detected and recovered") {
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_race").toString
+    val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(root, ".staging-racer")
+    val target = new Path(root, "v=0")
+    f.mkdirs(staging)
+    f.create(new Path(staging, "part-0.parquet")).close()
+    f.mkdirs(target)
+    f.create(new Path(target, "winner.parquet")).close()
+
+    // Document the hazard itself: Hadoop rename into an existing dir NESTS.
+    assert(f.rename(staging, target))
+    assert(f.exists(new Path(target, ".staging-racer/part-0.parquet")))
+
+    // recoverIfNested pulls the loser's staging back out intact
+    assert(VersionedTable.recoverIfNested(f, staging, target))
+    assert(f.exists(new Path(staging, "part-0.parquet")))
+    assert(!f.exists(new Path(target, ".staging-racer")))
+    assert(f.exists(new Path(target, "winner.parquet")))
+
+    // Guarded rename: pre-existing target is a lost race, not a nest
+    assert(VersionedTable.renameNoNest(f, staging, target) === VersionedTable.LostRace)
+    assert(f.exists(new Path(staging, "part-0.parquet")))
+
+    // Free target: clean rename
+    val target1 = new Path(root, "v=1")
+    assert(VersionedTable.renameNoNest(f, staging, target1) === VersionedTable.Renamed)
+    assert(f.exists(new Path(target1, "part-0.parquet")))
+  }
+
+  test("permanent rename failure (vanished staging) fails fast, not as a lost race") {
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_fail").toString
+    val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // staging never created (e.g. swept by an external cleaner): the rename
+    // can never succeed, and no amount of retrying onto new ids helps
+    val staging = new Path(root, ".staging-gone")
+    val target = new Path(root, "v=0")
+    assert(VersionedTable.renameNoNest(f, staging, target) === VersionedTable.RenameFailed)
+  }
+
+  test("diff distinguishes which column is null; null-only moves are updates") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_null").toString + "/t"
+    val v1 = Seq((1L, Option("x"), Option.empty[String]), (2L, Option("y"), Option("z")))
+    VersionedTable.commit(v1.toDF("id", "a", "b"), root)
+    // id=1 swaps which column holds the null; id=2 unchanged
+    val v2 = Seq((1L, Option.empty[String], Option("x")), (2L, Option("y"), Option("z")))
+    VersionedTable.commit(v2.toDF("id", "a", "b"), root)
+    val changes = VersionedTable.diff(spark, root, 0L, 1L, Seq("id"))
+      .as[(Long, String)].collect().toMap
+    assert(changes === Map(1L -> "updated"))
+  }
+
   test("read with no versions fails loudly; empty root lists no versions") {
     val root = java.nio.file.Files.createTempDirectory("graft_vt_empty").toString + "/t"
     assert(VersionedTable.versions(spark, root).isEmpty)

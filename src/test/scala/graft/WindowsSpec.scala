@@ -56,7 +56,7 @@ class WindowsSpec extends SparkSpec {
       spark.conf.set("spark.sql.exchange.reuse", "false")
       val df = spark.read.parquet(s"$Sf/orders.parquet").select("o_orderkey", "o_custkey")
       val order = Seq(col("o_custkey"), col("o_orderkey"))
-      val g = Windows.globalRowNumber(df, order) // default: width follows input
+      val g = Windows.globalRowNumber(df, order) // default: conf shuffle width
         .select("o_orderkey", "rank").as[(Long, Long)].collect().toMap
       val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
       val ref = df.withColumn("rank", row_number().over(w).cast("long"))
