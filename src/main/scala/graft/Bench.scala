@@ -89,11 +89,18 @@ object Bench {
       "q9_product_profit", "q18_big_orders", "xml_ingest", "ev_sessionize",
       "dedup_exact", "dedup_minhash", "dedup_survivors", "dedup_corpus",
       "ann_bruteforce", "ann_ivf", "text_tfidf", "mm_video_frames")
-    val resultMap = results.toMap
-    val hq = headline.filter(resultMap.contains)
-      .map(k => "\"" + k + "\":" + f(resultMap(k))).mkString("{", ",", "}")
+    // Headline subset uses the same estimator as the canonical value
+    // (per-query min), so the two are mutually consistent.
+    val minMap = mins.toMap
+    val hq = headline.filter(minMap.contains)
+      .map(k => "\"" + k + "\":" + f(minMap(k))).mkString("{", ",", "}")
+    // CANONICAL value = min-sum. The load-immune estimator is the gate
+    // number (a load burst can only inflate a trial, so per-query min
+    // across interleaved trials converges on the quiet-machine time and
+    // is reproducible within ~10% where the median sum swung 2-3x with
+    // background load); the median sum stays alongside as value_median.
     val line =
-      s"""{"metric":"total","value":${f(total)},"value_min":${f(totalMin)},"unit":"sec","queries":$hq,"n_queries":${results.size},"sf":"$sfDir","trials":$trials,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"detail":"BENCH_SIDECAR.json"}"""
+      s"""{"metric":"total","value":${f(totalMin)},"value_median":${f(total)},"unit":"sec","queries":$hq,"n_queries":${results.size},"sf":"$sfDir","trials":$trials,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"detail":"BENCH_SIDECAR.json"}"""
     // Sidecar: all three lines, for any consumer that prefers a file to
     // stdout scraping (full per-query medians, spreads, canonical total).
     try java.nio.file.Files.writeString(

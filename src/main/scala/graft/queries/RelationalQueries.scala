@@ -449,21 +449,36 @@ object RelationalQueries {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
-  /** TPC-H Q22 shape: scalar-subquery threshold + anti join, kept in
-    * exact integer arithmetic (cents*count > total_cents avoids a
-    * cross-engine division). */
+  /** TPC-H Q22 shape: subquery threshold + anti join + final rollup,
+    * kept in exact integer arithmetic (cents*count > total_cents
+    * avoids a cross-engine division). Parameterized as the REAL Q22
+    * is — the threshold is the average over POSITIVE balances within
+    * the customer's own nation (not one global mean), and the output
+    * is the per-nation (numcust, total_cents) rollup — so the result
+    * is non-empty at every SF. "Idle" is NO ORDERS SINCE 2000-01-01
+    * (Q22's "no orders in 7 years" clause, fitted to this lake's
+    * 1995-2001 order span): the generator gives every customer at
+    * least one order overall, so the unqualified anti join — and with
+    * it the original global-mean form of this query — was provably
+    * empty at EVERY SF, a vacuous hash match. Measured qualifying
+    * customers 5 / 54 / 646 at sf0.001 / 0.01 / 0.1. */
   def qRichIdle(spark: SparkSession, dir: String): DataFrame = {
     val cust = t(spark, dir, "customer")
-      .select(col("c_custkey"),
+      .select(col("c_custkey"), col("c_nationkey"),
         (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("acctbal_cents"))
-    val stats = cust.agg(sum(col("acctbal_cents")).as("total_cents"),
-      count(lit(1)).as("n_cust"))
-    val ord = t(spark, dir, "orders").select(col("o_custkey"))
-    cust.crossJoin(broadcast(stats))
-      .where(col("acctbal_cents") * col("n_cust") > col("total_cents"))
-      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
-      .select(col("c_custkey"), col("acctbal_cents"))
-      .orderBy(col("c_custkey"))
+    val stats = cust.where(col("acctbal_cents") > 0)
+      .groupBy(col("c_nationkey"))
+      .agg(sum(col("acctbal_cents")).as("pos_cents"),
+        count(lit(1)).as("n_pos"))
+    val recentOrd = t(spark, dir, "orders")
+      .where(col("o_orderdate") >= lit("2000-01-01").cast("date"))
+      .select(col("o_custkey"))
+    cust.join(broadcast(stats), Seq("c_nationkey"))
+      .where(col("acctbal_cents") * col("n_pos") > col("pos_cents"))
+      .join(recentOrd, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), sum(col("acctbal_cents")).as("total_cents"))
+      .orderBy(col("c_nationkey"))
   }
 
   /** FULL OUTER join surface: per-nation aggregates of high-balance
