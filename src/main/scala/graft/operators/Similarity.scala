@@ -205,13 +205,26 @@ object Similarity {
     * search shuffles only the probed buckets. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 2, kmeansIters: Int = 3): DataFrame = {
+    val cents = kmeansCentroids(corpus, nCentroids, kmeansIters)
+    ivfTopKStored(queries, assignToCentroids(corpus, cents), cents, k, nProbe)
+  }
+
+  /** IVF search against a FROZEN quantizer over PRE-ASSIGNED inverted
+    * lists — the read half of the incremental-index contract: the
+    * quantizer was trained once (possibly on an earlier batch) and
+    * committed to the lake, every arriving batch was assigned map-only
+    * ([[assignToCentroids]]), and search probes the accumulated lists
+    * without ever retraining or reshuffling history. `assigned` is the
+    * corpus with its `cid` bucket column (vec_id, embedding, label,
+    * cid). Plain [[ivfTopK]] is exactly this search over a
+    * train-on-the-spot assignment. */
+  def ivfTopKStored(queries: DataFrame, assigned: DataFrame,
+                    cents: Array[Array[Float]], k: Int, nProbe: Int = 2): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val cents = kmeansCentroids(corpus, nCentroids, kmeansIters)
-    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
-      col("label").as("n_label"))
+    val c = assigned.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
+      col("label").as("n_label"), col("cid").as("cent_id"))
       .withColumn("n_n", vecDot(spark, col("n_vec"), col("n_vec")))
-      .withColumn("cent_id", nearestCentroidId(spark, col("n_vec"), cents))
     // Query probing: per-query top-nProbe centroids. The query side is
     // small by assumption, so a window over |q| * nCentroids rows is fine.
     val centsDf = broadcast(

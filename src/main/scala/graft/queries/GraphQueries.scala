@@ -57,6 +57,36 @@ object GraphQueries {
       .orderBy(col("rnk"))
   }
 
+  /** WEIGHTED PageRank over the purchase graph, top 25 — the variant
+    * a real supplier-importance ranking wants: where [[qPageRank]]
+    * deduplicates the (customer, supplier) pairs and so treats a
+    * 40-order relationship like a 1-order one, this keeps the lineitem
+    * multiplicity as the edge weight and splits each node's rank
+    * proportionally ([[Graph.pageRankWeighted]]'s `(pr * w) div sw`).
+    * Same node encoding, same 5 synchronous integer rounds, same
+    * unrolled-CTE oracle shape — hash-exact, not rows-only.
+    *
+    * Scale: identical to the unweighted query except the edge
+    * derivation's dedup becomes a weight-summing aggregate on the
+    * same keys (same shuffle), and the per-round join carries one
+    * extra long column. */
+  def qPageRankWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val raw = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(broadcast(t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+    val edges = raw.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(raw.select(col("s").as("src"), col("c").as("dst")))
+      .withColumn("w", lit(1L)) // parallel edges sum to the multiplicity
+    val ranked = Graph.pageRankWeighted(edges, iters = 5)
+    val top = ranked.orderBy(col("pr").desc, col("node")).limit(25)
+    val w = Window.orderBy(col("pr").desc, col("node"))
+    top.withColumn("rnk", row_number().over(w))
+      .select(col("rnk").cast("int").as("rnk"), col("node"),
+        (col("node") % 2).cast("int").as("is_supplier"), col("pr"))
+      .orderBy(col("rnk"))
+  }
+
   /** Triangle counts over the mutual-top-5 co-supplier graph, top 50.
     *
     * Two suppliers are adjacent when either ranks the other among its

@@ -372,13 +372,20 @@ object OracleSql {
 
     "q_rich_idle" ->
       """WITH c AS (
-        | SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_cents
+        | SELECT c_custkey, c_nationkey,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_cents
         | FROM customer),
-        |s AS (SELECT CAST(SUM(acctbal_cents) AS BIGINT) AS total_cents, COUNT(*) AS n_cust FROM c)
-        |SELECT c_custkey, acctbal_cents FROM c, s
-        |WHERE acctbal_cents * n_cust > total_cents
-        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        |ORDER BY c_custkey""".stripMargin,
+        |s AS (
+        | SELECT c_nationkey, CAST(SUM(acctbal_cents) AS BIGINT) AS pos_cents,
+        |  COUNT(*) AS n_pos
+        | FROM c WHERE acctbal_cents > 0 GROUP BY 1)
+        |SELECT c.c_nationkey, COUNT(*) AS numcust,
+        | CAST(SUM(acctbal_cents) AS BIGINT) AS total_cents
+        |FROM c JOIN s USING (c_nationkey)
+        |WHERE acctbal_cents * n_pos > pos_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey
+        |                  AND o_orderdate >= DATE '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_full_outer" ->
       """WITH c AS (
@@ -1528,6 +1535,73 @@ object OracleSql {
          |SELECT CAST(rnk AS INT) AS rnk, node, CAST(node % 2 AS INT) AS is_supplier, pr
          |FROM rk WHERE rnk <= 25 ORDER BY rnk""".stripMargin
     },
+
+    // Weighted PageRank: the SAME 5 unrolled rounds, with each node's
+    // rank split proportionally to edge weight ((pr * w) // sw) — the
+    // weight is the (customer, supplier) lineitem multiplicity the
+    // unweighted query deduplicates away.
+    "graph_pagerank_weighted" -> {
+      val iters = 5
+      val rounds = (1 to iters).map { i =>
+        s""",
+           |r$i AS (SELECT dst AS node,
+           | CAST(150000 + (85 * CAST(SUM((pr * w) // sw) AS BIGINT)) // 100 AS BIGINT) AS pr
+           | FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node GROUP BY 1)""".stripMargin
+      }.mkString
+      s"""WITH base AS (
+         | SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s, COUNT(*) AS w
+         | FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+         |edges AS (SELECT c AS src, s AS dst, w FROM base UNION ALL SELECT s, c, w FROM base),
+         |sw AS (SELECT src AS dsrc, CAST(SUM(w) AS BIGINT) AS sw FROM edges GROUP BY 1),
+         |e AS (SELECT src, dst, CAST(w AS BIGINT) AS w, sw FROM edges JOIN sw ON src = dsrc),
+         |r0 AS (SELECT dsrc AS node, CAST(1000000 AS BIGINT) AS pr FROM sw)$rounds,
+         |rk AS (SELECT node, pr, ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS rnk FROM r$iters)
+         |SELECT CAST(rnk AS INT) AS rnk, node, CAST(node % 2 AS INT) AS is_supplier, pr
+         |FROM rk WHERE rnk <= 25 ORDER BY rnk""".stripMargin
+    },
+
+    // Reciprocal-rank fusion of the BM25 top-20 (the text_bm25 CTE
+    // chain, cut at rank 20) and the exact cosine top-20 per query
+    // vector: each list contributes floor(1e6 / (60 + rank)); ranks
+    // are positive so Spark `div` and DuckDB `//` agree.
+    "retrieval_rrf" ->
+      s"""WITH terms AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY 1),
+         |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms
+         |       WHERE term IN ('vector', 'join', 'scan') GROUP BY 1, 2),
+         |df AS (SELECT term AS t2, COUNT(DISTINCT doc_id) AS df FROM terms
+         |       WHERE term IN ('vector', 'join', 'scan') GROUP BY 1),
+         |s0 AS (SELECT doc_id, term, tf, df, dl, n_docs, total_tokens // n_docs AS avgdl
+         |       FROM tf JOIN df ON term = t2 JOIN dl USING (doc_id) CROSS JOIN stats),
+         |s1 AS (SELECT *, (7500 * dl) // avgdl AS normq FROM s0),
+         |s2 AS (SELECT *, tf * 10000 + (12 * (2500 + normq)) // 10 AS denom FROM s1),
+         |s3 AS (SELECT *, (tf * 22000 * 1000000) // denom AS tfpart,
+         |       ((2 * (n_docs - df) + 1) * 1000000) // (2 * df + 1) AS idf FROM s2),
+         |sc AS (SELECT doc_id, CAST((idf * tfpart) // 1000000 AS BIGINT) AS score FROM s3),
+         |ds AS (SELECT doc_id, CAST(SUM(score) AS BIGINT) AS bm25 FROM sc GROUP BY 1),
+         |lex AS (SELECT doc_id, lex_rnk FROM (
+         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rnk FROM ds)
+         | WHERE lex_rnk <= 20),
+         |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+         |c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
+         |s AS (SELECT q_id, n_id, ${cosMicro("qv", "nv")} AS cos_micro
+         |  FROM q, c WHERE q_id <> n_id),
+         |vec AS (SELECT q_id, n_id AS doc_id, vec_rnk FROM (
+         |  SELECT q_id, n_id,
+         |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_micro DESC, n_id) AS vec_rnk FROM s)
+         | WHERE vec_rnk <= 20),
+         |pts AS (
+         | SELECT q_id, doc_id, 1000000 // (60 + vec_rnk) AS pts FROM vec
+         | UNION ALL
+         | SELECT q_id, doc_id, 1000000 // (60 + lex_rnk)
+         | FROM (SELECT DISTINCT q_id FROM q), lex),
+         |fused AS (SELECT q_id, doc_id, CAST(SUM(pts) AS BIGINT) AS rrf_micro,
+         |  COUNT(*) AS n_lists FROM pts GROUP BY 1, 2),
+         |fr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |  ORDER BY rrf_micro DESC, doc_id) AS rnk FROM fused)
+         |SELECT q_id, CAST(rnk AS INT) AS rnk, doc_id, n_lists, rrf_micro
+         |FROM fr WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
 
     "text_tfidf" ->
       """WITH terms AS (

@@ -88,6 +88,79 @@ object VectorQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Hybrid retrieval fusion — reciprocal-rank fusion (RRF, the
+    * standard score-free hybrid of lexical and vector retrieval) of
+    * the integer BM25 top-20 ([[TextQueries.bm25Q]]'s list) and the
+    * exact cosine top-20 per query vector, in exact integer
+    * arithmetic: each list contributes floor(1e6 / (60 + rank)) —
+    * division-safe cross-engine because ranks are positive (Spark
+    * `div` truncates, DuckDB `//` floors; they agree on positives).
+    * Documents and embeddings share the id space (doc_id == vec_id),
+    * so the fusion is a union + groupBy over (query x 20)-row lists —
+    * list-sized work regardless of corpus size. Output: per-query
+    * fused top-10 with the number of source lists each hit came from.
+    * Hash-exact against the composed two-list oracle. */
+  def retrievalRrfQ(spark: SparkSession, dir: String): DataFrame = {
+    val lex = TextQueries.bm25Q(spark, dir)
+      .select(col("doc_id"), col("rnk").cast("long").as("lex_rnk"))
+    val all = emb(spark, dir)
+    val vec = Similarity.bruteForceTopK(all.where(col("vec_id") % 100 === 0), all, k = 20)
+      .select(col("q_id"), col("n_id").as("doc_id"), col("rnk").cast("long").as("vec_rnk"))
+    // The lexical list is query-independent here (one fixed term set),
+    // fanned out to each vector query: 5 x 20 rows, broadcast-sized.
+    val qs = vec.select(col("q_id")).distinct()
+    val pts = vec.select(col("q_id"), col("doc_id"),
+        expr("1000000L div (60L + vec_rnk)").as("pts"))
+      .unionAll(qs.crossJoin(broadcast(lex)).select(col("q_id"), col("doc_id"),
+        expr("1000000L div (60L + lex_rnk)").as("pts")))
+    val fused = pts.groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("pts")).as("rrf_micro"), count(lit(1)).as("n_lists"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("rrf_micro").desc, col("doc_id"))
+    fused.withColumn("rnk", row_number().over(w).cast("int"))
+      .where(col("rnk") <= 10)
+      .select(col("q_id"), col("rnk"), col("doc_id"), col("n_lists"), col("rrf_micro"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Incremental IVF over a STORED quantizer — the operational shape a
+    * daily embedding drop needs, driven end to end: the quantizer is
+    * trained ONCE (on the corpus as of index creation) and COMMITTED
+    * to the lake ([[Similarity.saveCentroids]], a materialized parquet
+    * fixture exactly like the incremental-dedup prior-label fixture);
+    * every arriving batch — here the two vec_id parity halves — is
+    * assigned map-only against the RELOADED frozen centroids (no
+    * retraining, no shuffle of history), and search probes the
+    * accumulated inverted lists ([[Similarity.ivfTopKStored]]).
+    * Approximate (IVF) hence rows-only at the driver; SimilaritySpec
+    * proves the sharp end: save/load is bit-exact and deterministic
+    * k-means makes the frozen quantizer equal the on-the-spot one, so
+    * this whole path — store, reload, per-batch assignment, stored
+    * search — returns EXACTLY plain IVF's result set (agreement 1.0,
+    * stronger than the 0.9 bar), while batch==rebuild assignment
+    * equality was already spec'd for the underlying operators. */
+  def annIvfStored(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir)
+    val fixtureVersion = 1
+    val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_ivf_cent_v${fixtureVersion}_${Integer.toHexString(dir.hashCode)}")
+    if (!fixture.exists()) {
+      val cents = Similarity.kmeansCentroids(all, 16)
+      val staging = new java.io.File(fixture.getParent, fixture.getName + ".tmp")
+      Similarity.saveCentroids(spark, cents, staging.getAbsolutePath)
+      if (!staging.renameTo(fixture)) { // lost a (benign) race: another
+        org.apache.hadoop.fs.FileUtil.fullyDelete(staging) // run won
+      }
+    }
+    val cents = Similarity.loadCentroids(spark, fixture.getAbsolutePath)
+    // Two arrival batches assigned independently map-only — the union
+    // IS the incrementally-built index (spec'd equal to a full rebuild).
+    val lists = Similarity.assignToCentroids(all.where(col("vec_id") % 2 === 0), cents)
+      .unionAll(Similarity.assignToCentroids(all.where(col("vec_id") % 2 =!= 0), cents))
+    Similarity.ivfTopKStored(all.where(col("vec_id") % 100 === 0), lists, cents, k = 10)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** Hard-negative mining (k=5) for contrastive training: per query
     * vector, the 5 most-similar corpus vectors with a DIFFERENT label
     * — the negatives that actually move an embedding model. Exact

@@ -14,11 +14,9 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query count matches the SURVEY inventory claim") {
-    // 153 query entries (144 at the round-6 second batch + the third
-    // batch's graph_triangles + graph_label_prop + text_dedup_spans +
-    // text_winnow + csv_ingest + jsonl_ingest + orc_ingest +
-    // ev_hopping_users + validate_version_diff); update alongside
-    // SURVEY §2 when adding a query.
-    assert(SparkEntry.queries.size === 153, s"got ${SparkEntry.queries.size}")
+    // 156 query entries (153 at round 6 + round 7's
+    // graph_pagerank_weighted + retrieval_rrf + ann_ivf_stored);
+    // update alongside SURVEY §2 when adding a query.
+    assert(SparkEntry.queries.size === 156, s"got ${SparkEntry.queries.size}")
   }
 }

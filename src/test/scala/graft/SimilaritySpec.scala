@@ -308,4 +308,28 @@ class SimilaritySpec extends SparkSpec {
     // every centroid list is populated on this corpus (sane quantizer)
     assert(rebuild.values.toSet.size === 16)
   }
+
+  test("stored-quantizer search over incrementally-built lists equals plain IVF") {
+    // The driver query's shape (ann_ivf_stored): quantizer trained
+    // once, round-tripped through the lake, both arrival batches
+    // assigned map-only against the frozen centroids, search over the
+    // accumulated lists. Because save/load is bit-exact and k-means is
+    // deterministic, this must return EXACTLY what plain IVF (which
+    // trains on the spot) returns — agreement 1.0, not merely >= 0.9.
+    // (Two DIFFERENTLY-trained quantizers genuinely probe different
+    // lists — measured ~0.5 overlap on this corpus — which is why the
+    // operational contract freezes ONE quantizer rather than
+    // retraining per batch.)
+    val q = emb.where(col("vec_id") % 100 === 0)
+    val ivf = Similarity.ivfTopK(q, emb, k = 10)
+      .select("q_id", "rnk", "n_id").as[(Long, Int, Long)].collect().toSet
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_sq").toString + "/q"
+    Similarity.saveCentroids(spark, Similarity.kmeansCentroids(emb, 16), root)
+    val cents = Similarity.loadCentroids(spark, root)
+    val lists = Similarity.assignToCentroids(emb.where(col("vec_id") % 2 === 0), cents)
+      .unionAll(Similarity.assignToCentroids(emb.where(col("vec_id") % 2 =!= 0), cents))
+    val stored = Similarity.ivfTopKStored(q, lists, cents, k = 10)
+      .select("q_id", "rnk", "n_id").as[(Long, Int, Long)].collect().toSet
+    assert(stored === ivf)
+  }
 }
