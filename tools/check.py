@@ -18,6 +18,10 @@ if RUN_SPARK:
     if r.returncode != 0:
         print(r.stdout[-3000:]); print(r.stderr[-2000:]); sys.exit(1)
 
+def emit(q, v):
+    ok = v.startswith("OK") or v.startswith("rows-only")
+    print(f"{'PASS' if ok else 'FAIL':4} {q:24} {v}", flush=True)
+
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 con = duckdb.connect()
 tables = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -36,23 +40,23 @@ results = {}
 # it as MISSING instead of silently shrinking the denominator.
 present = {n.rstrip("/").split("/")[-1] for n in glob.glob(f"{OUT}/*/")}
 for q in sorted(set(oracle) - present):
-    results[q] = "MISSING (query errored during Verify?)"
+    results[q] = "MISSING (query errored during Verify?)"; emit(q, results[q])
 for name in sorted(glob.glob(f"{OUT}/*/")):
     qname = name.rstrip("/").split("/")[-1]
     try:
         spark_df = norm(pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(f"{name}/*.parquet"))]))
     except Exception as e:
-        results[qname] = f"SPARK-READ-FAIL {e}"; continue
+        results[qname] = f"SPARK-READ-FAIL {e}"; emit(qname, results[qname]); continue
     if qname not in oracle:
-        results[qname] = f"rows-only rows={len(spark_df)}"; continue
+        results[qname] = f"rows-only rows={len(spark_df)}"; emit(qname, results[qname]); continue
     try:
         duck_df = norm(con.sql(oracle[qname]).to_df())
     except Exception as e:
-        results[qname] = f"ORACLE-FAIL {str(e)[:200]}"; continue
+        results[qname] = f"ORACLE-FAIL {str(e)[:200]}"; emit(qname, results[qname]); continue
     if list(spark_df.columns) != list(duck_df.columns):
-        results[qname] = f"SCHEMA-MISMATCH spark={list(spark_df.columns)} duck={list(duck_df.columns)}"; continue
+        results[qname] = f"SCHEMA-MISMATCH spark={list(spark_df.columns)} duck={list(duck_df.columns)}"; emit(qname, results[qname]); continue
     if len(spark_df) != len(duck_df):
-        results[qname] = f"ROWS-MISMATCH spark={len(spark_df)} duck={len(duck_df)}"; continue
+        results[qname] = f"ROWS-MISMATCH spark={len(spark_df)} duck={len(duck_df)}"; emit(qname, results[qname]); continue
     bad = []
     for c in spark_df.columns:
         a, b = spark_df[c], duck_df[c]
@@ -73,8 +77,7 @@ for name in sorted(glob.glob(f"{OUT}/*/")):
             ia = next(i for i in range(len(a)) if not ((pd.isna(a[i]) and pd.isna(b[i])) or a[i] == b[i]))
             bad.append(f"{c}[{ia}]: spark={a[ia]!r} duck={b[ia]!r}")
     results[qname] = "OK rows=%d" % len(spark_df) if not bad else "VALUE-MISMATCH " + "; ".join(bad[:3])
+    emit(qname, results[qname])
 
 okc = sum(1 for v in results.values() if v.startswith("OK") or v.startswith("rows-only"))
-for k, v in sorted(results.items()):
-    print(f"{'PASS' if v.startswith('OK') or v.startswith('rows-only') else 'FAIL':4} {k:24} {v}")
 print(f"== {okc}/{len(results)} pass")
