@@ -11,8 +11,14 @@ import graft.expressions.ShingleHashes.shingleHashesNative
   * Scale design (100 TB): every variant is a shuffle-on-key groupBy or a
   * bucket-equijoin — never an unblocked O(n^2) cross join, and never a
   * per-pair array scan:
-  *  - exact Jaccard uses an inverted shingle index (explode + equijoin +
-  *    count), so cost is proportional to actually-shared shingles;
+  *  - exact Jaccard uses a PREFIX-FILTERED inverted shingle index
+  *    (df-ordered, SSJoin/PPJoin-style — lossless for the threshold):
+  *    the candidate self-join carries rare-shingle prefix occurrences
+  *    instead of every posting ((1−t)² of the quadratic volume before
+  *    the df-concentration), verified by id-keyed join-back +
+  *    array_intersect; containment stays on the count-in-join inverted
+  *    index — its filter is one-sided and measured not to pay (see
+  *    containmentPairs);
   *  - MinHash signatures come from 64 min-aggregates over the exploded
   *    shingle index (partial-agg friendly, no 64x array re-scan per row);
   *  - SimHash signatures are one packed long from a single-pass native
@@ -44,37 +50,102 @@ object Dedup {
       .withColumn("n_sh", size(col("sh")).cast("long"))
       .where(col("n_sh") > 0)
 
-  /** Exact word-3-gram Jaccard similar pairs via inverted shingle index:
-    * pairs that share no shingle have Jaccard 0 and are never
-    * materialized; shared-shingle counts come from one equijoin on the
-    * shingle hash + groupBy — the plan that survives 100 TB (shuffle is
-    * keyed on shingle hashes, heavy-hitter shingles are the only skew
-    * source and near-dup corpora keep them rare). */
+  /** (id, n_sh, s in prefix) inverted index over each document's
+    * PREFIX under the document-frequency canonical order — the
+    * prefix-filtering primitive shared by the exact Jaccard and
+    * containment joins (SSJoin/PPJoin family).
+    *
+    * Losslessness: sort every document's shingle set by one global
+    * total order; if |A∩B| ≥ α, the smallest common element sits at
+    * position ≤ |A|−α+1 in A (all |A∩B| common elements sit at or
+    * after its position), so indexing only the first |A|−α+1 elements
+    * of each set still catches every qualifying pair. `prefixLen`
+    * supplies that per-document length given the operator's own lower
+    * bound α on the required overlap.
+    *
+    * The order is (df, s) ascending — RAREST shingles first — which is
+    * what makes the filter collapse the join at scale: a boilerplate
+    * shingle shared by K documents contributes K² candidate pairs to a
+    * full inverted index, but lands in a document's prefix only when
+    * the document has almost nothing rarer, so Σ prefix_df·df stays
+    * near-linear on real corpora while hash-ordered prefixes would
+    * still pay ~(1−t)² of the quadratic term. Cost of the ordering is
+    * two linear shuffles (df groupBy + per-doc re-collect). */
+  private def prefixIndex(sh: DataFrame,
+                          prefixLen: Column => Column): DataFrame = {
+    val inv = sh.select(col("id"), explode(col("sh")).as("s"))
+    val df = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val sorted = inv.join(df.hint("shuffle_hash"), "s")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ord"))
+      .withColumn("n_sh", size(col("ord")).cast("long"))
+    sorted.select(col("id"), col("n_sh"),
+        explode(slice(transform(col("ord"), x => x.getField("s")),
+          lit(1), prefixLen(col("n_sh")).cast("int"))).as("s"))
+  }
+
+  /** ceil(tauBp·n/10000) in exact integer arithmetic: the minimum
+    * overlap a pair must have with a set of size n to clear `tauBp`. */
+  private def minOverlap(tauBp: Long, n: Column): Column =
+    // floor over double is exact here: tauBp·n ≤ 1e4·n stays far under
+    // 2^53 for any real shingle count, and all operands are positive.
+    floor((lit(tauBp) * n + lit(9999L)) / lit(10000L)).cast("long")
+
+  /** Exact word-3-gram Jaccard similar pairs. Candidates come from a
+    * prefix-filtered inverted shingle index ([[prefixIndex]]): J≥t
+    * implies |A∩B| ≥ ceil(t·|A|) (and symmetrically for B), so only
+    * the first |A|−ceil(t·|A|)+1 df-ordered shingles of each document
+    * are indexed and self-joined — lossless, with the length filter
+    * t·|B| ≤ |A| ≤ |B|/t applied inside the join. Candidate pairs are
+    * then verified EXACTLY by joining the two full shingle sets back
+    * by id and intersecting (codegen'd array_intersect) — feature
+    * arrays are never shuffled through the candidate join itself.
+    * This is the plan that survives 100 TB: every stage before the
+    * (output-sized) verify is a linear shuffle, and the one
+    * quadratic-shaped stage — the prefix self-join — carries only
+    * rare-shingle prefix occurrences instead of every posting. */
   def ngramJaccardPairs(docs: DataFrame, tauBp: Long,
                         idCol: String = "doc_id", textCol: String = "text",
                         maxShingleDf: Option[Long] = None): DataFrame = {
     val sh = withShingles(docs, idCol, textCol)
-    val invAll = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
-    // Optional stop-shingle cap for web-scale corpora: a shingle present
-    // in K docs contributes K^2 candidate pairs, so boilerplate shingles
-    // dominate the join. Capping document frequency bounds the worst key
-    // at maxDf^2; pairs whose ONLY common shingles are boilerplate are
-    // then missed, which is the standard recall trade — leave None for
-    // the exact oracle-checked ground truth.
-    val inv = maxShingleDf.fold(invAll) { cap =>
-      val rare = invAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .where(col("df") <= cap).select(col("s").as("s_keep"))
-      invAll.join(rare, col("s") === col("s_keep")).drop("s_keep")
+    maxShingleDf match {
+      case Some(cap) =>
+        // Stop-shingle cap for web-scale corpora: drops shingles with
+        // df > cap from the index AND from the common counts, so
+        // boilerplate-only pairs are missed and similarity is scored
+        // over the capped vocabulary — the documented recall trade.
+        // Kept on the plain inverted-index plan (the cap itself bounds
+        // the worst join key at cap²).
+        val invAll = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+        val rare = invAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .where(col("df") <= cap).select(col("s").as("s_keep"))
+        val inv = invAll.join(rare, col("s") === col("s_keep")).drop("s_keep")
+        val a = inv.toDF("a_id", "a_n", "s")
+        val b = inv.toDF("b_id", "b_n", "s2")
+        a.join(b, col("s") === col("s2") && col("a_id") < col("b_id"))
+          .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
+          .agg(count(lit(1)).as("common"))
+          .withColumn("jaccard_bp",
+            floor(lit(10000.0) * col("common") / (col("a_n") + col("b_n") - col("common"))).cast("long"))
+          .where(col("jaccard_bp") >= tauBp)
+          .select(col("a_id").as("id1"), col("b_id").as("id2"), col("jaccard_bp"))
+      case None =>
+        val pre = prefixIndex(sh, n => n - minOverlap(tauBp, n) + lit(1L))
+        val a = pre.toDF("a_id", "a_n", "s")
+        val b = pre.toDF("b_id", "b_n", "s2")
+        val cand = a.join(b, col("s") === col("s2") && col("a_id") < col("b_id") &&
+            col("a_n") * lit(10000L) >= lit(tauBp) * col("b_n") &&
+            col("b_n") * lit(10000L) >= lit(tauBp) * col("a_n"))
+          .select(col("a_id"), col("b_id"), col("a_n"), col("b_n")).distinct()
+        cand
+          .join(sh.select(col("id").as("a_id"), col("sh").as("sh_a")), "a_id")
+          .join(sh.select(col("id").as("b_id"), col("sh").as("sh_b")), "b_id")
+          .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+          .withColumn("jaccard_bp",
+            floor(lit(10000.0) * col("common") / (col("a_n") + col("b_n") - col("common"))).cast("long"))
+          .where(col("jaccard_bp") >= tauBp)
+          .select(col("a_id").as("id1"), col("b_id").as("id2"), col("jaccard_bp"))
     }
-    val a = inv.toDF("a_id", "a_n", "s")
-    val b = inv.toDF("b_id", "b_n", "s2")
-    a.join(b, col("s") === col("s2") && col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
-      .agg(count(lit(1)).as("common"))
-      .withColumn("jaccard_bp",
-        floor(lit(10000.0) * col("common") / (col("a_n") + col("b_n") - col("common"))).cast("long"))
-      .where(col("jaccard_bp") >= tauBp)
-      .select(col("a_id").as("id1"), col("b_id").as("id2"), col("jaccard_bp"))
   }
 
   /** Exact shingle-set CONTAINMENT pairs — the asymmetric complement
@@ -90,22 +161,51 @@ object Dedup {
                        idCol: String = "doc_id", textCol: String = "text",
                        maxShingleDf: Option[Long] = None): DataFrame = {
     val sh = withShingles(docs, idCol, textCol)
-    val invAll = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
-    val inv = maxShingleDf.fold(invAll) { cap =>
-      val rare = invAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .where(col("df") <= cap).select(col("s").as("s_keep"))
-      invAll.join(rare, col("s") === col("s_keep")).drop("s_keep")
+    maxShingleDf match {
+      case Some(cap) =>
+        // Capped vocabulary: same documented recall trade (and plan) as
+        // the capped Jaccard branch.
+        val invAll = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+        val rare = invAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .where(col("df") <= cap).select(col("s").as("s_keep"))
+        val inv = invAll.join(rare, col("s") === col("s_keep")).drop("s_keep")
+        val a = inv.toDF("a_id", "a_n", "s")
+        val b = inv.toDF("b_id", "b_n", "s2")
+        val common = a.join(b, col("s") === col("s2") && col("a_id") < col("b_id"))
+          .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
+          .agg(count(lit(1)).as("common"))
+        val ab = common.select(col("a_id").as("inner_id"), col("b_id").as("outer_id"),
+          floor(lit(10000.0) * col("common") / col("a_n")).cast("long").as("containment_bp"))
+        val ba = common.select(col("b_id").as("inner_id"), col("a_id").as("outer_id"),
+          floor(lit(10000.0) * col("common") / col("b_n")).cast("long").as("containment_bp"))
+        ab.unionAll(ba).where(col("containment_bp") >= tauBp)
+      case None =>
+        // Containment stays on the count-in-join plan DELIBERATELY.
+        // Prefix filtering is one-sided here — containment(A in B) ≥ t
+        // bounds the smallest common element to A's first
+        // |A|−ceil(t·|A|)+1 df-ordered shingles, but says nothing about
+        // WHERE in B it falls (a 10-shingle quote sits anywhere inside a
+        // 10k-shingle page), so the outer side must keep its full
+        // posting list. Measured (sf0.01→sf0.1, local[32]): the
+        // prefix(inner)⋈full(outer) variant cut the candidate join only
+        // ~0.5→0.4 of the quadratic volume while adding the df sort,
+        // candidate distinct, and intersect-verify stages — slower at
+        // BOTH scales (1.96→2.86 s at sf0.1) with a worse decade growth
+        // (5.4×→6.2×). Without a second prefix to multiply against,
+        // the filter can't pay for its verify. The symmetric-Jaccard
+        // path above is where the (1−t)² two-sided cut genuinely wins.
+        val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+        val a = inv.toDF("a_id", "a_n", "s")
+        val b = inv.toDF("b_id", "b_n", "s2")
+        val common = a.join(b, col("s") === col("s2") && col("a_id") < col("b_id"))
+          .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
+          .agg(count(lit(1)).as("common"))
+        val ab = common.select(col("a_id").as("inner_id"), col("b_id").as("outer_id"),
+          floor(lit(10000.0) * col("common") / col("a_n")).cast("long").as("containment_bp"))
+        val ba = common.select(col("b_id").as("inner_id"), col("a_id").as("outer_id"),
+          floor(lit(10000.0) * col("common") / col("b_n")).cast("long").as("containment_bp"))
+        ab.unionAll(ba).where(col("containment_bp") >= tauBp)
     }
-    val a = inv.toDF("a_id", "a_n", "s")
-    val b = inv.toDF("b_id", "b_n", "s2")
-    val common = a.join(b, col("s") === col("s2") && col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
-      .agg(count(lit(1)).as("common"))
-    val ab = common.select(col("a_id").as("inner_id"), col("b_id").as("outer_id"),
-      floor(lit(10000.0) * col("common") / col("a_n")).cast("long").as("containment_bp"))
-    val ba = common.select(col("b_id").as("inner_id"), col("a_id").as("outer_id"),
-      floor(lit(10000.0) * col("common") / col("b_n")).cast("long").as("containment_bp"))
-    ab.unionAll(ba).where(col("containment_bp") >= tauBp)
   }
 
   /** Connected components over near-dup pairs via alternating

@@ -122,4 +122,58 @@ class DedupSpec extends SparkSpec {
     assert(out.size < keep.count(_ % 29 != 0),
       "dedup+decontamination stages pruned nothing — pipeline is a no-op")
   }
+
+  test("prefix-filtered exact joins equal the naive all-pairs ground truth") {
+    // Corpus crafted to stress the filter's edges: exact dups, a near-dup,
+    // a short quote CONTAINED in a long page (its shared shingles sort
+    // LATE in the outer doc under any order — the case a two-sided prefix
+    // filter would lose), boilerplate shared by everything (heavy-hitter
+    // shingles that must stay OUT of df-ordered prefixes), and length
+    // outliers around the t·|B| ≤ |A| length filter.
+    val quote = "the quick brown fox jumps over the lazy dog tonight"
+    val boiler = "all rights reserved terms of service apply here always"
+    val page = s"intro words first $boiler then body text continues with many extra tokens and finally $quote"
+    val corpus = Seq(
+      (0L, s"spark makes big data small again every day $boiler"),
+      (1L, s"spark makes big data small again every day $boiler"),
+      (2L, s"spark makes big data small again every night $boiler"),
+      (3L, page), (4L, quote),
+      (5L, s"$boiler unrelated musings on compilers and gardens"),
+      (6L, "tiny text here")
+    ).toDF("doc_id", "text")
+    import graft.expressions.ShingleHashes.shingleHashesNative
+    val sets = corpus
+      .select(col("doc_id"), shingleHashesNative(spark, col("text")).as("sh"))
+      .as[(Long, Seq[Long])].collect().map { case (i, s) => i -> s.toSet }.toMap
+    def naiveJac(t: Long) = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+      if a < b && sa.nonEmpty && sb.nonEmpty
+      c = (sa intersect sb).size.toLong
+      // zero-overlap pairs are never materialized by the operator (the
+      // inverted index can't produce them) — at tau=0 that's the
+      // documented difference from a true cross join
+      if c > 0
+      j = math.floor(10000.0 * c / (sa.size + sb.size - c)).toLong
+      if j >= t
+    } yield (a, b, j)).toSet
+    def naiveCont(t: Long) = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+      if a != b && sa.nonEmpty && sb.nonEmpty
+      c = (sa intersect sb).size.toLong
+      if c > 0
+      bp = math.floor(10000.0 * c / sa.size).toLong
+      if bp >= t
+    } yield (a, b, bp)).toSet
+    for (t <- Seq(0L, 3000L, 6000L, 9000L, 10000L)) {
+      val jac = Dedup.ngramJaccardPairs(corpus, tauBp = t)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(jac === naiveJac(t), s"jaccard mismatch at tau=$t")
+      val cont = Dedup.containmentPairs(corpus, tauBp = t)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(cont === naiveCont(t), s"containment mismatch at tau=$t")
+    }
+    // the contained-quote direction specifically must survive the filter
+    assert(Dedup.containmentPairs(corpus, tauBp = 9000L)
+      .as[(Long, Long, Long)].collect().exists(p => p._1 == 4L && p._2 == 3L))
+  }
 }
