@@ -12,6 +12,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // scan-split sizing: the test lake is a few single-file tables, so
       // 4 MiB splits keep all cores busy; at production scale (128 MiB+
