@@ -19,15 +19,8 @@ object EventQueries {
     * `ts`. The parquet files carry TIMESTAMP(NANOS), which Spark only
     * reads as raw longs (`spark.sql.legacy.parquet.nanosAsLong`) — the
     * integer `div 1000` truncation matches DuckDB's epoch_us exactly. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = TableLoader.load(spark, dir, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts_us", expr("ts div 1000"))
-          .withColumn("ts", timestamp_micros(col("ts_us")))
-      case _ => raw.withColumn("ts_us", unix_micros(col("ts")))
-    }
-  }
+  def events(spark: SparkSession, dir: String): DataFrame =
+    TableLoader.loadEvents(spark, dir)
 
   /** Tumbling hourly counts/sums per event type. */
   def tumblingAgg(spark: SparkSession, dir: String): DataFrame =
@@ -493,6 +486,40 @@ object EventQueries {
       .agg(count(col("click_us")).as("n_clicks_1h"),
         min(col("click_us")).as("first_click_us"))
       .orderBy(col("event_id"))
+  }
+
+  /** STREAMING hopping-window parity, driven end to end: the SAME
+    * `window(ts, 1 hour, 30 minutes)` aggregation `ev_hopping_agg`
+    * declares batch-side runs as a watermarked Structured Streaming
+    * query in APPEND mode — each overlapping window is emitted exactly
+    * once, when the event-time watermark passes its end — and must
+    * reproduce the batch hopping oracle hash-exactly. The far-future
+    * sentinel advances the watermark past every real window's end in
+    * the trailing no-data micro-batch, so no window is left pending in
+    * the state store; sentinel groups carry their own event_type and
+    * are filtered after aggregation. State is bounded by watermark +
+    * window (each event lives in exactly 2 windows), keyed on
+    * (window, event_type) — the same per-key state shape a production
+    * sliding-window stream holds. */
+  def streamHopping(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    val src = streamSourceFixture(spark, dir)
+    val schema = spark.read.parquet(src).schema
+    val name = "graft_stream_hopping_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val agg = spark.readStream.schema(schema).parquet(src)
+      .withWatermark("ts", "1 second")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("value_cents"))
+    val query = agg.writeStream
+      .format("memory").queryName(name)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    spark.table(name).where(col("event_type") =!= "sentinel")
+      .select(unix_micros(col("w.start")).as("win_start_us"), col("event_type"),
+        col("n_events"), col("value_cents"))
+      .orderBy(col("win_start_us"), col("event_type"))
   }
 
   /** STREAMING MERGE-sink parity, driven end to end: the tumbling

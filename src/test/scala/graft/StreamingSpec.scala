@@ -12,8 +12,7 @@ class StreamingSpec extends SparkSpec {
     // a watermarked stream and require every emitted window to match
     // the batch answer exactly.
     val tmp = java.nio.file.Files.createTempDirectory("grafthop").toFile.getAbsolutePath
-    val batchEvents = spark.read.parquet(s"$Sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batchEvents = graft.sources.TableLoader.loadEvents(spark, Sf)
     batchEvents.write.mode("overwrite").parquet(tmp)
     def agg(df: org.apache.spark.sql.DataFrame) = df
       .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
@@ -40,8 +39,7 @@ class StreamingSpec extends SparkSpec {
     // Stream the events table (ts normalized to micros first, written as
     // proper timestamps so readStream sees a supported type).
     val tmp = java.nio.file.Files.createTempDirectory("graftstream").toFile.getAbsolutePath
-    val batchEvents = spark.read.parquet(s"$Sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batchEvents = graft.sources.TableLoader.loadEvents(spark, Sf)
     batchEvents.write.mode("overwrite").parquet(tmp)
 
     val q = EventStream.runFileStream(spark, tmp, "graft_stream_test")
@@ -67,8 +65,7 @@ class StreamingSpec extends SparkSpec {
   test("foreachBatch lake sink lands micro-batches via the idempotent writer") {
     val tmp = java.nio.file.Files.createTempDirectory("graftstream2").toFile.getAbsolutePath
     val lake = java.nio.file.Files.createTempDirectory("graftlake2").toFile.getAbsolutePath + "/agg"
-    spark.read.parquet(s"$Sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.sources.TableLoader.loadEvents(spark, Sf)
       .write.mode("overwrite").parquet(tmp)
     val q = EventStream.runLakeSink(spark, tmp, lake)
     q.awaitTermination(120000)
@@ -92,8 +89,7 @@ class StreamingSpec extends SparkSpec {
     // batch contains ONLY the new windows — exactly the case where an
     // event_type-keyed overwrite would delete the first run's windows.
     val ckpt = Some(java.nio.file.Files.createTempDirectory("graftckpt3").toFile.getAbsolutePath)
-    val events = spark.read.parquet(s"$Sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = graft.sources.TableLoader.loadEvents(spark, Sf)
     val cut = events.selectExpr("timestamp_micros((unix_micros(min(ts)) + unix_micros(max(ts))) DIV 2) AS c")
       .collect()(0).getTimestamp(0)
     events.filter(col("ts") <= lit(cut)).write.mode("overwrite").parquet(src)
@@ -115,8 +111,7 @@ class StreamingSpec extends SparkSpec {
     val src = java.nio.file.Files.createTempDirectory("graftstream4").toFile.getAbsolutePath
     val lake = java.nio.file.Files.createTempDirectory("graftlake4").toFile.getAbsolutePath + "/agg"
     val ckpt = Some(java.nio.file.Files.createTempDirectory("graftckpt4").toFile.getAbsolutePath)
-    val events = spark.read.parquet(s"$Sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = graft.sources.TableLoader.loadEvents(spark, Sf)
     val cut = events.selectExpr("timestamp_micros((unix_micros(min(ts)) + unix_micros(max(ts))) DIV 2) AS c")
       .collect()(0).getTimestamp(0)
     // two checkpointed incremental runs: update-mode state carries over,
