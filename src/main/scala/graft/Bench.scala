@@ -43,6 +43,24 @@ object Bench {
       try scala.util.Using.resource(scala.io.Source.fromFile("/proc/loadavg"))(
         _.mkString.split(" ").take(3).mkString("[", ",", "]"))
       catch { case _: Throwable => "null" }
+    def load1(): Double =
+      try scala.util.Using.resource(scala.io.Source.fromFile("/proc/loadavg"))(
+        _.mkString.split(" ").head.toDouble)
+      catch { case _: Throwable => 0.0 }
+    // Defend the artifact against a loaded machine (r7's driver run
+    // recorded a phantom 1.6x regression under loadavg 4.8-6.5): wait a
+    // bounded time for the 1-min load to drop below a quiet threshold
+    // BEFORE the timed passes. Our own Spark work hasn't started yet, so
+    // load1 here measures only competing processes.
+    val quietLoad = sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "2.5").toDouble
+    val quietWait = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_SEC", "180").toInt
+    var waitedSec = 0
+    while (load1() > quietLoad && waitedSec < quietWait) {
+      Thread.sleep(5000); waitedSec += 5
+    }
+    // If the machine never went quiet, the run proceeds but the artifact
+    // says so: a contaminated number must not masquerade as a regression.
+    val contaminated = load1() > quietLoad
     val loadStart = loadavg()
     // Trials are interleaved round-robin (trial pass 1 runs every query,
     // then pass 2, ...): a transient load burst degrades ONE trial of
@@ -50,6 +68,21 @@ object Bench {
     // trial of a few.
     val times = collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
     for (_ <- 1 to trials; (name, fn) <- names) {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      times(name) = ((System.nanoTime() - t0) / 1e9) :: times(name)
+    }
+    // Post-pass retry: a load burst that spans ALL interleaved trials
+    // defeats the per-query min, so the queries whose trials disagree
+    // the most (and aren't trivially fast) get one more timing at the
+    // end, when the burst has most likely passed. Minima only improve.
+    val retryCap = sys.env.getOrElse("SPARK_GRAFT_RETRY_WORST", "12").toInt
+    val suspects = names.filter { case (n, _) =>
+      val xs = times(n)
+      xs.size > 1 && xs.min > 0.15 && xs.max / math.max(xs.min, 1e-9) > 2.5
+    }.sortBy { case (n, _) => -(times(n).max / math.max(times(n).min, 1e-9)) }
+      .take(math.max(0, retryCap))
+    for ((name, fn) <- suspects) {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       times(name) = ((System.nanoTime() - t0) / 1e9) :: times(name)
@@ -78,7 +111,7 @@ object Bench {
       "\"" + name + "\":[" + f(xs.min) + "," + f(median(xs)) + "," + f(xs.max) + "]"
     }.mkString("{", ",", "}")
     val detailLine =
-      s"""{"metric":"detail","unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","trials":$trials,"loadavg_start":$loadStart,"loadavg_end":$loadEnd}"""
+      s"""{"metric":"detail","unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","trials":$trials,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"quiet_wait_sec":$waitedSec,"retried":${suspects.size},"contaminated":$contaminated}"""
     // The output-tail capture holds the LAST 2000 characters only, and the
     // build tool's closing status line consumes ~76 of them. A full
     // per-query map (80+ entries, ~24 chars each) can never fit, so the
@@ -101,7 +134,7 @@ object Bench {
     // is reproducible within ~10% where the median sum swung 2-3x with
     // background load); the median sum stays alongside as value_median.
     val line =
-      s"""{"metric":"total","value":${f(totalMin)},"value_median":${f(total)},"unit":"sec","queries":$hq,"n_queries":${results.size},"sf":"$sfDir","trials":$trials,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"detail":"BENCH_SIDECAR.json"}"""
+      s"""{"metric":"total","value":${f(totalMin)},"value_median":${f(total)},"unit":"sec","queries":$hq,"n_queries":${results.size},"sf":"$sfDir","trials":$trials,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"quiet_wait_sec":$waitedSec,"retried":${suspects.size},"contaminated":$contaminated,"detail":"BENCH_SIDECAR.json"}"""
     // Sidecar: all three lines, for any consumer that prefers a file to
     // stdout scraping (full per-query medians, spreads, canonical total).
     try java.nio.file.Files.writeString(
