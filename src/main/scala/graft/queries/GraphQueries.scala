@@ -33,19 +33,26 @@ object GraphQueries {
     * the rank table the small one — exactly the asymmetry this join
     * orientation exploits.
     */
+  /** Symmetrized purchase edge list, derived in ONE shuffle and
+    * memoized per (session, dir): broadcast the key-projected orders
+    * side onto the lineitem scan (map-side join), symmetrize BEFORE
+    * deduplicating, and let pageRank's repartition-by-src carry the
+    * distinct — HashPartitioning(src) satisfies the (src, dst)
+    * clustering, so the dedup is partition-local. Both PageRank
+    * variants consume this one pinned table (the weighted one adds its
+    * unit weight column on top) instead of re-deriving it. */
+  private def purchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PlanCache.memo(spark, s"graph:purchase-edges:$dir") {
+      val raw = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(broadcast(t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      raw.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(raw.select(col("s").as("src"), col("c").as("dst")))
+    }
+
   def qPageRank(spark: SparkSession, dir: String): DataFrame = {
-    // Edge derivation in ONE shuffle: broadcast the key-projected
-    // orders side onto the lineitem scan (map-side join), symmetrize
-    // BEFORE deduplicating, and let pageRank's repartition-by-src
-    // carry the distinct — HashPartitioning(src) satisfies the
-    // (src, dst) clustering, so the dedup is partition-local.
-    val raw = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      .join(broadcast(t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
-    val edges = raw.select(col("c").as("src"), col("s").as("dst"))
-      .unionAll(raw.select(col("s").as("src"), col("c").as("dst")))
-    val ranked = Graph.pageRank(edges, iters = 5)
+    val ranked = Graph.pageRank(purchaseEdges(spark, dir), iters = 5)
     // Global top-25 via orderBy+limit (TakeOrderedAndProject: partition
     // heaps + driver merge), then rank only the 25 survivors — no
     // single-partition window ever sees the full node table.
@@ -71,12 +78,7 @@ object GraphQueries {
     * same keys (same shuffle), and the per-round join carries one
     * extra long column. */
   def qPageRankWeighted(spark: SparkSession, dir: String): DataFrame = {
-    val raw = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      .join(broadcast(t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
-    val edges = raw.select(col("c").as("src"), col("s").as("dst"))
-      .unionAll(raw.select(col("s").as("src"), col("c").as("dst")))
+    val edges = purchaseEdges(spark, dir)
       .withColumn("w", lit(1L)) // parallel edges sum to the multiplicity
     val ranked = Graph.pageRankWeighted(edges, iters = 5)
     val top = ranked.orderBy(col("pr").desc, col("node")).limit(25)
@@ -120,8 +122,17 @@ object GraphQueries {
     * (high cardinality, never global); keeping each supplier's top 5
     * by shared orders is the kNN sparsification that bounds degree
     * (<= 10 after symmetrization) at every scale, where the raw
-    * co-occurrence graph saturates toward a clique. */
-  private def coSupplierEdges(spark: SparkSession, dir: String): DataFrame = {
+    * co-occurrence graph saturates toward a clique.
+    *
+    * Memoized per (session, dir): triangles and label propagation both
+    * consume this table, so the second caller reuses the pinned blocks
+    * instead of re-running the two shuffles and the window. */
+  private def coSupplierEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PlanCache.memo(spark, s"graph:co-supplier-edges:$dir") {
+      coSupplierEdgesUncached(spark, dir)
+    }
+
+  private def coSupplierEdgesUncached(spark: SparkSession, dir: String): DataFrame = {
     val pairs = t(spark, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_suppkey")).as("sups"))

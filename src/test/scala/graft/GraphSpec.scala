@@ -160,6 +160,42 @@ class GraphSpec extends SparkSpec {
       s"8-iter pageRank left ${afterPr - afterLpa} pinned RDDs (want <= 1: final ranks)")
   }
 
+  test("PlanCache memoizes a named derivation per session and is clearable") {
+    graft.operators.PlanCache.clear()
+    var builds = 0
+    def build() = { builds += 1; Seq((1L, 2L), (3L, 4L)).toDF("src", "dst") }
+    val a = graft.operators.PlanCache.memo(spark, "spec:edges")(build())
+    val b = graft.operators.PlanCache.memo(spark, "spec:edges")(build())
+    assert(builds === 1, "second memo call must reuse the cached plan")
+    assert(a.collect().toSet === b.collect().toSet)
+    assert(graft.operators.PlanCache.size === 1)
+    // distinct key -> distinct entry; clear() drops everything
+    graft.operators.PlanCache.memo(spark, "spec:edges2")(build())
+    assert(builds === 2 && graft.operators.PlanCache.size === 2)
+    graft.operators.PlanCache.clear()
+    assert(graft.operators.PlanCache.size === 0)
+    graft.operators.PlanCache.memo(spark, "spec:edges")(build())
+    assert(builds === 3, "cleared cache must rebuild")
+    graft.operators.PlanCache.clear()
+  }
+
+  test("graph queries share memoized edge derivations (one entry per family)") {
+    graft.operators.PlanCache.clear()
+    val tri = graft.queries.GraphQueries.qTriangles(spark, Sf).collect()
+    assert(tri.nonEmpty)
+    val sizeAfterTri = graft.operators.PlanCache.size
+    val lpa = graft.queries.GraphQueries.qLabelProp(spark, Sf).collect()
+    assert(lpa.nonEmpty)
+    // label prop reuses triangles' co-supplier table: no new entry
+    assert(graft.operators.PlanCache.size === sizeAfterTri)
+    val pr = graft.queries.GraphQueries.qPageRank(spark, Sf).collect()
+    val sizeAfterPr = graft.operators.PlanCache.size
+    val prw = graft.queries.GraphQueries.qPageRankWeighted(spark, Sf).collect()
+    assert(pr.nonEmpty && prw.nonEmpty)
+    assert(graft.operators.PlanCache.size === sizeAfterPr)
+    graft.operators.PlanCache.clear()
+  }
+
   test("integer BM25 ranks a term-stuffed short doc above a diluted long doc") {
     // Reference semantics checks on a corpus where the true BM25
     // ordering is unambiguous: doc 1 mentions the query term densely,
