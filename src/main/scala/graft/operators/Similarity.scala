@@ -694,20 +694,49 @@ object Similarity {
     * valid. Float32 round-trips parquet exactly, so the reloaded
     * quantizer is bit-identical to the trained one (spec-asserted). */
   def saveCentroids(spark: org.apache.spark.sql.SparkSession,
-                    cents: Array[Array[Float]], path: String): Unit = {
-    import spark.implicits._
-    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cid", "embedding")
-      .coalesce(1).write.mode("overwrite").parquet(path)
-  }
+                    cents: Array[Array[Float]], path: String): Unit =
+    centroidsDf(spark, cents).coalesce(1).write.mode("overwrite").parquet(path)
 
   /** Reload a stored quantizer (small by definition: nCentroids rows). */
   def loadCentroids(spark: org.apache.spark.sql.SparkSession,
                     path: String): Array[Array[Float]] = {
     import spark.implicits._
-    spark.read.parquet(path).orderBy(col("cid"))
+    centroidsFromDf(spark.read.parquet(path))
+  }
+
+  private def centroidsDf(spark: org.apache.spark.sql.SparkSession,
+                          cents: Array[Array[Float]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "embedding")
+  }
+
+  private def centroidsFromDf(df: DataFrame): Array[Array[Float]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.orderBy(col("cid"))
       .select(col("embedding")).as[Seq[Float]].collect().map(_.toArray)
   }
+
+  /** Commit a quantizer to a [[graft.sinks.VersionedTable]] root if no
+    * version exists yet — write-to-staging + atomic rename, so a
+    * half-written quantizer is never visible and concurrent first-time
+    * trainers race safely (one wins, the rest read it back). No-op
+    * when a version is already committed: the quantizer is trained
+    * ONCE and frozen; retraining would silently re-bucket history. */
+  def commitCentroidsIfAbsent(spark: org.apache.spark.sql.SparkSession,
+                              root: String)(train: => Array[Array[Float]]): Unit =
+    if (graft.sinks.VersionedTable.latestVersion(spark, root).isEmpty) {
+      graft.sinks.VersionedTable.commit(
+        centroidsDf(spark, train).coalesce(1), root)
+      ()
+    }
+
+  /** The FROZEN quantizer: always version 0 — the first-ever commit —
+    * regardless of any later (erroneous) commits to the same root. */
+  def readCommittedCentroids(spark: org.apache.spark.sql.SparkSession,
+                             root: String): Array[Array[Float]] =
+    centroidsFromDf(graft.sinks.VersionedTable.read(spark, root, Some(0L)))
 
   /** Map-only assignment of a vector batch to a (stored) quantizer:
     * centroids ride the plan as literals — no shuffle, no training.

@@ -126,8 +126,8 @@ object VectorQueries {
   /** Incremental IVF over a STORED quantizer — the operational shape a
     * daily embedding drop needs, driven end to end: the quantizer is
     * trained ONCE (on the corpus as of index creation) and COMMITTED
-    * to the lake ([[Similarity.saveCentroids]], a materialized parquet
-    * fixture exactly like the incremental-dedup prior-label fixture);
+    * to the lake ([[Similarity.commitCentroidsIfAbsent]] — a
+    * [[graft.sinks.VersionedTable]] commit, staging + atomic rename);
     * every arriving batch — here the two vec_id parity halves — is
     * assigned map-only against the RELOADED frozen centroids (no
     * retraining, no shuffle of history), and search probes the
@@ -141,18 +141,20 @@ object VectorQueries {
     * equality was already spec'd for the underlying operators. */
   def annIvfStored(spark: SparkSession, dir: String): DataFrame = {
     val all = emb(spark, dir)
-    val fixtureVersion = 1
-    val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+    // Lake-committed quantizer: landed through VersionedTable's
+    // staging+atomic-rename discipline (Hadoop FS, nesting-race-safe),
+    // NOT a bare File.renameTo — this is the one query whose point is
+    // committed index state, so it uses the hardened commit path. The
+    // frozen quantizer is pinned to version 0 (first-ever commit);
+    // deterministic k-means makes any racing first-time trainer's
+    // content identical anyway.
+    val fixtureVersion = 2
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_ivf_cent_v${fixtureVersion}_${Integer.toHexString(dir.hashCode)}")
-    if (!fixture.exists()) {
-      val cents = Similarity.kmeansCentroids(all, 16)
-      val staging = new java.io.File(fixture.getParent, fixture.getName + ".tmp")
-      Similarity.saveCentroids(spark, cents, staging.getAbsolutePath)
-      if (!staging.renameTo(fixture)) { // lost a (benign) race: another
-        org.apache.hadoop.fs.FileUtil.fullyDelete(staging) // run won
-      }
-    }
-    val cents = Similarity.loadCentroids(spark, fixture.getAbsolutePath)
+      .getAbsolutePath
+    Similarity.commitCentroidsIfAbsent(spark, root)(
+      Similarity.kmeansCentroids(all, 16))
+    val cents = Similarity.readCommittedCentroids(spark, root)
     // Two arrival batches assigned independently map-only — the union
     // IS the incrementally-built index (spec'd equal to a full rebuild).
     val lists = Similarity.assignToCentroids(all.where(col("vec_id") % 2 === 0), cents)
