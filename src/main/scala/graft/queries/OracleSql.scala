@@ -931,6 +931,20 @@ object OracleSql {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // The APPEND-mode streamed hopping aggregation must equal the batch
+    // hopping oracle — same SQL as ev_hopping_agg (the sentinel row is
+    // filtered out of the streamed result by event_type).
+    "ev_stream_hopping" ->
+      """WITH e AS (SELECT epoch_us(ts) AS ts_us, event_type, value FROM events),
+        |x AS (
+        | SELECT (ts_us // 1800000000) * 1800000000 AS win_start_us, event_type, value FROM e
+        | UNION ALL
+        | SELECT (ts_us // 1800000000) * 1800000000 - 1800000000, event_type, value FROM e)
+        |SELECT CAST(win_start_us AS BIGINT) AS win_start_us, event_type,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "ev_hopping_users" ->
       """WITH e AS (SELECT epoch_us(ts) AS ts_us, event_type, user_id FROM events),
         |x AS (

@@ -13,10 +13,31 @@ class ContractSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("events ts normalization accepts both long-nanos and timestamp layouts") {
+    // The testdata has shipped `ts` both as raw epoch-nanos BIGINT and
+    // as TIMESTAMP(MICROS); every consumer goes through
+    // TableLoader.normalizeEventTs, which must produce the identical
+    // (ts TIMESTAMP, ts_us BIGINT) pair from either physical layout.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import spark.implicits._
+    val us = Seq(1700000000000000L, 1700000123456789L)
+    val longNanos = us.map(_ * 1000L).toDF("ts").withColumn("user_id", lit(1L))
+    val tsMicros = us.toDF("us").select(timestamp_micros(col("us")).as("ts"), lit(1L).as("user_id"))
+    val a = graft.sources.TableLoader.normalizeEventTs(longNanos)
+    val b = graft.sources.TableLoader.normalizeEventTs(tsMicros)
+    for (df <- Seq(a, b)) {
+      assert(df.schema("ts").dataType === TimestampType)
+      assert(df.schema("ts_us").dataType === LongType)
+    }
+    val ua = a.select("ts_us").as[Long].collect().sorted
+    val ub = b.select("ts_us").as[Long].collect().sorted
+    assert(ua.toSeq === us.sorted && ub.toSeq === us.sorted)
+  }
+
   test("query count matches the SURVEY inventory claim") {
-    // 156 query entries (153 at round 6 + round 7's
-    // graph_pagerank_weighted + retrieval_rrf + ann_ivf_stored);
+    // 157 query entries (156 at round 7 + round 8's ev_stream_hopping);
     // update alongside SURVEY §2 when adding a query.
-    assert(SparkEntry.queries.size === 156, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size === 157, s"got ${SparkEntry.queries.size}")
   }
 }
