@@ -403,6 +403,94 @@ object TextQueries {
   def dedupSpansQ(spark: SparkSession, dir: String): DataFrame =
     dedupSpans(docs(spark, dir))
 
+  /** CHARACTER-level exact-substring dedup — Lee et al. 2022's FULL
+    * method (arXiv:2107.06499 §4.1, "ExactSubstr"), not the word-gram
+    * approximation above: a char position is removed iff it lies inside
+    * some substring of length >= L that occurs >= 2 times in the corpus
+    * (occurrences counted across AND within documents, overlapping
+    * included). The reference realizes this with a monolithic suffix
+    * array; distributed, the same set falls out of L-gram cover
+    * marking, because the two are EQUAL: every length-L window of a
+    * longer duplicated substring is itself duplicated, and a duplicated
+    * L-gram is a duplicated substring of length exactly L
+    * (CharSpanSpec pins this equivalence against a literal
+    * all-substrings brute force). So no suffix array is ever built —
+    * the plan is:
+    *
+    *  1. one corpus scan emits every position's L-char-window hash in
+    *     O(len) per doc ([[graft.expressions.RollingHashAll]], the
+    *     codegen'd Rabin–Karp slide — NOT the O(len*L) per-position
+    *     recompute);
+    *  2. one count-aggregation on the 8-byte hash finds candidates;
+    *  3. the sparse candidates are verified by EXACT substring equality
+    *     (count >= 2 over the real L-gram, window partitioned by gram)
+    *     so a hash collision can never mark a unique span — exactness
+    *     by construction, not probability;
+    *  4. verified starts merge into per-doc covered intervals
+    *     (gaps-and-islands: running max-end window per doc over the
+    *     SPARSE dup starts, never over all positions);
+    *  5. the kept text is rebuilt in one pass per doc by folding the
+    *     merged-interval array with `aggregate()` over the original
+    *     text — no per-char explode, no driver work.
+    *
+    * Output mirrors `text_dedup_spans`: per-doc char/gram/removal
+    * counts plus the kept-text rolling hash, so the driver check proves
+    * the reconstructed post-removal text char for char. */
+  def charDedupSpans(d: DataFrame, L: Int = 40): DataFrame = {
+    val spark = d.sparkSession
+    val base = d.select(col("doc_id"), col("text"),
+      length(col("text")).cast("long").as("n_chars"))
+    val grams = base.select(col("doc_id"), posexplode(
+        graft.expressions.RollingHashAll.rollingHashAllNative(
+          spark, col("text"), L, 31L, HashMod)).as(Seq("s0", "h")))
+      .select(col("doc_id"), (col("s0") + 1).as("s"), col("h"))
+    val dupH = grams.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2).select(col("h"))
+    // Collision-proof verify on the sparse candidate set: re-extract the
+    // actual L-char gram (map-side after a doc_id equijoin) and require
+    // the REAL string to repeat.
+    val cand = grams.join(dupH, "h").select(col("doc_id"), col("s"))
+      .join(base.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("s"), expr(s"substring(text, s, $L)").as("g"))
+    val dupStarts = cand
+      .withColumn("c2", count(lit(1)).over(W.partitionBy(col("g"))))
+      .where(col("c2") >= 2).select(col("doc_id"), col("s"))
+      .localCheckpoint(false) // feeds interval merge AND the dup count
+    val wS = W.partitionBy(col("doc_id")).orderBy(col("s"))
+    val merged = dupStarts
+      .withColumn("pme", max(col("s") + (L - 1))
+        .over(wS.rowsBetween(W.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("pme").isNull || col("s") > col("pme") + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(wS))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("st"), (max(col("s")) + (L - 1)).as("en"))
+    val iv = merged.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(
+        col("st").cast("int").as("st"), col("en").cast("int").as("en")))).as("ivs"),
+        sum(col("en") - col("st") + 1).as("n_removed"))
+    val nd = dupStarts.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_grams"))
+    base.join(iv, Seq("doc_id"), "left").join(nd, Seq("doc_id"), "left")
+      .withColumn("kept_text", when(col("ivs").isNull, col("text")).otherwise(expr(
+        """aggregate(ivs, named_struct('p', 1, 'acc', ''),
+          |  (a, x) -> named_struct(
+          |    'p', x.en + 1,
+          |    'acc', concat(a.acc, substring(text, a.p, x.st - a.p))),
+          |  a -> concat(a.acc, substring(text, a.p, length(text) - a.p + 1)))"""
+          .stripMargin)))
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        graft.expressions.RollingHash.rollingHashNative(spark,
+          col("kept_text"), 31L, HashMod).as("kept_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Driver entry: char-level exact-substring dedup of the documents
+    * table at L=40 chars. */
+  def charDedupSpansQ(spark: SparkSession, dir: String): DataFrame =
+    charDedupSpans(docs(spark, dir))
+
   /** WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken 2003,
     * the MOSS algorithm): over each document's word-3-gram hash
     * sequence, every window of `w` consecutive hashes selects its

@@ -36,8 +36,9 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query count matches the SURVEY inventory claim") {
-    // 157 query entries (156 at round 7 + round 8's ev_stream_hopping);
-    // update alongside SURVEY §2 when adding a query.
-    assert(SparkEntry.queries.size === 157, s"got ${SparkEntry.queries.size}")
+    // 158 query entries (156 at round 7 + round 8's ev_stream_hopping
+    // and text_dedup_spans_char); update alongside SURVEY §2 when
+    // adding a query.
+    assert(SparkEntry.queries.size === 158, s"got ${SparkEntry.queries.size}")
   }
 }
