@@ -970,6 +970,53 @@ object TextQueries {
     Dedup.minhashPairs(docs(spark, dir), tauBp = 6000L)
       .orderBy(col("id1"), col("id2"))
 
+  /** Per-source INCREMENTAL MinHash survivors over STORED state, driven
+    * end to end — the operational loop a continuously-ingesting dedup
+    * service runs. Two pieces of historical state are committed to
+    * [[graft.sinks.VersionedTable]] roots (staging + atomic rename, the
+    * same hardened lake-commit discipline as the stored IVF quantizer)
+    * the first time this runs against a lake: the historical corpus'
+    * MinHash BAND SIGNATURES and its survivor LABELS. Every later run
+    * reloads both pinned at version 0 and processes the "new" sources
+    * (deterministic 1-in-4 split of the source dimension — a per-source
+    * ingest batch) incrementally: candidate generation joins the new
+    * batch's bands against the STORED corpus bands (no old document is
+    * re-shingled for candidates; only exact-verify candidates are), and
+    * the verified pairs fold into the stored labels in O(log batch) CC
+    * rounds. Approximate family => rows-only at the driver; DedupSpec
+    * proves the sharp identity — this exact stored-state path equals
+    * the from-scratch labeling of minhashPairs(all docs), label for
+    * label (candidate sets are deterministic, so it's equality, not a
+    * recall bound). */
+  def dedupSurvivorsMinhashIncQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val isNewSource = pmod(xxhash64(col("source")), lit(4L)) === 0L
+    val oldDocs = d.where(!isNewSource)
+    val newDocs = d.where(isNewSource)
+    val fixtureVersion = 1
+    def root(kind: String) = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_mh_${kind}_v${fixtureVersion}_${Integer.toHexString(dir.hashCode)}")
+      .getAbsolutePath
+    val bandsRoot = root("bands")
+    val labelsRoot = root("labels")
+    if (graft.sinks.VersionedTable.latestVersion(spark, bandsRoot).isEmpty)
+      graft.sinks.VersionedTable.commit(
+        Dedup.minhashBandSignatures(oldDocs), bandsRoot)
+    if (graft.sinks.VersionedTable.latestVersion(spark, labelsRoot).isEmpty)
+      graft.sinks.VersionedTable.commit(
+        Dedup.connectedComponents(
+          Dedup.minhashPairs(oldDocs, tauBp = 6000L).select(col("id1"), col("id2"))),
+        labelsRoot)
+    val storedBands = graft.sinks.VersionedTable.read(spark, bandsRoot, Some(0L))
+    val prior = graft.sinks.VersionedTable.read(spark, labelsRoot, Some(0L))
+    val incPairs = Dedup.incrementalMinhashPairs(
+        newDocs, oldDocs, storedBands, tauBp = 6000L)
+      .select(col("id1"), col("id2"))
+    Dedup.incrementalComponents(prior, incPairs)
+      .select(col("id").as("doc_id"), col("comp").as("canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   def dedupSimhashQ(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(spark, dir), maxDist = 3)
       .orderBy(col("id1"), col("id2"))

@@ -36,9 +36,9 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query count matches the SURVEY inventory claim") {
-    // 158 query entries (156 at round 7 + round 8's ev_stream_hopping
-    // and text_dedup_spans_char); update alongside SURVEY §2 when
-    // adding a query.
-    assert(SparkEntry.queries.size === 158, s"got ${SparkEntry.queries.size}")
+    // 159 query entries (156 at round 7 + round 8's ev_stream_hopping,
+    // text_dedup_spans_char, and dedup_survivors_minhash_inc); update
+    // alongside SURVEY §2 when adding a query.
+    assert(SparkEntry.queries.size === 159, s"got ${SparkEntry.queries.size}")
   }
 }

@@ -55,6 +55,30 @@ class DedupSpec extends SparkSpec {
       s"missing=${(batch diff (oldPairs union inc)).take(5)} extra=${((oldPairs union inc) diff batch).take(5)}")
   }
 
+  test("stored-state incremental minhash survivors equal the from-scratch labeling") {
+    // The driver query's identity, end to end on the real corpus: prior
+    // labels + stored bands + incremental fold-in of the new sources
+    // must reproduce the full-batch labeling label for label.
+    val corpus = spark.read.parquet(s"$Sf/documents.parquet")
+    val isNew = pmod(xxhash64(col("source")), lit(4L)) === 0L
+    val old = corpus.where(!isNew)
+    val fresh = corpus.where(isNew)
+    assert(old.count() > 0 && fresh.count() > 0, "split must be non-trivial")
+    val bands = Dedup.minhashBandSignatures(old)
+    val prior = Dedup.connectedComponents(
+      Dedup.minhashPairs(old, tauBp = 6000L).select(col("id1"), col("id2")))
+    val inc = Dedup.incrementalComponents(prior,
+        Dedup.incrementalMinhashPairs(fresh, old, bands, tauBp = 6000L)
+          .select(col("id1"), col("id2")))
+      .as[(Long, Long)].collect().toSet
+    val full = Dedup.connectedComponents(
+        Dedup.minhashPairs(corpus, tauBp = 6000L).select(col("id1"), col("id2")))
+      .as[(Long, Long)].collect().toSet
+    assert(full.nonEmpty)
+    assert(inc === full,
+      s"missing=${(full diff inc).take(5)} extra=${(inc diff full).take(5)}")
+  }
+
   test("minhash recall on the real corpus is >= 0.9") {
     val corpus = spark.read.parquet(s"$Sf/documents.parquet")
     val truth = Dedup.ngramJaccardPairs(corpus, tauBp = 6000L)
