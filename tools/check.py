@@ -81,3 +81,22 @@ for name in sorted(glob.glob(f"{OUT}/*/")):
 
 okc = sum(1 for v in results.values() if v.startswith("OK") or v.startswith("rows-only"))
 print(f"== {okc}/{len(results)} pass")
+
+# Optional committable artifact (CHECK_JSON=path): per-query verdicts in
+# the driver's CORRECTNESS shape, so a triple-scale gate run leaves three
+# diffable files instead of scrollback.
+if os.environ.get("CHECK_JSON"):
+    def row(v):
+        if v.startswith("OK"):
+            return {"rows_match": True, "schema_match": True, "hash_match": True,
+                    "rows": int(v.split("rows=")[1]), "err": None}
+        if v.startswith("rows-only"):
+            return {"rows_match": None, "schema_match": None, "hash_match": None,
+                    "rows": int(v.split("rows=")[1]), "err": "no_oracle"}
+        return {"rows_match": False, "schema_match": False, "hash_match": False,
+                "rows": None, "err": v[:300]}
+    payload = {"sf_dir": SF_DIR, "n_pass": okc, "n_total": len(results),
+               "queries": {q: row(v) for q, v in sorted(results.items())}}
+    with open(os.environ["CHECK_JSON"], "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    print(f"wrote {os.environ['CHECK_JSON']}")
