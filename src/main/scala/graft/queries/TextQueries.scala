@@ -785,18 +785,18 @@ object TextQueries {
     // Fixture key: input path + a version bump for any change to the
     // pair-generation semantics (stale labels would fail the driver's
     // hash check loudly, but never leave one lying around to trip on).
-    val fixtureVersion = 1
-    val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+    // v2: the labels land through VersionedTable.commit (staging +
+    // atomic rename on Hadoop FS, nesting-race-safe) — stored dedup
+    // state uses the same hardened lake-commit discipline as the
+    // stored IVF quantizer and minhash band fixtures.
+    val fixtureVersion = 2
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_prior_labels_v${fixtureVersion}_${Integer.toHexString(dir.hashCode)}")
-    if (!fixture.exists()) {
-      val staging = new java.io.File(fixture.getParent, fixture.getName + ".tmp")
-      Dedup.connectedComponents(pairs.where(isOld))
-        .write.mode("overwrite").parquet(staging.getAbsolutePath)
-      if (!staging.renameTo(fixture)) { // lost a (benign) race: another
-        org.apache.hadoop.fs.FileUtil.fullyDelete(staging) // run won
-      }
-    }
-    val prior = spark.read.parquet(fixture.getAbsolutePath)
+      .getAbsolutePath
+    if (graft.sinks.VersionedTable.latestVersion(spark, root).isEmpty)
+      graft.sinks.VersionedTable.commit(
+        Dedup.connectedComponents(pairs.where(isOld)), root)
+    val prior = graft.sinks.VersionedTable.read(spark, root, Some(0L))
     Dedup.incrementalComponents(prior, pairs.where(!isOld))
       .select(col("id").as("doc_id"), col("comp").as("canonical"))
       .orderBy(col("doc_id"))
