@@ -88,6 +88,21 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Dedup.incrementalMinhashPairs(none, corpus, bands, tauBp = 6000L).count() === 0L)
   }
 
+  test("charDedupSpans: empty strings, no-dup corpus, and empty corpus are safe") {
+    import graft.queries.TextQueries
+    // empty + short + unique docs: nothing removed, hashes = full-text hashes
+    val docs = Seq((1L, ""), (2L, "tiny"), (3L, "a perfectly unique sentence"))
+      .toDF("doc_id", "text")
+    val out = TextQueries.charDedupSpans(docs, L = 8)
+      .select("doc_id", "n_removed", "kept_hash").as[(Long, Long, Long)]
+      .collect().map { case (k, r, h) => k -> (r, h) }.toMap
+    assert(out.values.forall(_._1 == 0L))
+    assert(out(1L)._2 === 0L) // rolling hash of "" is 0
+    // empty corpus: empty result, no crash
+    val none = docs.where(lit(false))
+    assert(TextQueries.charDedupSpans(none, L = 8).count() === 0L)
+  }
+
   test("connectedComponents on an empty pair set returns an empty labeling") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
