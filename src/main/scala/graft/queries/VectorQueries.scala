@@ -295,11 +295,20 @@ object VectorQueries {
     * arithmetic DuckDB oracle proves real frame bytes flowed through
     * the real decode path — the frame half of the video pipeline, done
     * without ffmpeg. */
-  def mmVideoFrames(spark: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.syntheticAvis(spark, TableLoader.load(spark, dir, "documents"))
-    graft.multimodal.MediaOps.videoFrames(media).toDF()
+  /** Per-frame metadata from REAL RIFF/AVI walks + per-frame image
+    * decodes, memoized per (session, dir): the decode is the expensive
+    * stage and both mm_video_frames and mm_keyframes consume exactly
+    * this table (narrow meta rows, not pixels), so the second consumer
+    * reuses the pinned blocks. */
+  private def videoFramesTable(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PlanCache.memo(spark, s"mm:video-frames:$dir") {
+      val media = Multimodal.syntheticAvis(spark, TableLoader.load(spark, dir, "documents"))
+      graft.multimodal.MediaOps.videoFrames(media).toDF()
+    }
+
+  def mmVideoFrames(spark: SparkSession, dir: String): DataFrame =
+    videoFramesTable(spark, dir)
       .orderBy(col("media_id"), col("frame_idx"))
-  }
 
   /** KEYFRAME selection over REAL decoded frames (the
     * shot-boundary-detection step of a video training pipeline): a
@@ -312,8 +321,7 @@ object VectorQueries {
     * oracle re-derives the same keyframe set purely arithmetically —
     * the hash match proves real pixels drove the selection. */
   def mmKeyframes(spark: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.syntheticAvis(spark, TableLoader.load(spark, dir, "documents"))
-    val frames = graft.multimodal.MediaOps.videoFrames(media).toDF()
+    val frames = videoFramesTable(spark, dir)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("media_id")).orderBy(col("frame_idx"))
     frames
