@@ -340,8 +340,19 @@ object VectorQueries {
     * the fill is constant, the resized dimensions AND the mean luma
     * are pure arithmetic on doc_id — a hash match proves real pixels
     * flowed through decode → AWT scale → encode → decode. */
+  /** Synthetic PNG media table, memoized per (session, dir): the PNG
+    * ENCODE pass is shared by mm_image_meta and mm_resize (each then
+    * runs its own real decode work); payload blocks are small
+    * (doc-count solid-color PNGs), so pinning them is cheap. */
+  private def imageMediaTable(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    graft.operators.PlanCache.memo(spark, s"mm:png-media:$dir") {
+      Multimodal.syntheticImages(spark, TableLoader.load(spark, dir, "documents")).toDF()
+    }.as[Multimodal.MediaRow]
+  }
+
   def mmResize(spark: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.syntheticImages(spark, TableLoader.load(spark, dir, "documents"))
+    val media = imageMediaTable(spark, dir)
     graft.multimodal.MediaOps.imageMeta(
         graft.multimodal.MediaOps.resizeImage(media, maxSide = 12)).toDF()
       .orderBy(col("media_id"))
@@ -353,7 +364,7 @@ object VectorQueries {
     * re-derives the same metadata purely arithmetically. A hash match
     * proves actual pixels flowed through the real decode path. */
   def mmImageMeta(spark: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.syntheticImages(spark, TableLoader.load(spark, dir, "documents"))
+    val media = imageMediaTable(spark, dir)
     graft.multimodal.MediaOps.imageMeta(media).toDF().orderBy(col("media_id"))
   }
 
