@@ -89,6 +89,20 @@ class CharSpanSpec extends SparkSpec {
       5L -> "abcdefgh--middle--abcdefgh"))
   }
 
+  test("fuzz: random two-letter corpora match the brute force (dense duplicates)") {
+    // A two-letter alphabet at L=8 makes duplicated substrings dense and
+    // overlapping — the hardest case for interval merging and for the
+    // L-gram-cover == all-substrings equivalence. Seeded: reproducible.
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 3) {
+      val docs = (1L to 6L).map { id =>
+        val len = 15 + rnd.nextInt(20)
+        id * 100 + round -> Array.fill(len)(if (rnd.nextBoolean()) 'a' else 'b').mkString
+      }
+      checkAgainstBrute(docs)
+    }
+  }
+
   test("full duplicates annihilate; the unique doc survives untouched") {
     val docs = Seq(
       10L -> "exactly the same document text body",
