@@ -19,6 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator planner strategy (tier c): native top-k-per-group
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    // opt-in optimizer rewrite: plain row_number()<=k window SQL into
+    // the native operator (spark.graft.topk.autoRewrite=true)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - in-order double dot product of two float arrays"),

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The opt-in optimizer rewrite (plain `row_number() <= k` window SQL
+  * -> native TopKPerGroup): plan shape, result equality against the
+  * un-rewritten window execution, and conservative non-eligibility.
+  */
+class TopKRewriteSpec extends SparkSpec {
+
+  private val Flag = "spark.graft.topk.autoRewrite"
+
+  private def withRewrite[T](on: Boolean)(f: => T): T = {
+    val prev = spark.conf.getOption(Flag)
+    spark.conf.set(Flag, on.toString)
+    try f finally prev match {
+      case Some(v) => spark.conf.set(Flag, v)
+      case None => spark.conf.unset(Flag)
+    }
+  }
+
+  private def leaderboard(k: Int): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    spark.read.parquet(s"$Sf/customer.parquet")
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+  }
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("eligible window pattern rewrites to the native operator (no Window in plan)") {
+    withRewrite(on = true) {
+      val p = plan(leaderboard(3))
+      assert(p.contains("TopKPerGroup"), s"native operator missing:\n$p")
+      assert(!p.contains("Window"), s"Window survived the rewrite:\n$p")
+    }
+    // flag off (default): the same query keeps its Window plan
+    withRewrite(on = false) {
+      assert(plan(leaderboard(3)).contains("Window"))
+    }
+  }
+
+  test("rewritten results equal the window execution row for row") {
+    // total order (custkey tie-break) -> both formulations deterministic
+    def rows(df: DataFrame) = df
+      .select(col("c_nationkey"), col("rnk"), col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_nationkey"), col("rnk"))
+      .collect().map(_.toSeq).toSeq
+    val native = withRewrite(on = true)(rows(leaderboard(3)))
+    val window = withRewrite(on = false)(rows(leaderboard(3)))
+    assert(native.nonEmpty)
+    assert(native === window)
+  }
+
+  test("strict bound, flipped bound, and ==1 all rewrite with the right k") {
+    withRewrite(on = true) {
+      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+      val base = spark.read.parquet(s"$Sf/customer.parquet")
+        .withColumn("rnk", row_number().over(w))
+      val lt = base.where(col("rnk") < 4) // k = 3
+      assert(plan(lt).contains("TopKPerGroup") && !plan(lt).contains("Window"))
+      assert(lt.groupBy(col("c_nationkey")).count()
+        .agg(max(col("count"))).head().getLong(0) <= 3)
+      val eq = base.where(col("rnk") === 1) // k = 1
+      assert(plan(eq).contains("TopKPerGroup"))
+      assert(eq.groupBy(col("c_nationkey")).count()
+        .agg(max(col("count"))).head().getLong(0) === 1)
+    }
+  }
+
+  test("ineligible shapes are left untouched") {
+    withRewrite(on = true) {
+      val part = Window.partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+      val df = spark.read.parquet(s"$Sf/customer.parquet")
+      // rank() is not row_number(): ties share ranks, heap semantics differ
+      val rank = df.withColumn("rnk", org.apache.spark.sql.functions.rank().over(part))
+        .where(col("rnk") <= 3)
+      assert(plan(rank).contains("Window"))
+      // global window (no partition): stays on the window path
+      val global = df.withColumn(
+          "rnk", row_number().over(Window.orderBy(col("c_custkey"))))
+        .where(col("rnk") <= 3)
+      assert(plan(global).contains("Window"))
+      // filter on a different column: nothing to infer
+      val other = df.withColumn("rnk", row_number().over(part))
+        .where(col("c_custkey") <= 3)
+      assert(plan(other).contains("Window"))
+    }
+  }
+}
