@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, ExprId, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, RowNumber, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, ExprId, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, PredicateHelper, RowNumber, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
@@ -33,12 +33,15 @@ import org.apache.spark.sql.types.IntegerType
   *  - partition AND order specs are non-empty (a global top-k is
   *    already planned as TakeOrderedAndProject; an unordered
   *    row_number has no defined top-k);
-  *  - the Filter is a bare comparison pinning that alias to a literal
-  *    bound (<=, <, >=/> flipped, or == 1) with k >= 1;
+  *  - the Filter condition contains a conjunct pinning that alias to a
+  *    literal bound (<=, <, >=/> flipped, or == 1) with k >= 1; any
+  *    remaining conjuncts stay behind as a residual Filter over the
+  *    rewritten operator (they may reference rnk — the operator emits
+  *    it);
   *  - any Project between Filter and Window only passes attributes
   *    through (no renames/computes — those stay untouched).
   */
-object TopKRewrite extends Rule[LogicalPlan] {
+object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private def kFromCond(cond: Expression, rnk: ExprId): Option[Int] = cond match {
     case LessThanOrEqual(a: AttributeReference, Literal(v: Int, IntegerType))
@@ -56,13 +59,25 @@ object TopKRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def rewriteOne(cond: Expression, w: Window): Option[TopKPerGroup] =
+  /** The tightest rank bound among the condition's conjuncts, plus the
+    * residual conjuncts (everything that isn't a recognized bound on
+    * the rank attribute). */
+  private def splitCond(cond: Expression, rnk: ExprId): (Option[Int], Seq[Expression]) = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    val (bounds, rest) = conjuncts.partition(c => kFromCond(c, rnk).isDefined)
+    val k = bounds.flatMap(kFromCond(_, rnk)).reduceOption(_ min _)
+    (k, rest)
+  }
+
+  private def rewriteOne(cond: Expression, w: Window): Option[LogicalPlan] =
     w.windowExpressions match {
       case Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _))
           if w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty =>
-        kFromCond(cond, alias.exprId).filter(_ >= 1).map { k =>
-          TopKPerGroup(k, w.partitionSpec, w.orderSpec, w.child,
+        val (kOpt, residual) = splitCond(cond, alias.exprId)
+        kOpt.filter(_ >= 1).map { k =>
+          val topk = TopKPerGroup(k, w.partitionSpec, w.orderSpec, w.child,
             rankAttr = alias.toAttribute.asInstanceOf[AttributeReference])
+          residual.reduceOption(And).map(Filter(_, topk)).getOrElse(topk)
         }
       case _ => None
     }

@@ -71,6 +71,33 @@ class TopKRewriteSpec extends SparkSpec {
     }
   }
 
+  test("conjunction filters rewrite with the residual predicate preserved") {
+    withRewrite(on = true) {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      def q(rewrite: Boolean) = withRewrite(on = rewrite) {
+        spark.read.parquet(s"$Sf/customer.parquet")
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 3 && col("c_acctbal") > 0)
+          .select(col("c_nationkey"), col("rnk"), col("c_custkey"))
+          .orderBy(col("c_nationkey"), col("rnk"))
+      }
+      val p = plan(q(rewrite = true))
+      assert(p.contains("TopKPerGroup") && !p.contains("Window"), p)
+      // the residual acctbal predicate must still filter: equality with
+      // the window execution proves neither too many nor too few rows
+      assert(q(rewrite = true).collect().map(_.toSeq).toSeq ===
+        q(rewrite = false).collect().map(_.toSeq).toSeq)
+      // two bounds -> the tighter one wins
+      val two = spark.read.parquet(s"$Sf/customer.parquet")
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 5 && col("rnk") <= 2)
+      assert(plan(two).contains("TopKPerGroup"))
+      assert(two.groupBy(col("c_nationkey")).count()
+        .agg(max(col("count"))).head().getLong(0) <= 2)
+    }
+  }
+
   test("ineligible shapes are left untouched") {
     withRewrite(on = true) {
       val part = Window.partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
