@@ -98,6 +98,23 @@ class TopKRewriteSpec extends SparkSpec {
     }
   }
 
+  test("the SQL-text subquery form rewrites too") {
+    withRewrite(on = true) {
+      spark.read.parquet(s"$Sf/customer.parquet").createOrReplaceTempView("cust_rw")
+      val df = spark.sql(
+        """SELECT * FROM (
+          |  SELECT c_nationkey, c_custkey,
+          |         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+          |                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+          |  FROM cust_rw) WHERE rn <= 3""".stripMargin)
+      val p = plan(df)
+      assert(p.contains("TopKPerGroup") && !p.contains("Window"), p)
+      assert(df.count() > 0)
+      assert(df.groupBy(col("c_nationkey")).count()
+        .agg(max(col("count"))).head().getLong(0) <= 3)
+    }
+  }
+
   test("ineligible shapes are left untouched") {
     withRewrite(on = true) {
       val part = Window.partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
