@@ -286,6 +286,29 @@ class SimilaritySpec extends SparkSpec {
     assert(aIvf >= 0.9, s"IVF agreement=$aIvf") // measured 1.0
   }
 
+  test("versioned quantizer commit: train-once no-op and v0 pinning") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_vt").toString + "/quantizer"
+    val trained = Similarity.kmeansCentroids(emb, nCentroids = 8)
+    var trainings = 0
+    Similarity.commitCentroidsIfAbsent(spark, root) { trainings += 1; trained }
+    assert(trainings === 1)
+    // a second commit attempt must NOT retrain: the quantizer is frozen
+    Similarity.commitCentroidsIfAbsent(spark, root) {
+      trainings += 1; Similarity.kmeansCentroids(emb, nCentroids = 4)
+    }
+    assert(trainings === 1, "commitCentroidsIfAbsent retrained over an existing version")
+    val loaded = Similarity.readCommittedCentroids(spark, root)
+    assert(loaded.length === trained.length)
+    assert(loaded.zip(trained).forall { case (a, b) => a.sameElements(b) })
+    // even if someone force-commits a later version, readers stay on v0
+    graft.sinks.VersionedTable.commit(
+      spark.range(4).selectExpr("cast(id as int) cid",
+        "array(cast(id as float)) embedding"), root)
+    val pinned = Similarity.readCommittedCentroids(spark, root)
+    assert(pinned.zip(trained).forall { case (a, b) => a.sameElements(b) },
+      "readCommittedCentroids must pin version 0, not latest")
+  }
+
   test("stored quantizer: save/load is bit-exact and incremental indexing equals a rebuild") {
     val root = java.nio.file.Files.createTempDirectory("graft_ivf_store").toString + "/quantizer"
     val trained = Similarity.kmeansCentroids(emb, nCentroids = 16)
