@@ -1328,6 +1328,39 @@ object OracleSql {
          | LEFT JOIN kt USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
+    // The kept-corpus terminal: same CTE skeleton, but the oracle ships
+    // the reconstructed STRING itself (string_agg of gap substrings), so
+    // the comparison is value-for-value on the kept text, not a hash.
+    "text_dedup_spans_char_corpus" ->
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         |g AS (SELECT doc_id, text, UNNEST(range(1, greatest(n - 38, 1))) AS s FROM d),
+         |grams AS (SELECT doc_id, s, substring(text, s, 40) AS gr FROM g),
+         |dup AS (SELECT gr FROM grams GROUP BY gr HAVING COUNT(*) >= 2),
+         |ds AS (SELECT grams.doc_id, grams.s FROM grams JOIN dup USING (gr)),
+         |m1 AS (SELECT doc_id, s, MAX(s + 39) OVER (PARTITION BY doc_id ORDER BY s
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM ds),
+         |m2 AS (SELECT doc_id, s,
+         |  CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0 END AS ni FROM m1),
+         |m3 AS (SELECT doc_id, s, SUM(ni) OVER (PARTITION BY doc_id ORDER BY s
+         |  ROWS UNBOUNDED PRECEDING) AS island FROM m2),
+         |iv AS (SELECT doc_id, island, MIN(s) AS st, MAX(s) + 39 AS en
+         | FROM m3 GROUP BY 1, 2),
+         |gp AS (
+         | SELECT doc_id, COALESCE(LAG(en) OVER (PARTITION BY doc_id ORDER BY st), 0) + 1 AS gs,
+         |  st - 1 AS ge FROM iv
+         | UNION ALL
+         | SELECT doc_id, MAX(en) + 1 AS gs, NULL AS ge FROM iv GROUP BY doc_id),
+         |kt AS (SELECT gp.doc_id,
+         |  string_agg(substring(d.text, gp.gs, COALESCE(gp.ge, d.n) - gp.gs + 1), '' ORDER BY gp.gs) AS kept
+         | FROM gp JOIN d USING (doc_id) WHERE COALESCE(gp.ge, d.n) >= gp.gs GROUP BY gp.doc_id),
+         |nr AS (SELECT doc_id, SUM(en - st + 1) AS n_removed FROM iv GROUP BY doc_id)
+         |SELECT d.doc_id,
+         | CASE WHEN nr.n_removed IS NULL THEN d.text ELSE COALESCE(kt.kept, '') END AS kept_text,
+         | CAST(d.n - COALESCE(nr.n_removed, 0) AS BIGINT) AS n_kept_chars
+         |FROM d LEFT JOIN nr USING (doc_id) LEFT JOIN kt USING (doc_id)
+         |WHERE COALESCE(nr.n_removed, 0) < d.n
+         |ORDER BY d.doc_id""".stripMargin,
+
     // Winnowing fingerprints: identical word-3-gram hashes, and the
     // identical (mod - h) * 2^31 + pos encoding whose windowed MAX is
     // the rightmost-minimum selection — integer division/modulo on

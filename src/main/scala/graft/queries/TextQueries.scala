@@ -438,6 +438,18 @@ object TextQueries {
     * the reconstructed post-removal text char for char. */
   def charDedupSpans(d: DataFrame, L: Int = 40): DataFrame = {
     val spark = d.sparkSession
+    charDedupSpansFull(d, L)
+      .select(col("doc_id"), col("n_chars"), col("n_dup_grams"), col("n_removed"),
+        graft.expressions.RollingHash.rollingHashNative(spark,
+          col("kept_text"), 31L, HashMod).as("kept_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The full per-doc removal report INCLUDING the reconstructed kept
+    * text — shared by the stats/hash query above and the corpus
+    * terminal below. */
+  private def charDedupSpansFull(d: DataFrame, L: Int): DataFrame = {
+    val spark = d.sparkSession
     val base = d.select(col("doc_id"), col("text"),
       length(col("text")).cast("long").as("n_chars"))
     val grams = base.select(col("doc_id"), posexplode(
@@ -481,15 +493,28 @@ object TextQueries {
       .select(col("doc_id"), col("n_chars"),
         coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
-        graft.expressions.RollingHash.rollingHashNative(spark,
-          col("kept_text"), 31L, HashMod).as("kept_hash"))
-      .orderBy(col("doc_id"))
+        col("kept_text"))
   }
 
   /** Driver entry: char-level exact-substring dedup of the documents
     * table at L=40 chars. */
   def charDedupSpansQ(spark: SparkSession, dir: String): DataFrame =
     charDedupSpans(docs(spark, dir))
+
+  /** The kept CORPUS itself — the write-back terminal of the char-level
+    * exact-substring dedup: every document's post-removal text (docs
+    * annihilated to nothing are dropped), with its residual length.
+    * Where `text_dedup_spans_char` proves the reconstruction by rolling
+    * hash, this terminal ships the actual strings, so the driver check
+    * compares the reconstructed text VALUE for VALUE against the
+    * oracle's string_agg rebuild — the strongest equality a text
+    * operator can get, on the artifact a training pipeline consumes. */
+  def charDedupCorpusQ(spark: SparkSession, dir: String): DataFrame =
+    charDedupSpansFull(docs(spark, dir), L = 40)
+      .where(col("n_removed") < col("n_chars"))
+      .select(col("doc_id"), col("kept_text"),
+        (col("n_chars") - col("n_removed")).as("n_kept_chars"))
+      .orderBy(col("doc_id"))
 
   /** WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken 2003,
     * the MOSS algorithm): over each document's word-3-gram hash

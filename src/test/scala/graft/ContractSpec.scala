@@ -36,9 +36,10 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query count matches the SURVEY inventory claim") {
-    // 159 query entries (156 at round 7 + round 8's ev_stream_hopping,
-    // text_dedup_spans_char, and dedup_survivors_minhash_inc); update
-    // alongside SURVEY §2 when adding a query.
-    assert(SparkEntry.queries.size === 159, s"got ${SparkEntry.queries.size}")
+    // 160 query entries (156 at round 7 + round 8's ev_stream_hopping,
+    // text_dedup_spans_char + its kept-corpus terminal, and
+    // dedup_survivors_minhash_inc); update alongside SURVEY §2 when
+    // adding a query.
+    assert(SparkEntry.queries.size === 160, s"got ${SparkEntry.queries.size}")
   }
 }
