@@ -496,10 +496,23 @@ object TextQueries {
         col("kept_text"))
   }
 
+  /** The L=40 removal report over the documents table, memoized per
+    * (session, dir): the stats/hash query and the kept-corpus terminal
+    * both consume exactly this table (the pinned kept_text column is
+    * corpus-sized text, small next to the derivation it saves). */
+  private def charDedupFullTable(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PlanCache.memo(spark, s"text:char-dedup-full:$dir") {
+      charDedupSpansFull(docs(spark, dir), L = 40)
+    }
+
   /** Driver entry: char-level exact-substring dedup of the documents
     * table at L=40 chars. */
   def charDedupSpansQ(spark: SparkSession, dir: String): DataFrame =
-    charDedupSpans(docs(spark, dir))
+    charDedupFullTable(spark, dir)
+      .select(col("doc_id"), col("n_chars"), col("n_dup_grams"), col("n_removed"),
+        graft.expressions.RollingHash.rollingHashNative(spark,
+          col("kept_text"), 31L, HashMod).as("kept_hash"))
+      .orderBy(col("doc_id"))
 
   /** The kept CORPUS itself — the write-back terminal of the char-level
     * exact-substring dedup: every document's post-removal text (docs
@@ -510,7 +523,7 @@ object TextQueries {
     * oracle's string_agg rebuild — the strongest equality a text
     * operator can get, on the artifact a training pipeline consumes. */
   def charDedupCorpusQ(spark: SparkSession, dir: String): DataFrame =
-    charDedupSpansFull(docs(spark, dir), L = 40)
+    charDedupFullTable(spark, dir)
       .where(col("n_removed") < col("n_chars"))
       .select(col("doc_id"), col("kept_text"),
         (col("n_chars") - col("n_removed")).as("n_kept_chars"))
