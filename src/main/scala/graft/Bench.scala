@@ -8,6 +8,29 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    def loadavg(): String =
+      try scala.util.Using.resource(scala.io.Source.fromFile("/proc/loadavg"))(
+        _.mkString.split(" ").take(3).mkString("[", ",", "]"))
+      catch { case _: Throwable => "null" }
+    def load1(): Double =
+      try scala.util.Using.resource(scala.io.Source.fromFile("/proc/loadavg"))(
+        _.mkString.split(" ").head.toDouble)
+      catch { case _: Throwable => 0.0 }
+    // Defend the artifact against a loaded machine (r7's driver run
+    // recorded a phantom 1.6x regression under loadavg 4.8-6.5): wait a
+    // bounded time for the 1-min load to drop below a quiet threshold.
+    // This runs BEFORE the session/warmup so our own Spark work can
+    // never trigger a spurious wait — load1 here measures only
+    // competing processes.
+    val quietLoad = sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "2.5").toDouble
+    val quietWait = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_SEC", "180").toInt
+    var waitedSec = 0
+    while (load1() > quietLoad && waitedSec < quietWait) {
+      Thread.sleep(5000); waitedSec += 5
+    }
+    // If the machine never went quiet, the run proceeds but the artifact
+    // says so: a contaminated number must not masquerade as a regression.
+    val contaminated = load1() > quietLoad
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -39,28 +62,8 @@ object Bench {
     // (another process competing for the cores) is visible in the
     // sidecar instead of masquerading as a regression. r5's official
     // medians were 3-10x inflated on three queries this way.
-    def loadavg(): String =
-      try scala.util.Using.resource(scala.io.Source.fromFile("/proc/loadavg"))(
-        _.mkString.split(" ").take(3).mkString("[", ",", "]"))
-      catch { case _: Throwable => "null" }
-    def load1(): Double =
-      try scala.util.Using.resource(scala.io.Source.fromFile("/proc/loadavg"))(
-        _.mkString.split(" ").head.toDouble)
-      catch { case _: Throwable => 0.0 }
-    // Defend the artifact against a loaded machine (r7's driver run
-    // recorded a phantom 1.6x regression under loadavg 4.8-6.5): wait a
-    // bounded time for the 1-min load to drop below a quiet threshold
-    // BEFORE the timed passes. Our own Spark work hasn't started yet, so
-    // load1 here measures only competing processes.
-    val quietLoad = sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "2.5").toDouble
-    val quietWait = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_SEC", "180").toInt
-    var waitedSec = 0
-    while (load1() > quietLoad && waitedSec < quietWait) {
-      Thread.sleep(5000); waitedSec += 5
-    }
-    // If the machine never went quiet, the run proceeds but the artifact
-    // says so: a contaminated number must not masquerade as a regression.
-    val contaminated = load1() > quietLoad
+    // (loadavg_start is taken after session + warmup, so it includes our
+    // own decaying warmup load — the quiet gate above ran before both.)
     val loadStart = loadavg()
     // Trials are interleaved round-robin (trial pass 1 runs every query,
     // then pass 2, ...): a transient load burst degrades ONE trial of
