@@ -1686,6 +1686,58 @@ object OracleSql {
          |SELECT q_id, CAST(rnk AS INT) AS rnk, doc_id, n_lists, rrf_micro
          |FROM fr WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
 
+    // Per-query hybrid RRF: each query DOCUMENT (doc_id % 100 = 0, the
+    // vector query id space) selects its own top-3 tf-idf terms
+    // ((qtf * 1e6 * n_docs) // df, term-ascending ties), BM25-scores
+    // the corpus per (query, doc) over those terms only (self
+    // excluded), and fuses with the exact cosine top-20 — the same
+    // integer RRF arithmetic as retrieval_rrf.
+    "retrieval_rrf_perq" ->
+      s"""WITH terms AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY 1),
+         |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl),
+         |qtf AS (SELECT doc_id AS q_id, term, COUNT(*) AS qtf FROM terms
+         |        WHERE doc_id % 100 = 0 GROUP BY 1, 2),
+         |dft AS (SELECT term AS t2, COUNT(DISTINCT doc_id) AS df FROM terms
+         |        WHERE term IN (SELECT DISTINCT term FROM qtf) GROUP BY 1),
+         |qsel AS (SELECT q_id, term FROM (
+         |  SELECT q_id, term, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY (qtf * 1000000 * n_docs) // df DESC, term) AS trnk
+         |  FROM qtf JOIN dft ON term = t2 CROSS JOIN stats) WHERE trnk <= 3),
+         |tf AS (SELECT q_id, t.doc_id, t.term, COUNT(*) AS tf
+         |  FROM terms t JOIN qsel q ON t.term = q.term GROUP BY 1, 2, 3),
+         |s0 AS (SELECT q_id, doc_id, term, tf, df, dl, n_docs, total_tokens // n_docs AS avgdl
+         |       FROM tf JOIN dft ON term = t2 JOIN dl USING (doc_id) CROSS JOIN stats),
+         |s1 AS (SELECT *, (7500 * dl) // avgdl AS normq FROM s0),
+         |s2 AS (SELECT *, tf * 10000 + (12 * (2500 + normq)) // 10 AS denom FROM s1),
+         |s3 AS (SELECT *, (tf * 22000 * 1000000) // denom AS tfpart,
+         |       ((2 * (n_docs - df) + 1) * 1000000) // (2 * df + 1) AS idf FROM s2),
+         |sc AS (SELECT q_id, doc_id, CAST((idf * tfpart) // 1000000 AS BIGINT) AS score FROM s3),
+         |ds AS (SELECT q_id, doc_id, CAST(SUM(score) AS BIGINT) AS bm25
+         |       FROM sc WHERE doc_id <> q_id GROUP BY 1, 2),
+         |lex AS (SELECT q_id, doc_id, lex_rnk FROM (
+         |  SELECT q_id, doc_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY bm25 DESC, doc_id) AS lex_rnk FROM ds)
+         | WHERE lex_rnk <= 20),
+         |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+         |c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
+         |s AS (SELECT q_id, n_id, ${cosMicro("qv", "nv")} AS cos_micro
+         |  FROM q, c WHERE q_id <> n_id),
+         |vec AS (SELECT q_id, n_id AS doc_id, vec_rnk FROM (
+         |  SELECT q_id, n_id,
+         |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_micro DESC, n_id) AS vec_rnk FROM s)
+         | WHERE vec_rnk <= 20),
+         |pts AS (
+         | SELECT q_id, doc_id, 1000000 // (60 + vec_rnk) AS pts FROM vec
+         | UNION ALL
+         | SELECT q_id, doc_id, 1000000 // (60 + lex_rnk) FROM lex),
+         |fused AS (SELECT q_id, doc_id, CAST(SUM(pts) AS BIGINT) AS rrf_micro,
+         |  COUNT(*) AS n_lists FROM pts GROUP BY 1, 2),
+         |fr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |  ORDER BY rrf_micro DESC, doc_id) AS rnk FROM fused)
+         |SELECT q_id, CAST(rnk AS INT) AS rnk, doc_id, n_lists, rrf_micro
+         |FROM fr WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+
     "text_tfidf" ->
       """WITH terms AS (
         | SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),

@@ -123,6 +123,94 @@ object VectorQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Per-query hybrid retrieval fusion — the query-DEPENDENT upgrade of
+    * [[retrievalRrfQ]] (whose lexical list is one fixed term set fanned
+    * out to every query): here each query document (doc_id % 100 == 0,
+    * the same id space as the vector query set) contributes its OWN
+    * lexical query — its top-3 tf-idf-distinctive terms against the
+    * corpus — so the lexical top-20 genuinely differs per query, the
+    * "more like this" shape real hybrid retrieval has. The pipeline:
+    * (1) per-query-doc term selection by the exact integer tf-idf score
+    * `(tf * 1e6 * n_docs) div df` (corpus-wide df, restricted to the
+    * broadcastable query-doc vocabulary), ties broken term-ascending;
+    * (2) per-(query, doc) integer BM25 over the postings of the
+    * selected terms only — the terms table joins a BROADCAST of the
+    * (query, term) pairs, so the inverted-index lookup never shuffles
+    * the corpus; the query doc itself is excluded (as the vector side
+    * excludes q_id == n_id); (3) RRF fusion with the exact cosine
+    * top-20, identical integer arithmetic to retrieval_rrf. Everything
+    * is integer, so this composes to a hash-exact DuckDB oracle. At
+    * 100 TB: term selection is one aggregation over the query docs,
+    * df one aggregation over the terms table semi-joined to the query
+    * vocabulary, and the scoring join is posting-list-sized. */
+  /** Stages (1)+(df) of [[retrievalRrfPerQ]], exposed for the spec that
+    * pins query-DEPENDENCE: (query-doc terms+tf, corpus df over the
+    * query vocabulary, per-query top-3 tf-idf term selection). Returns
+    * (terms, dl, stats, dfT, qTerms). */
+  private[graft] def perQueryLexStages(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val d = TableLoader.load(spark, dir, "documents")
+    val terms = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    // Per-query-doc term frequencies and the (small) query vocabulary.
+    val qTf = terms.where(col("doc_id") % 100 === 0)
+      .groupBy(col("doc_id").as("q_id"), col("term")).agg(count(lit(1)).as("qtf"))
+    val qVocab = qTf.select(col("term")).distinct()
+    // Corpus document frequency, computed only for the query vocabulary
+    // (broadcast semi-join — the full-term df table is never built).
+    val dfT = terms.join(broadcast(qVocab), "term")
+      .select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // (1) top-3 distinctive terms per query doc, exact integer tf-idf.
+    val wSel = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("tscore").desc, col("term"))
+    val qTerms = qTf.join(broadcast(dfT), "term").crossJoin(broadcast(stats))
+      .withColumn("tscore", expr("(qtf * 1000000L * n_docs) div df"))
+      .withColumn("trnk", row_number().over(wSel)).where(col("trnk") <= 3)
+      .select(col("q_id"), col("term"))
+    (terms, dl, stats, dfT, qTerms)
+  }
+
+  def retrievalRrfPerQ(spark: SparkSession, dir: String): DataFrame = {
+    val (terms, dl, stats, dfT, qTerms) = perQueryLexStages(spark, dir)
+    // (2) per-(query, doc) BM25 over the selected terms' postings.
+    val tf = terms.join(broadcast(qTerms), "term")
+      .groupBy(col("q_id"), col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val scored = tf.join(broadcast(dfT), "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", expr("total_tokens div n_docs"))
+      .withColumn("normq", expr("(7500L * dl) div avgdl"))
+      .withColumn("denom", expr("tf * 10000L + (12L * (2500L + normq)) div 10L"))
+      .withColumn("tfpart", expr("(tf * 22000L * 1000000L) div denom"))
+      .withColumn("idf",
+        expr("((2L * (n_docs - df) + 1L) * 1000000L) div (2L * df + 1L)"))
+      .withColumn("score", expr("(idf * tfpart) div 1000000L"))
+    val wLex = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("bm25").desc, col("doc_id"))
+    val lex = scored.where(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("doc_id")).agg(sum(col("score")).as("bm25"))
+      .withColumn("lex_rnk", row_number().over(wLex).cast("long"))
+      .where(col("lex_rnk") <= 20)
+      .select(col("q_id"), col("doc_id"), col("lex_rnk"))
+    // (3) RRF fusion with the exact cosine top-20 (same id space).
+    val all = emb(spark, dir)
+    val vec = Similarity.bruteForceTopK(all.where(col("vec_id") % 100 === 0), all, k = 20)
+      .select(col("q_id"), col("n_id").as("doc_id"), col("rnk").cast("long").as("vec_rnk"))
+    val pts = vec.select(col("q_id"), col("doc_id"),
+        expr("1000000L div (60L + vec_rnk)").as("pts"))
+      .unionAll(lex.select(col("q_id"), col("doc_id"),
+        expr("1000000L div (60L + lex_rnk)").as("pts")))
+    val fused = pts.groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("pts")).as("rrf_micro"), count(lit(1)).as("n_lists"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("rrf_micro").desc, col("doc_id"))
+    fused.withColumn("rnk", row_number().over(w).cast("int"))
+      .where(col("rnk") <= 10)
+      .select(col("q_id"), col("rnk"), col("doc_id"), col("n_lists"), col("rrf_micro"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** Incremental IVF over a STORED quantizer — the operational shape a
     * daily embedding drop needs, driven end to end: the quantizer is
     * trained ONCE (on the corpus as of index creation) and COMMITTED

@@ -355,4 +355,33 @@ class SimilaritySpec extends SparkSpec {
       .select("q_id", "rnk", "n_id").as[(Long, Int, Long)].collect().toSet
     assert(stored === ivf)
   }
+
+  test("per-query RRF: each query document selects its OWN lexical terms") {
+    // The point of retrieval_rrf_perq over retrieval_rrf: the lexical
+    // side is query-DEPENDENT. Every query doc gets exactly 3 terms
+    // (integer tf-idf, term-ascending ties) and the selected sets
+    // genuinely differ across queries on this corpus.
+    val (_, _, _, _, qTerms) =
+      graft.queries.VectorQueries.perQueryLexStages(spark, Sf)
+    val byQ = qTerms.collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[String]("term")).toSet }
+    assert(byQ.size === 5, s"query docs: ${byQ.keySet}")
+    assert(byQ.values.forall(_.size === 3))
+    assert(byQ.values.toSet.size >= 2,
+      s"lexical term sets must differ across queries: $byQ")
+  }
+
+  test("per-query RRF fuses to 10 ranked hits per query and differs from the fixed-term fusion") {
+    val perq = graft.queries.VectorQueries.retrievalRrfPerQ(spark, Sf)
+      .select("q_id", "rnk", "doc_id").as[(Long, Int, Long)].collect()
+    val byQ = perq.groupBy(_._1)
+    assert(byQ.size === 5)
+    assert(byQ.values.forall(_.map(_._2).toSeq.sorted == (1 to 10)))
+    // Query-dependence must flow through to the fused result: the
+    // per-query top-10 cannot all coincide with the fixed-term fanout's.
+    val fixed = graft.queries.VectorQueries.retrievalRrfQ(spark, Sf)
+      .select("q_id", "rnk", "doc_id").as[(Long, Int, Long)].collect().toSet
+    assert(perq.toSet != fixed)
+  }
 }
