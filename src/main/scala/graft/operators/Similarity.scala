@@ -746,4 +746,44 @@ object Similarity {
   def assignToCentroids(vectors: DataFrame, cents: Array[Array[Float]]): DataFrame =
     vectors.withColumn("cid",
       nearestCentroidId(vectors.sparkSession, col("embedding"), cents))
+
+  /** Per-cluster statistics of the deterministic k-means partition —
+    * the corpus-survey step SemDeDup-style pruning and data-mixing
+    * decisions run before touching documents: cluster sizes, label
+    * purity (dominant label + its share), and cohesion (integer
+    * micro-cosine of each member to its own centroid, summed order-
+    * independently). Assignment is map-only against literal centroids
+    * (no shuffle of the corpus); the only shuffle is the final
+    * nCentroids-group aggregation, so the whole query is one pass at
+    * any scale. Deterministic because the centroids are bit-stable
+    * (hash-sampled training + fixed-point Lloyd means) and every
+    * emitted stat is integer arithmetic. */
+  def clusterStats(corpus: DataFrame, nCentroids: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = kmeansCentroids(corpus, nCentroids)
+    val cd = broadcast(centroidsDf(spark, cents)
+      .select(col("cid").as("cid2"), col("embedding").as("cvec"))
+      .withColumn("cn", vecDot(spark, col("cvec"), col("cvec"))))
+    val member = assignToCentroids(corpus, cents)
+      .withColumn("n", vecDot(spark, col("embedding"), col("embedding")))
+      .join(cd, col("cid") === col("cid2"))
+      .withColumn("cos_c",
+        cosMicro(spark, col("embedding"), col("n"), col("cvec"), col("cn")))
+    val sizes = member.groupBy(col("cid")).agg(
+      count(lit(1)).as("n_vecs"),
+      countDistinct(col("label")).as("n_labels"),
+      sum(col("cos_c")).as("sum_cos"),
+      min(col("cos_c")).as("min_cos_micro"))
+    val wDom = Window.partitionBy(col("cid")).orderBy(col("lc").desc, col("label"))
+    val dom = member.groupBy(col("cid"), col("label"))
+      .agg(count(lit(1)).as("lc"))
+      .withColumn("r", row_number().over(wDom)).where(col("r") === 1)
+      .select(col("cid").as("cid3"), col("label").as("dom_label"), col("lc"))
+    sizes.join(dom, col("cid") === col("cid3"))
+      .select(col("cid"), col("n_vecs"), col("n_labels"),
+        col("dom_label").cast("int").as("dom_label"),
+        expr("(lc * 10000L) div n_vecs").as("dom_share_bp"),
+        expr("sum_cos div n_vecs").as("mean_cos_micro"),
+        col("min_cos_micro"))
+  }
 }

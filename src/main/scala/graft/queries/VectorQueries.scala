@@ -100,12 +100,22 @@ object VectorQueries {
     * list-sized work regardless of corpus size. Output: per-query
     * fused top-10 with the number of source lists each hit came from.
     * Hash-exact against the composed two-list oracle. */
+  /** Exact cosine top-20 per query vector, memoized per (session, dir):
+    * retrieval_rrf and retrieval_rrf_perq fuse against exactly this
+    * list, so the second consumer reuses the scored blocks instead of
+    * re-running the broadcast scan (the same sharing contract as the
+    * graph-family edge derivations). */
+  private def vecTop20(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PlanCache.memo(spark, s"vec:bf-top20:$dir") {
+      val all = emb(spark, dir)
+      Similarity.bruteForceTopK(all.where(col("vec_id") % 100 === 0), all, k = 20)
+        .select(col("q_id"), col("n_id").as("doc_id"), col("rnk").cast("long").as("vec_rnk"))
+    }
+
   def retrievalRrfQ(spark: SparkSession, dir: String): DataFrame = {
     val lex = TextQueries.bm25Q(spark, dir)
       .select(col("doc_id"), col("rnk").cast("long").as("lex_rnk"))
-    val all = emb(spark, dir)
-    val vec = Similarity.bruteForceTopK(all.where(col("vec_id") % 100 === 0), all, k = 20)
-      .select(col("q_id"), col("n_id").as("doc_id"), col("rnk").cast("long").as("vec_rnk"))
+    val vec = vecTop20(spark, dir)
     // The lexical list is query-independent here (one fixed term set),
     // fanned out to each vector query: 5 x 20 rows, broadcast-sized.
     val qs = vec.select(col("q_id")).distinct()
@@ -193,10 +203,9 @@ object VectorQueries {
       .withColumn("lex_rnk", row_number().over(wLex).cast("long"))
       .where(col("lex_rnk") <= 20)
       .select(col("q_id"), col("doc_id"), col("lex_rnk"))
-    // (3) RRF fusion with the exact cosine top-20 (same id space).
-    val all = emb(spark, dir)
-    val vec = Similarity.bruteForceTopK(all.where(col("vec_id") % 100 === 0), all, k = 20)
-      .select(col("q_id"), col("n_id").as("doc_id"), col("rnk").cast("long").as("vec_rnk"))
+    // (3) RRF fusion with the exact cosine top-20 (same id space,
+    // memoized — shared with retrieval_rrf).
+    val vec = vecTop20(spark, dir)
     val pts = vec.select(col("q_id"), col("doc_id"),
         expr("1000000L div (60L + vec_rnk)").as("pts"))
       .unionAll(lex.select(col("q_id"), col("doc_id"),
@@ -250,6 +259,19 @@ object VectorQueries {
     Similarity.ivfTopKStored(all.where(col("vec_id") % 100 === 0), lists, cents, k = 10)
       .orderBy(col("q_id"), col("rnk"))
   }
+
+  /** Embedding-cluster survey — per-cluster sizes, label purity, and
+    * cohesion over the deterministic 16-way k-means partition
+    * ([[Similarity.clusterStats]]): the corpus map SemDeDup pruning
+    * and mixture decisions read before touching any document. Map-only
+    * assignment against literal centroids + one 16-group aggregation.
+    * Rows-only at the driver (Lloyd k-means is not SQL-expressible —
+    * same footing as dedup_semantic, which shares these clusters);
+    * SimilaritySpec pins partition totality and that within-cluster
+    * cohesion beats the corpus-wide pairwise mean. */
+  def vecClusterStats(spark: SparkSession, dir: String): DataFrame =
+    Similarity.clusterStats(emb(spark, dir), nCentroids = 16)
+      .orderBy(col("cid"))
 
   /** Hard-negative mining (k=5) for contrastive training: per query
     * vector, the 5 most-similar corpus vectors with a DIFFERENT label

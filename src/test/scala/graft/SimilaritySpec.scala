@@ -356,6 +356,27 @@ class SimilaritySpec extends SparkSpec {
     assert(stored === ivf)
   }
 
+  test("clusterStats partitions the corpus and clusters cohere above the corpus-wide pairwise mean") {
+    val stats = Similarity.clusterStats(emb, nCentroids = 16).collect()
+    val total = emb.count()
+    assert(stats.map(_.getAs[Long]("n_vecs")).sum === total, "every vector in exactly one cluster")
+    assert(stats.forall { r => val c = r.getAs[Int]("cid"); c >= 0 && c < 16 })
+    assert(stats.forall { r =>
+      r.getAs[Long]("dom_share_bp") >= 10000L / r.getAs[Long]("n_labels") })
+    // SemDeDup's premise: members sit closer to their own centroid than
+    // random corpus pairs sit to each other. Weighted mean of the
+    // per-cluster mean cosines must beat the corpus-wide pairwise mean.
+    val within = stats.map(r =>
+      r.getAs[Long]("mean_cos_micro") * r.getAs[Long]("n_vecs")).sum.toDouble / total
+    val a = emb.select(col("vec_id").as("i1"), col("embedding").as("v1"))
+    val b = emb.select(col("vec_id").as("i2"), col("embedding").as("v2"))
+    val pairMean = a.join(b, col("i1") < col("i2"))
+      .select(VectorFunctions.cosineMicro(col("v1"), col("v2")).as("c"))
+      .agg(avg(col("c"))).head.getDouble(0)
+    assert(within > pairMean,
+      s"within-cluster cohesion $within must beat corpus pairwise mean $pairMean")
+  }
+
   test("per-query RRF: each query document selects its OWN lexical terms") {
     // The point of retrieval_rrf_perq over retrieval_rrf: the lexical
     // side is query-DEPENDENT. Every query doc gets exactly 3 terms
