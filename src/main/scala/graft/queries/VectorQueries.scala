@@ -159,8 +159,7 @@ object VectorQueries {
     * (terms, dl, stats, dfT, qTerms). */
   private[graft] def perQueryLexStages(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val d = TableLoader.load(spark, dir, "documents")
-    val terms = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val terms = TextQueries.termsTable(spark, dir)
     val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
     // Per-query-doc term frequencies and the (small) query vocabulary.
