@@ -17,7 +17,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * after an executor loss call [[clear]] to force recomputation.
   */
 object PlanCache {
-  private val Max = 8
+  // Must exceed the number of memoized derivations a one-dir session
+  // touches (currently 8: vec top-20, video frames, png media, two
+  // graph edge tables, terms postings, char-dedup, jaccard pairs) —
+  // at the cap, one more key would evict-thrash every query.
+  private val Max = 12
   private val cache =
     new java.util.LinkedHashMap[(SparkSession, String), DataFrame](16, 0.75f, true) {
       override def removeEldestEntry(

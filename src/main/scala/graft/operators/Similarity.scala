@@ -769,14 +769,26 @@ object Similarity {
       .join(cd, col("cid") === col("cid2"))
       .withColumn("cos_c",
         cosMicro(spark, col("embedding"), col("n"), col("cvec"), col("cn")))
-    val sizes = member.groupBy(col("cid")).agg(
-      count(lit(1)).as("n_vecs"),
-      countDistinct(col("label")).as("n_labels"),
-      sum(col("cos_c")).as("sum_cos"),
-      min(col("cos_c")).as("min_cos_micro"))
+    // ONE corpus pass: the (cid, label) partial aggregation carries
+    // everything — sizes, label counts, cohesion sums — so the scan +
+    // map-only assignment run once and the reaggregation to nCentroids
+    // groups is label-count-sized.
+    // The lazy checkpoint pins the (nCentroids x nLabels)-row result,
+    // so the corpus scan + assignment genuinely run once even though
+    // two consumers (sizes, dominant label) branch from here — Spark
+    // does not CSE shared DataFrame subtrees on its own.
+    val perLabel = member.groupBy(col("cid"), col("label")).agg(
+      count(lit(1)).as("lc"),
+      sum(col("cos_c")).as("sc"),
+      min(col("cos_c")).as("mc"))
+      .localCheckpoint(false)
+    val sizes = perLabel.groupBy(col("cid")).agg(
+      sum(col("lc")).as("n_vecs"),
+      count(lit(1)).as("n_labels"),
+      sum(col("sc")).as("sum_cos"),
+      min(col("mc")).as("min_cos_micro"))
     val wDom = Window.partitionBy(col("cid")).orderBy(col("lc").desc, col("label"))
-    val dom = member.groupBy(col("cid"), col("label"))
-      .agg(count(lit(1)).as("lc"))
+    val dom = perLabel
       .withColumn("r", row_number().over(wDom)).where(col("r") === 1)
       .select(col("cid").as("cid3"), col("label").as("dom_label"), col("lc"))
     sizes.join(dom, col("cid") === col("cid3"))
