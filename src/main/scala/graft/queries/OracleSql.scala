@@ -39,6 +39,29 @@ object OracleSql {
   def cosMicro(qv: String, nv: String): String =
     s"CAST(FLOOR(1e6 * (${dot(qv, nv)} / (SQRT(${dot(qv, qv)}) * SQRT(${dot(nv, nv)})))) AS BIGINT)"
 
+  // Okapi BM25 from scratch over the full corpus; shared verbatim by
+  // text_bm25 and text_bm25_inc (see the map entries).
+  val bm25Sql: String =
+    """WITH terms AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY 1),
+      |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms
+      |       WHERE term IN ('vector', 'join', 'scan') GROUP BY 1, 2),
+      |df AS (SELECT term AS t2, COUNT(DISTINCT doc_id) AS df FROM terms
+      |       WHERE term IN ('vector', 'join', 'scan') GROUP BY 1),
+      |s0 AS (SELECT doc_id, term, tf, df, dl, n_docs, total_tokens // n_docs AS avgdl
+      |       FROM tf JOIN df ON term = t2 JOIN dl USING (doc_id) CROSS JOIN stats),
+      |s1 AS (SELECT *, (7500 * dl) // avgdl AS normq FROM s0),
+      |s2 AS (SELECT *, tf * 10000 + (12 * (2500 + normq)) // 10 AS denom FROM s1),
+      |s3 AS (SELECT *, (tf * 22000 * 1000000) // denom AS tfpart,
+      |       ((2 * (n_docs - df) + 1) * 1000000) // (2 * df + 1) AS idf FROM s2),
+      |sc AS (SELECT doc_id, CAST((idf * tfpart) // 1000000 AS BIGINT) AS score FROM s3),
+      |ds AS (SELECT doc_id, CAST(SUM(score) AS BIGINT) AS bm25, COUNT(*) AS n_terms_hit
+      |       FROM sc GROUP BY 1),
+      |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk FROM ds)
+      |SELECT CAST(rnk AS INT) AS rnk, doc_id, n_terms_hit, bm25
+      |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+
   val moneySum = "CAST(SUM(CAST(%s AS DECIMAL(18,2))) * 100 AS BIGINT)"
   def cents(e: String): String = moneySum.format(e)
   /** Per-row ROUND(x*100) cents — for products of doubles (see
@@ -1516,26 +1539,12 @@ object OracleSql {
     // Okapi BM25 (k1=1.2, b=0.75) in pure integer fixed-point — each
     // floor division mirrors the Spark `div` on the same positive
     // operands, so the ranking hash-matches bit-for-bit.
-    "text_bm25" ->
-      """WITH terms AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
-        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY 1),
-        |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl),
-        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms
-        |       WHERE term IN ('vector', 'join', 'scan') GROUP BY 1, 2),
-        |df AS (SELECT term AS t2, COUNT(DISTINCT doc_id) AS df FROM terms
-        |       WHERE term IN ('vector', 'join', 'scan') GROUP BY 1),
-        |s0 AS (SELECT doc_id, term, tf, df, dl, n_docs, total_tokens // n_docs AS avgdl
-        |       FROM tf JOIN df ON term = t2 JOIN dl USING (doc_id) CROSS JOIN stats),
-        |s1 AS (SELECT *, (7500 * dl) // avgdl AS normq FROM s0),
-        |s2 AS (SELECT *, tf * 10000 + (12 * (2500 + normq)) // 10 AS denom FROM s1),
-        |s3 AS (SELECT *, (tf * 22000 * 1000000) // denom AS tfpart,
-        |       ((2 * (n_docs - df) + 1) * 1000000) // (2 * df + 1) AS idf FROM s2),
-        |sc AS (SELECT doc_id, CAST((idf * tfpart) // 1000000 AS BIGINT) AS score FROM s3),
-        |ds AS (SELECT doc_id, CAST(SUM(score) AS BIGINT) AS bm25, COUNT(*) AS n_terms_hit
-        |       FROM sc GROUP BY 1),
-        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk FROM ds)
-        |SELECT CAST(rnk AS INT) AS rnk, doc_id, n_terms_hit, bm25
-        |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+    "text_bm25" -> bm25Sql,
+    // The incremental stored-index path must equal from-scratch BM25
+    // over the whole corpus — the oracle IS text_bm25's, verbatim:
+    // a hash match proves the lake-committed postings/doclens
+    // maintenance is lossless.
+    "text_bm25_inc" -> bm25Sql,
 
     // 5 unrolled power iterations of the fixed-point PageRank —
     // generated as chained CTEs so the oracle runs the IDENTICAL

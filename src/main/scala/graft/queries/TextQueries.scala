@@ -229,16 +229,28 @@ object TextQueries {
     * scalars — the only per-document state that moves is (doc_id, dl).
     */
   def bm25Q(spark: SparkSession, dir: String): DataFrame = {
-    val qTerms = Seq("vector", "join", "scan")
     val terms = termsTable(spark, dir)
     val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("total_tokens"))
-    val qt = terms.where(col("term").isin(qTerms: _*))
+    val qt = terms.where(col("term").isin(Bm25QueryTerms: _*))
     val tf = qt.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = qt.select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .withColumnRenamed("term", "t2")
+    bm25Score(tf, df, dl, stats)
+  }
+
+  private[graft] val Bm25QueryTerms = Seq("vector", "join", "scan")
+
+  /** The shared integer Okapi arithmetic + top-20 rank emit, from the
+    * four index-shaped inputs: `tf` (doc_id, term, tf) filtered to the
+    * query terms, `df` (t2, df), `dl` (doc_id, dl), and the 1-row
+    * `stats` (n_docs, total_tokens). [[bm25Q]] derives them from the
+    * corpus scan; [[bm25IncQ]] from the lake-committed incremental
+    * index — identical frames in, bit-identical ranking out. */
+  private def bm25Score(tf: DataFrame, df: DataFrame, dl: DataFrame,
+      stats: DataFrame): DataFrame = {
     val scored = tf.join(broadcast(df), col("term") === col("t2"))
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
@@ -262,6 +274,73 @@ object TextQueries {
       .select(col("rnk").cast("int").as("rnk"), col("doc_id"),
         col("n_terms_hit"), col("bm25"))
       .orderBy(col("rnk"))
+  }
+
+  /** The lake roots of the incremental lexical index ([[bm25IncQ]]):
+    * the postings table (doc_id, term, tf) and the doc-length table
+    * (doc_id, dl), each a [[graft.sinks.VersionedTable]] with v0 = the
+    * historical build and v1 = one ingest batch's delta. Exposed for
+    * the spec that pins the build-once/batch-isolation contract. */
+  private[graft] def lexIndexRoots(dir: String): (String, String) = {
+    val fixtureVersion = 1
+    def root(kind: String) = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_lex_${kind}_v${fixtureVersion}_${Integer.toHexString(dir.hashCode)}")
+      .getAbsolutePath
+    (root("postings"), root("doclens"))
+  }
+
+  /** BM25 served from an INCREMENTALLY-MAINTAINED stored inverted
+    * index — the third stored-state operational loop after the frozen
+    * IVF quantizer (ann_ivf_stored) and the MinHash band signatures
+    * (dedup_survivors_minhash_inc). The index is two lake tables
+    * committed via [[graft.sinks.VersionedTable]] (staging + atomic
+    * rename): POSTINGS (doc_id, term, tf) and DOCLENS (doc_id, dl),
+    * with v0 = the historical corpus build (the 3-in-4 sources) and
+    * v1 = one ingest batch's delta (the 1-in-4 "new" sources). Only
+    * the batch's documents are ever tokenized on the incremental run —
+    * v0 is read back, never re-derived — and DOCLENS is derived from
+    * the COMMITTED postings (index-internal consistency, not a side
+    * recompute). Serving reads v0 ∪ v1: the query-term filter pushes
+    * down to the postings parquet scan (an inverted-index probe — the
+    * full postings table is never materialized for scoring), df/stats
+    * are broadcast scalars, and the only per-document state that moves
+    * is (doc_id, dl). The oracle is from-scratch BM25 over the whole
+    * corpus (text_bm25's SQL verbatim), so the driver's hash check
+    * proves the incremental maintenance is lossless — same contract
+    * the minhash-inc spec pins label-for-label. */
+  def bm25IncQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.VersionedTable
+    val d = docs(spark, dir)
+    val isNewSource = pmod(xxhash64(col("source")), lit(4L)) === 0L
+    def postingsOf(batch: DataFrame): DataFrame = batch
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val (pRoot, dRoot) = lexIndexRoots(dir)
+    // Each root's commits are guarded by ITS OWN latestVersion, so a
+    // crash between any two commits resumes idempotently.
+    if (VersionedTable.latestVersion(spark, pRoot).isEmpty)
+      VersionedTable.commit(postingsOf(d.where(!isNewSource)), pRoot)
+    if (VersionedTable.latestVersion(spark, pRoot).contains(0L))
+      VersionedTable.commit(postingsOf(d.where(isNewSource)), pRoot)
+    def doclensOf(v: Long) = VersionedTable.read(spark, pRoot, Some(v))
+      .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    if (VersionedTable.latestVersion(spark, dRoot).isEmpty)
+      VersionedTable.commit(doclensOf(0L), dRoot)
+    if (VersionedTable.latestVersion(spark, dRoot).contains(0L))
+      VersionedTable.commit(doclensOf(1L), dRoot)
+    val postings = VersionedTable.read(spark, pRoot, Some(0L))
+      .unionByName(VersionedTable.read(spark, pRoot, Some(1L)))
+    val dl = VersionedTable.read(spark, dRoot, Some(0L))
+      .unionByName(VersionedTable.read(spark, dRoot, Some(1L)))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_tokens"))
+    // Postings are unique per (doc_id, term) within a version and the
+    // two versions' doc sets are disjoint (the source split), so df is
+    // a plain per-term row count of the probed postings.
+    val tf = postings.where(col("term").isin(Bm25QueryTerms: _*))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumnRenamed("term", "t2")
+    bm25Score(tf, df, dl, stats)
   }
 
   /** Deterministic stratified sampling + train/test split: membership

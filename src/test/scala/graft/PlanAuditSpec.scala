@@ -225,6 +225,17 @@ class PlanAuditSpec extends SparkSpec {
       s"expected broadcast stat joins:\n${p.take(600)}")
   }
 
+  test("text_bm25_inc: the query-term probe pushes down to the stored postings scan") {
+    val p = plan(TextQueries.bm25IncQ(spark, Sf))
+    // the inverted-index probe: term IN (...) reaches the postings
+    // parquet scan as a pushed filter, so serving never materializes
+    // the full postings table
+    assert(p.contains("In(term") || p.contains("EqualTo(term"),
+      s"query terms not pushed to the postings scan:\n${p.take(900)}")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not be a global sort:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("text_containment: candidates come from the shingle equijoin, never a cartesian") {
     val p = plan(TextQueries.textContainmentQ(spark, Sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
