@@ -328,10 +328,11 @@ object TextQueries {
       VersionedTable.commit(doclensOf(0L), dRoot)
     if (VersionedTable.latestVersion(spark, dRoot).contains(0L))
       VersionedTable.commit(doclensOf(1L), dRoot)
-    val postings = VersionedTable.read(spark, pRoot, Some(0L))
-      .unionByName(VersionedTable.read(spark, pRoot, Some(1L)))
-    val dl = VersionedTable.read(spark, dRoot, Some(0L))
-      .unionByName(VersionedTable.read(spark, dRoot, Some(1L)))
+    // Serving reads the accumulated index as ONE partition-discovered
+    // scan (v is a partition column; pruning rides PartitionFilters),
+    // pinned at the snapshot both batches have landed in.
+    val postings = VersionedTable.readAll(spark, pRoot, upTo = Some(1L))
+    val dl = VersionedTable.readAll(spark, dRoot, upTo = Some(1L))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("total_tokens"))
     // Postings are unique per (doc_id, term) within a version and the

@@ -131,6 +131,24 @@ object VersionedTable {
     spark.read.parquet(new Path(root, s"v=$v").toString)
   }
 
+  /** Every committed version in ONE partition-discovered scan: the
+    * `v=N` version directories are Hive-style partitions, so a reader
+    * serving the union of all versions (an incrementally maintained
+    * index — e.g. the bm25_inc postings) gets a single parquet
+    * relation with `v` as a partition column. Version pruning rides
+    * PartitionFilters (never file-level unions in the plan), a new
+    * delta becomes visible by committing it, and `upTo` pins a
+    * snapshot (versions <= upTo) so a serve plan stays reproducible
+    * against a root that keeps growing. Dot-prefixed staging dirs are
+    * invisible to discovery, so a concurrent commit never tears a
+    * read. */
+  def readAll(spark: SparkSession, root: String, upTo: Option[Long] = None): DataFrame = {
+    if (versions(spark, root).isEmpty)
+      throw new IllegalArgumentException(s"no committed versions at $root")
+    val df = spark.read.option("basePath", root).parquet(root)
+    upTo.fold(df)(n => df.where(col("v") <= n)).drop("v")
+  }
+
   /** Row-level change report between two versions: one row per key
     * whose content was `added`, `removed`, or `updated` (content
     * compared by a column-order-stable xxhash64 over every non-key

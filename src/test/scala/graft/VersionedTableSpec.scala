@@ -38,6 +38,34 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.diff(spark, root, 1L, 2L, Seq("id")).count() === 0L)
   }
 
+  test("readAll unions every version in one partition-discovered scan; upTo pins a snapshot") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_ra").toString + "/table"
+    val a = Seq((1L, 10L), (2L, 20L))
+    val b = Seq((3L, 30L))
+    val c = Seq((4L, 40L))
+    VersionedTable.commit(a.toDF("id", "x"), root)
+    VersionedTable.commit(b.toDF("id", "x"), root)
+    VersionedTable.commit(c.toDF("id", "x"), root)
+
+    val all = VersionedTable.readAll(spark, root)
+    assert(all.columns.toSeq === Seq("id", "x")) // partition col dropped
+    assert(all.as[(Long, Long)].collect().toSet === (a ++ b ++ c).toSet)
+    // snapshot read ignores the later delta
+    val snap = VersionedTable.readAll(spark, root, upTo = Some(1L))
+    assert(snap.as[(Long, Long)].collect().toSet === (a ++ b).toSet)
+    // version pruning is a PartitionFilter on the single relation, not
+    // a per-version plan union
+    snap.count()
+    val p = snap.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("v#"),
+      s"expected partition pruning on v:\n${p.take(600)}")
+    assert(!p.contains("Union"), s"expected one scan, not unions:\n${p.take(600)}")
+
+    intercept[IllegalArgumentException] {
+      VersionedTable.readAll(spark, root + "_missing")
+    }
+  }
+
   test("rename race: nesting under a concurrent winner is detected and recovered") {
     import org.apache.hadoop.fs.Path
     val root = java.nio.file.Files.createTempDirectory("graft_vt_race").toString
