@@ -308,13 +308,32 @@ object TextQueries {
     * corpus (text_bm25's SQL verbatim), so the driver's hash check
     * proves the incremental maintenance is lossless — same contract
     * the minhash-inc spec pins label-for-label. */
+  /** One batch's postings delta (doc_id, term, tf) — the unit the
+    * batch ([[bm25IncQ]]) and streaming
+    * ([[graft.streaming.IndexStream]]) index maintenance both land. */
+  private[graft] def postingsOf(batch: DataFrame): DataFrame = batch
+    .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** BM25 from an index's two tables (accumulated postings + doc
+    * lengths), however they were maintained — the serve path shared by
+    * the batch and streaming incremental loops. */
+  private[graft] def bm25FromIndex(postings: DataFrame, dl: DataFrame): DataFrame = {
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_tokens"))
+    // Postings are unique per (doc_id, term) within a version and the
+    // versions' doc sets are disjoint, so df is a plain per-term row
+    // count of the probed postings.
+    val tf = postings.where(col("term").isin(Bm25QueryTerms: _*))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumnRenamed("term", "t2")
+    bm25Score(tf, df, dl, stats)
+  }
+
   def bm25IncQ(spark: SparkSession, dir: String): DataFrame = {
     import graft.sinks.VersionedTable
     val d = docs(spark, dir)
     val isNewSource = pmod(xxhash64(col("source")), lit(4L)) === 0L
-    def postingsOf(batch: DataFrame): DataFrame = batch
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val (pRoot, dRoot) = lexIndexRoots(dir)
     // Each root's commits are guarded by ITS OWN latestVersion, so a
     // crash between any two commits resumes idempotently.
@@ -331,17 +350,9 @@ object TextQueries {
     // Serving reads the accumulated index as ONE partition-discovered
     // scan (v is a partition column; pruning rides PartitionFilters),
     // pinned at the snapshot both batches have landed in.
-    val postings = VersionedTable.readAll(spark, pRoot, upTo = Some(1L))
-    val dl = VersionedTable.readAll(spark, dRoot, upTo = Some(1L))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("total_tokens"))
-    // Postings are unique per (doc_id, term) within a version and the
-    // two versions' doc sets are disjoint (the source split), so df is
-    // a plain per-term row count of the probed postings.
-    val tf = postings.where(col("term").isin(Bm25QueryTerms: _*))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .withColumnRenamed("term", "t2")
-    bm25Score(tf, df, dl, stats)
+    bm25FromIndex(
+      VersionedTable.readAll(spark, pRoot, upTo = Some(1L)),
+      VersionedTable.readAll(spark, dRoot, upTo = Some(1L)))
   }
 
   /** Deterministic stratified sampling + train/test split: membership

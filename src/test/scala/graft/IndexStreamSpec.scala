@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.TextQueries
+import graft.sinks.VersionedTable
+import graft.streaming.IndexStream
+
+/** Pins the streaming index-maintenance loop: a document stream landed
+  * one postings version per micro-batch serves BM25 identical to the
+  * from-scratch corpus ranking, and a full replay of the source lands
+  * nothing new (the version ledger is the idempotence guard).
+  */
+class IndexStreamSpec extends SparkSpec {
+
+  test("streamed postings maintenance serves BM25 equal to from-scratch; replay lands nothing") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idxstream").toString
+    val src = s"$tmp/docs"
+    val root = s"$tmp/postings"
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    docs.repartition(3).write.parquet(src)
+    def stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+
+    val q = IndexStream.runVersionedSink(
+      stream, root, TextQueries.postingsOf _, Some(s"$tmp/ckpt"))
+    q.awaitTermination(120000)
+    val nv = VersionedTable.versions(spark, root).size
+    assert(nv >= 2, s"expected one version per micro-batch, got $nv")
+
+    val postings = VersionedTable.readAll(spark, root)
+    val dl = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val served = TextQueries.bm25FromIndex(postings, dl)
+      .collect().map(_.toSeq).toSeq
+    val scratch = TextQueries.bm25Q(spark, Sf).collect().map(_.toSeq).toSeq
+    assert(served.nonEmpty && served === scratch)
+
+    // Replay the whole source with a fresh checkpoint: every batch id
+    // is already covered by the ledger, so nothing new lands and the
+    // served ranking is unchanged.
+    val q2 = IndexStream.runVersionedSink(
+      stream, root, TextQueries.postingsOf _, Some(s"$tmp/ckpt2"))
+    q2.awaitTermination(120000)
+    assert(VersionedTable.versions(spark, root).size === nv)
+  }
+}
