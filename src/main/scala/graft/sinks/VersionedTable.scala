@@ -105,6 +105,15 @@ object VersionedTable {
     val staging = new Path(root,
       s".staging-${java.util.UUID.randomUUID.toString.take(12)}")
     df.write.mode("overwrite").parquet(staging.toString)
+    commitStaged(spark, f, root, staging, maxAttempts)
+  }
+
+  /** Rename a fully-written staging dir onto the next version id, with
+    * the race hardening commit always had. Shared by [[commit]] and
+    * [[foldHistory]] (whose staging additionally carries the fold
+    * marker, so marker and data land in one atomic rename). */
+  private def commitStaged(spark: SparkSession, f: org.apache.hadoop.fs.FileSystem,
+      root: String, staging: Path, maxAttempts: Int): Long = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val next = latestVersion(spark, root).getOrElse(-1L) + 1
@@ -147,6 +156,70 @@ object VersionedTable {
       throw new IllegalArgumentException(s"no committed versions at $root")
     val df = spark.read.option("basePath", root).parquet(root)
     upTo.fold(df)(n => df.where(col("v") <= n)).drop("v")
+  }
+
+  private val FoldMarker = "^_folded_upto_(\\d+)$".r
+
+  /** Fold versions [0..upTo] into ONE equivalent version — snapshot
+    * retention for roots that accrue a version per batch or
+    * micro-batch ([[graft.streaming.IndexStream]]): the `versions`
+    * listing and `readAll`'s partition count stay bounded while the
+    * served rows are unchanged. Granular history inside the folded
+    * range is deliberately destroyed — the same trade as snapshot
+    * expiry / vacuum in the public lakehouse formats, and like them
+    * this is an OFFLINE maintenance job: a reader pinned inside the
+    * folded range loses its version, and a readAll racing the
+    * deletions can observe a partial union.
+    *
+    * Crash safety is by RESUME, not atomicity: the folded union is
+    * staged WITH a `_folded_upto_<N>` marker file (underscore-prefixed
+    * — invisible to parquet readers) and lands in one atomic rename,
+    * so "this version replaces everything <= N" becomes true at the
+    * same instant the data appears; the folded range is deleted after.
+    * A crash in between leaves the root over-counting, and the next
+    * [[foldHistory]] (or [[recoverFold]]) reads the marker and
+    * completes the deletions before doing anything else.
+    *
+    * Returns the folded version's id. */
+  def foldHistory(spark: SparkSession, root: String,
+      upTo: Option[Long] = None, maxAttempts: Int = 5): Long = {
+    recoverFold(spark, root)
+    val vs = versions(spark, root)
+    if (vs.isEmpty)
+      throw new IllegalArgumentException(s"no committed versions at $root")
+    val hi = upTo.getOrElse(vs.last)
+    val range = vs.filter(_ <= hi)
+    if (range.size <= 1) return range.lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no versions <= $hi at $root"))
+    val f = fs(spark, root)
+    val staging = new Path(root,
+      s".staging-${java.util.UUID.randomUUID.toString.take(12)}")
+    readAll(spark, root, upTo = Some(hi))
+      .write.mode("overwrite").parquet(staging.toString)
+    f.create(new Path(staging, s"_folded_upto_$hi")).close()
+    val folded = commitStaged(spark, f, root, staging, maxAttempts)
+    recoverFold(spark, root)
+    folded
+  }
+
+  /** Complete any pending fold: for every surviving version carrying a
+    * `_folded_upto_<N>` marker, delete the versions <= N it replaced.
+    * Idempotent (an already-completed fold deletes nothing) and safe
+    * at any time — the marker landed atomically with the folded data,
+    * so its claim is always true. */
+  def recoverFold(spark: SparkSession, root: String): Unit = {
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    val replacedUpTo = vs.flatMap { v =>
+      f.listStatus(new Path(root, s"v=$v")).toSeq.collect {
+        case s if FoldMarker.findFirstMatchIn(s.getPath.getName).isDefined =>
+          FoldMarker.findFirstMatchIn(s.getPath.getName).get.group(1).toLong
+      }
+    }
+    if (replacedUpTo.nonEmpty) {
+      val n = replacedUpTo.max
+      vs.filter(_ <= n).foreach(v => f.delete(new Path(root, s"v=$v"), true))
+    }
   }
 
   /** Row-level change report between two versions: one row per key

@@ -41,5 +41,14 @@ class IndexStreamSpec extends SparkSpec {
       stream, root, TextQueries.postingsOf _, Some(s"$tmp/ckpt2"))
     q2.awaitTermination(120000)
     assert(VersionedTable.versions(spark, root).size === nv)
+
+    // Retention: fold the per-micro-batch ledger into one version and
+    // the served ranking is unchanged.
+    VersionedTable.foldHistory(spark, root)
+    assert(VersionedTable.versions(spark, root).size === 1)
+    val pf = VersionedTable.readAll(spark, root)
+    val dlf = pf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    assert(TextQueries.bm25FromIndex(pf, dlf)
+      .collect().map(_.toSeq).toSeq === scratch)
   }
 }

@@ -66,6 +66,43 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("foldHistory bounds the ledger, reads stay equivalent, a crashed fold resumes") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_fold").toString + "/table"
+    VersionedTable.commit(Seq((1L, 10L), (2L, 20L)).toDF("id", "x"), root)
+    VersionedTable.commit(Seq((3L, 30L)).toDF("id", "x"), root)
+    VersionedTable.commit(Seq((4L, 40L)).toDF("id", "x"), root)
+    val before = VersionedTable.readAll(spark, root)
+      .as[(Long, Long)].collect().toSet
+
+    val folded = VersionedTable.foldHistory(spark, root)
+    assert(folded === 3L)
+    assert(VersionedTable.versions(spark, root) === Seq(3L))
+    assert(VersionedTable.readAll(spark, root)
+      .as[(Long, Long)].collect().toSet === before)
+    // the folded version is an ordinary pinned-readable version
+    assert(VersionedTable.read(spark, root, Some(3L))
+      .as[(Long, Long)].collect().toSet === before)
+    // folding a single version is a no-op
+    assert(VersionedTable.foldHistory(spark, root) === 3L)
+    assert(VersionedTable.versions(spark, root) === Seq(3L))
+
+    // Crash simulation: a new delta lands, then a fold dies after its
+    // folded version (data + marker, atomic) renamed into place but
+    // before the replaced versions were deleted.
+    VersionedTable.commit(Seq((5L, 50L)).toDF("id", "x"), root) // v4
+    val want = VersionedTable.readAll(spark, root)
+      .as[(Long, Long)].collect().toSet
+    VersionedTable.commit(VersionedTable.readAll(spark, root), root) // v5 = union
+    assert(new java.io.File(s"$root/v=5/_folded_upto_4").createNewFile())
+    // over-counting state is real (every row now appears twice) ...
+    assert(VersionedTable.readAll(spark, root).count() === 2L * want.size)
+    // ... and recovery completes the fold
+    VersionedTable.recoverFold(spark, root)
+    assert(VersionedTable.versions(spark, root) === Seq(5L))
+    assert(VersionedTable.readAll(spark, root)
+      .as[(Long, Long)].collect().toSet === want)
+  }
+
   test("rename race: nesting under a concurrent winner is detected and recovered") {
     import org.apache.hadoop.fs.Path
     val root = java.nio.file.Files.createTempDirectory("graft_vt_race").toString
