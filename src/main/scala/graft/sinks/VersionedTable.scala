@@ -99,12 +99,17 @@ object VersionedTable {
     } else if (f.exists(target)) LostRace // appeared mid-flight; FS refused
     else RenameFailed
 
-  def commit(df: DataFrame, root: String, maxAttempts: Int = 5): Long = {
+  def commit(df: DataFrame, root: String, maxAttempts: Int = 5,
+      markers: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     val staging = new Path(root,
       s".staging-${java.util.UUID.randomUUID.toString.take(12)}")
     df.write.mode("overwrite").parquet(staging.toString)
+    markers.foreach { m =>
+      require(m.startsWith("_"), s"marker must be underscore-prefixed: $m")
+      f.create(new Path(staging, m)).close()
+    }
     commitStaged(spark, f, root, staging, maxAttempts)
   }
 
@@ -159,6 +164,27 @@ object VersionedTable {
   }
 
   private val FoldMarker = "^_folded_upto_(\\d+)$".r
+  // Any numbered marker a committer attached (`_<name>_<number>`), e.g.
+  // the streaming sink's `_batch_id_<B>` replay ledger.
+  private val NumberedMarker = "^_([a-z][a-z0-9_]*?)_(\\d+)$".r
+
+  /** Max `<number>` over every `_<name>_<number>` marker file on the
+    * SURVIVING versions of `root` (None when no such marker exists).
+    * Markers land atomically with their version's data and
+    * [[foldHistory]] carries each family's max into the folded
+    * version, so a claim read here survives both crashes and
+    * retention. */
+  def maxMarker(spark: SparkSession, root: String, name: String): Option[Long] = {
+    val f = fs(spark, root)
+    val vals = versions(spark, root).flatMap { v =>
+      f.listStatus(new Path(root, s"v=$v")).toSeq.flatMap(s =>
+        s.getPath.getName match {
+          case NumberedMarker(n, num) if n == name => Some(num.toLong)
+          case _ => None
+        })
+    }
+    if (vals.isEmpty) None else Some(vals.max)
+  }
 
   /** Fold versions [0..upTo] into ONE equivalent version — snapshot
     * retention for roots that accrue a version per batch or
@@ -192,11 +218,23 @@ object VersionedTable {
     if (range.size <= 1) return range.lastOption.getOrElse(
       throw new IllegalArgumentException(s"no versions <= $hi at $root"))
     val f = fs(spark, root)
+    // Carry every committer-attached numbered marker family forward at
+    // its max (e.g. the streaming sink's `_batch_id_<B>` replay
+    // ledger), so claims that must outlive retention do.
+    val carried = range.flatMap { v =>
+      f.listStatus(new Path(root, s"v=$v")).toSeq.flatMap(s =>
+        s.getPath.getName match {
+          case NumberedMarker(n, num) if n != "folded_upto" => Some(n -> num.toLong)
+          case _ => None
+        })
+    }.groupMapReduce(_._1)(_._2)(math.max)
+      .map { case (n, num) => s"_${n}_$num" }.toSeq
     val staging = new Path(root,
       s".staging-${java.util.UUID.randomUUID.toString.take(12)}")
     readAll(spark, root, upTo = Some(hi))
       .write.mode("overwrite").parquet(staging.toString)
-    f.create(new Path(staging, s"_folded_upto_$hi")).close()
+    (s"_folded_upto_$hi" +: carried).foreach(m =>
+      f.create(new Path(staging, m)).close())
     val folded = commitStaged(spark, f, root, staging, maxAttempts)
     recoverFold(spark, root)
     folded

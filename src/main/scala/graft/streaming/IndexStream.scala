@@ -12,15 +12,18 @@ import graft.sinks.VersionedTable
   * a retrieval layer serves from accrues one immutable version per
   * batch and `readAll` always sees a consistent union.
   *
-  * Replay idempotence comes from the version ledger itself: versions
-  * commit in micro-batch order, so version id == micro-batch id, and
-  * a replayed batch (after a sink crash between the commit and the
-  * checkpoint advancing, or a re-run over the same source without a
-  * checkpoint) finds its id already covered by the ledger and is
-  * skipped — the same exactly-once-by-ledger discipline a foreachBatch
-  * MERGE sink gets from last-writer-wins on batch id. The commit
-  * itself is staging + atomic rename, so a reader never observes a
-  * torn version even mid-commit.
+  * Replay idempotence: every version lands with a `_batch_id_<B>`
+  * marker file staged alongside its data (one atomic rename, so the
+  * marker's claim is true the instant the version is visible), and a
+  * batch whose id is already <= the max surviving marker is skipped —
+  * a replay after a sink crash between the commit and the checkpoint
+  * advancing, or a re-run over the same source with a fresh
+  * checkpoint, lands nothing twice. The marker — not the version
+  * COUNT — is the ledger, because [[VersionedTable.foldHistory]]
+  * retention shrinks the version list but carries each marker family's
+  * max into the folded version: ingestion continues correctly across
+  * folds. The commit itself is staging + atomic rename, so a reader
+  * never observes a torn version even mid-commit.
   *
   * Scale: the per-batch work is one tokenize + partial-agg of the
   * BATCH only (never the accumulated corpus), and the ledger check is
@@ -37,11 +40,13 @@ object IndexStream {
       checkpointDir: Option[String] = None): StreamingQuery = {
     val writer = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // The ledger guard: batch ids are sequential from 0 and every
-        // batch (even an empty one) commits, so a ledger already
-        // holding > batchId versions has landed this batch before.
-        if (VersionedTable.versions(batch.sparkSession, root).size <= batchId) {
-          VersionedTable.commit(transform(batch), root)
+        // The replay guard: batch ids are monotone, every batch (even
+        // an empty one) lands with its `_batch_id` marker, so a max
+        // surviving marker >= batchId means this batch landed before.
+        val spark = batch.sparkSession
+        if (VersionedTable.maxMarker(spark, root, "batch_id").forall(_ < batchId)) {
+          VersionedTable.commit(transform(batch), root,
+            markers = Seq(s"_batch_id_$batchId"))
           ()
         }
       }

@@ -50,5 +50,26 @@ class IndexStreamSpec extends SparkSpec {
     val dlf = pf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     assert(TextQueries.bm25FromIndex(pf, dlf)
       .collect().map(_.toSeq).toSeq === scratch)
+
+    // Ingestion continues across retention: new documents land with the
+    // ORIGINAL checkpoint. The batch-id ledger survived the fold as a
+    // carried marker, so the new batch commits (it is NOT mistaken for
+    // a replay) and the served ranking matches from-scratch over the
+    // grown corpus.
+    docs.limit(5).withColumn("doc_id", col("doc_id") + 10000000L)
+      .coalesce(1).write.mode("append").parquet(src)
+    val q3 = IndexStream.runVersionedSink(
+      stream, root, TextQueries.postingsOf _, Some(s"$tmp/ckpt"))
+    q3.awaitTermination(120000)
+    assert(VersionedTable.versions(spark, root).size === 2,
+      "the post-fold batch must land as a new delta")
+    val pAll = VersionedTable.readAll(spark, root)
+    val dlAll = pAll.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val servedAll = TextQueries.bm25FromIndex(pAll, dlAll)
+      .collect().map(_.toSeq).toSeq
+    val pScr = TextQueries.postingsOf(spark.read.parquet(src))
+    val dlScr = pScr.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    assert(servedAll === TextQueries.bm25FromIndex(pScr, dlScr)
+      .collect().map(_.toSeq).toSeq)
   }
 }
