@@ -9,6 +9,11 @@ import pandas as pd
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
 RUN_SPARK = os.environ.get("SKIP_SPARK", "") != "1"
+# ONLY=q1,q2 restricts the oracle pass to named queries (e.g. to top up an
+# existing CHECK_JSON artifact with newly added queries without re-running
+# the full multi-hour DuckDB pass); with MERGE_JSON=path the restricted
+# verdicts are merged into that artifact instead of replacing it.
+ONLY = set(filter(None, os.environ.get("ONLY", "").split(",")))
 
 if RUN_SPARK:
     r = subprocess.run(
@@ -40,9 +45,13 @@ results = {}
 # it as MISSING instead of silently shrinking the denominator.
 present = {n.rstrip("/").split("/")[-1] for n in glob.glob(f"{OUT}/*/")}
 for q in sorted(set(oracle) - present):
+    if ONLY and q not in ONLY:
+        continue
     results[q] = "MISSING (query errored during Verify?)"; emit(q, results[q])
 for name in sorted(glob.glob(f"{OUT}/*/")):
     qname = name.rstrip("/").split("/")[-1]
+    if ONLY and qname not in ONLY:
+        continue
     try:
         spark_df = norm(pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(f"{name}/*.parquet"))]))
     except Exception as e:
@@ -95,8 +104,14 @@ if os.environ.get("CHECK_JSON"):
                     "rows": int(v.split("rows=")[1]), "err": "no_oracle"}
         return {"rows_match": False, "schema_match": False, "hash_match": False,
                 "rows": None, "err": v[:300]}
-    payload = {"sf_dir": SF_DIR, "n_pass": okc, "n_total": len(results),
-               "queries": {q: row(v) for q, v in sorted(results.items())}}
+    queries = {q: row(v) for q, v in sorted(results.items())}
+    if os.environ.get("MERGE_JSON"):
+        prior = json.load(open(os.environ["MERGE_JSON"]))
+        queries = {**prior["queries"], **queries}
+    n_pass = sum(1 for v in queries.values()
+                 if v["hash_match"] or v["err"] == "no_oracle")
+    payload = {"sf_dir": SF_DIR, "n_pass": n_pass, "n_total": len(queries),
+               "queries": queries}
     with open(os.environ["CHECK_JSON"], "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
-    print(f"wrote {os.environ['CHECK_JSON']}")
+    print(f"wrote {os.environ['CHECK_JSON']} ({n_pass}/{len(queries)})")
