@@ -18,6 +18,14 @@ object VectorQueries {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     TableLoader.load(spark, dir, "embeddings")
 
+  /** Lake root of the frozen IVF quantizer (v0 = first-ever commit) —
+    * shared by the batch-incremental ([[annIvfStored]]) and streaming
+    * ([[annIvfStream]]) index maintainers, which is the point of the
+    * freeze: every consumer assigns against the SAME centroids. */
+  private def ivfCentroidRoot(dir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_ivf_cent_v2_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+
   /** Exact top-10 neighbors for query vectors (vec_id % 100 == 0). */
   def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
     val all = emb(spark, dir)
@@ -244,10 +252,7 @@ object VectorQueries {
     // frozen quantizer is pinned to version 0 (first-ever commit);
     // deterministic k-means makes any racing first-time trainer's
     // content identical anyway.
-    val fixtureVersion = 2
-    val root = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_ivf_cent_v${fixtureVersion}_${Integer.toHexString(dir.hashCode)}")
-      .getAbsolutePath
+    val root = ivfCentroidRoot(dir)
     Similarity.commitCentroidsIfAbsent(spark, root)(
       Similarity.kmeansCentroids(all, 16))
     val cents = Similarity.readCommittedCentroids(spark, root)
@@ -255,6 +260,55 @@ object VectorQueries {
     // IS the incrementally-built index (spec'd equal to a full rebuild).
     val lists = Similarity.assignToCentroids(all.where(col("vec_id") % 2 === 0), cents)
       .unionAll(Similarity.assignToCentroids(all.where(col("vec_id") % 2 =!= 0), cents))
+    Similarity.ivfTopKStored(all.where(col("vec_id") % 100 === 0), lists, cents, k = 10)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** STREAMED maintenance of the stored IVF index, driven end to end —
+    * the vector twin of `text_bm25_inc`'s streaming lexical loop, so
+    * both index families now close the same lifecycle: the embeddings
+    * table replayed as a file stream, each micro-batch assigned
+    * MAP-ONLY against the SAME frozen lake-committed quantizer the
+    * batch-incremental query ([[annIvfStored]]) reloads, and landed as
+    * the next [[graft.sinks.VersionedTable]] version by
+    * [[graft.streaming.IndexStream]] (one atomic commit + `_batch_id`
+    * replay-ledger marker per micro-batch); search probes the
+    * accumulated versions through one partition-discovered `readAll`
+    * scan. Repeat calls replay the source over the SAME checkpoint and
+    * ledger, land nothing twice, and serve the converged index — the
+    * production restart shape. Rows-only at the driver (IVF is
+    * approximate and Lloyd's k-means is not SQL-expressible);
+    * IndexStreamSpec proves the sharp end: stream → serve equals plain
+    * batch IVF row for row, a full replay lands nothing, and
+    * `foldHistory` retention leaves the served result unchanged. */
+  def annIvfStream(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir)
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_ivf_stream_v1_${Integer.toHexString(dir.hashCode)}")
+    base.mkdirs()
+    val src = new java.io.File(base, "src")
+    if (!src.exists()) {
+      val staging = new java.io.File(base, "src.tmp")
+      all.repartition(4).write.mode("overwrite").parquet(staging.getAbsolutePath)
+      if (!staging.renameTo(src)) // benign race: another run won
+        org.apache.hadoop.fs.FileUtil.fullyDelete(staging)
+    }
+    // One frozen quantizer, two consumers: the SAME v0 centroid commit
+    // annIvfStored serves from (deterministic k-means makes any racing
+    // first-time trainer's content identical).
+    val centRoot = ivfCentroidRoot(dir)
+    Similarity.commitCentroidsIfAbsent(spark, centRoot)(
+      Similarity.kmeansCentroids(all, 16))
+    val cents = Similarity.readCommittedCentroids(spark, centRoot)
+    val root = new java.io.File(base, "lists").getAbsolutePath
+    val schema = spark.read.parquet(src.getAbsolutePath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(src.getAbsolutePath)
+    val q = graft.streaming.IndexStream.runVersionedSink(
+      stream, root, b => Similarity.assignToCentroids(b, cents),
+      Some(new java.io.File(base, "ckpt").getAbsolutePath))
+    q.awaitTermination()
+    val lists = graft.sinks.VersionedTable.readAll(spark, root)
     Similarity.ivfTopKStored(all.where(col("vec_id") % 100 === 0), lists, cents, k = 10)
       .orderBy(col("q_id"), col("rnk"))
   }

@@ -36,11 +36,11 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query count matches the SURVEY inventory claim") {
-    // 163 query entries (156 at round 7 + round 8's ev_stream_hopping,
+    // 164 query entries (156 at round 7 + round 8's ev_stream_hopping,
     // text_dedup_spans_char + its kept-corpus terminal,
     // dedup_survivors_minhash_inc, retrieval_rrf_perq,
-    // vec_cluster_stats, and text_bm25_inc); update alongside SURVEY
-    // §2 when adding a query.
-    assert(SparkEntry.queries.size === 163, s"got ${SparkEntry.queries.size}")
+    // vec_cluster_stats, text_bm25_inc, and ann_ivf_stream); update
+    // alongside SURVEY §2 when adding a query.
+    assert(SparkEntry.queries.size === 164, s"got ${SparkEntry.queries.size}")
   }
 }

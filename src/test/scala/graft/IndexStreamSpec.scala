@@ -1,8 +1,10 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.operators.Similarity
 import graft.queries.TextQueries
 import graft.sinks.VersionedTable
+import graft.sources.TableLoader
 import graft.streaming.IndexStream
 
 /** Pins the streaming index-maintenance loop: a document stream landed
@@ -71,5 +73,53 @@ class IndexStreamSpec extends SparkSpec {
     val dlScr = pScr.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     assert(servedAll === TextQueries.bm25FromIndex(pScr, dlScr)
       .collect().map(_.toSeq).toSeq)
+  }
+
+  test("streamed IVF assignment serves search equal to plain IVF; replay and fold invariant") {
+    // The vector twin of the postings test: micro-batches of vectors
+    // assigned MAP-ONLY against a frozen lake-committed quantizer, one
+    // index version per batch. Deterministic k-means makes the frozen
+    // quantizer equal the one ivfTopK would train on the spot, and
+    // assignment is row-independent, so the stream-accumulated index
+    // must serve search IDENTICAL to plain batch IVF — row for row,
+    // regardless of how the stream happened to batch the corpus.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfstream").toString
+    val src = s"$tmp/vecs"
+    val root = s"$tmp/lists"
+    val all = TableLoader.load(spark, Sf, "embeddings")
+    all.repartition(3).write.parquet(src)
+    Similarity.commitCentroidsIfAbsent(spark, s"$tmp/cents")(
+      Similarity.kmeansCentroids(all, 16))
+    val cents = Similarity.readCommittedCentroids(spark, s"$tmp/cents")
+    def stream = spark.readStream.schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+
+    val q = IndexStream.runVersionedSink(
+      stream, root, b => Similarity.assignToCentroids(b, cents), Some(s"$tmp/ckpt"))
+    q.awaitTermination(120000)
+    val nv = VersionedTable.versions(spark, root).size
+    assert(nv >= 2, s"expected one version per micro-batch, got $nv")
+
+    val queries = all.where(col("vec_id") % 100 === 0)
+    def served = Similarity.ivfTopKStored(
+        queries, VersionedTable.readAll(spark, root), cents, k = 10)
+      .orderBy(col("q_id"), col("rnk")).collect().map(_.toSeq).toSeq
+    val plain = Similarity.ivfTopK(queries, all, k = 10)
+      .orderBy(col("q_id"), col("rnk")).collect().map(_.toSeq).toSeq
+    assert(plain.nonEmpty && served === plain)
+
+    // Full replay over a fresh checkpoint: the _batch_id ledger covers
+    // every batch, nothing lands, the served search is unchanged.
+    val q2 = IndexStream.runVersionedSink(
+      stream, root, b => Similarity.assignToCentroids(b, cents), Some(s"$tmp/ckpt2"))
+    q2.awaitTermination(120000)
+    assert(VersionedTable.versions(spark, root).size === nv)
+    assert(served === plain)
+
+    // Retention: fold the per-micro-batch versions into one — the
+    // served search must not move.
+    VersionedTable.foldHistory(spark, root)
+    assert(VersionedTable.versions(spark, root).size === 1)
+    assert(served === plain)
   }
 }
