@@ -236,6 +236,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("ivf assignment is map-only: literal centroids, no exchange in the plan") {
+    // The incremental/streamed index contract rests on this: assigning
+    // a batch against the frozen quantizer must cost one scan of the
+    // batch — centroids ride as literals, so ANY Exchange here means
+    // indexing a new batch started reshuffling data.
+    val all = graft.sources.TableLoader.load(spark, Sf, "embeddings")
+    val cents = graft.operators.Similarity.kmeansCentroids(all, 16)
+    val p = plan(graft.operators.Similarity.assignToCentroids(all, cents))
+    assert(!p.contains("Exchange"), s"assignment must not shuffle:\n${p.take(600)}")
+  }
+
   test("text_containment: candidates come from the shingle equijoin, never a cartesian") {
     val p = plan(TextQueries.textContainmentQ(spark, Sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
