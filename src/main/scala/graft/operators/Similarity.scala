@@ -454,12 +454,35 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
              nSub: Int = 8, nCodes: Int = 32, overFetch: Int = 8,
              kmeansIters: Int = 4): DataFrame = {
-    val spark = queries.sparkSession
     val books = pqCodebooks(corpus, nSub, nCodes, kmeansIters)
-    // Stored/hot corpus representation: codes + exact float norm.
-    val cq = corpus.select(col("vec_id").as("n_id"),
+    pqTopKStored(queries, pqEncodeTable(corpus, books), books, corpus, k, overFetch)
+  }
+
+  /** Map-only PQ encoding of a corpus (batch) into its stored index
+    * representation: (n_id, nSub one-byte codes, exact float norm) —
+    * what the lake persists per vector. Codebooks ride as plan
+    * literals, so encoding a new batch costs one scan of the batch and
+    * never reshuffles (the same frozen-quantizer contract as IVF
+    * assignment). */
+  def pqEncodeTable(corpus: DataFrame, books: Array[Array[Array[Float]]]): DataFrame = {
+    val spark = corpus.sparkSession
+    corpus.select(col("vec_id").as("n_id"),
       pqEncode(spark, col("embedding"), books).as("n_codes"),
       vecDot(spark, col("embedding"), col("embedding")).as("n_n"))
+  }
+
+  /** PQ/ADC top-k over a STORED code table (see [[pqTopK]], which is
+    * this over a freshly encoded corpus): the candidate scan reads
+    * only the ~16-byte code rows; `corpus` supplies the original
+    * floats for the shortlist rescore (an id-keyed fetch of
+    * `overFetch*k` rows per query — at scale, the point lookup a
+    * serving layer does against primary storage). */
+  def pqTopKStored(queries: DataFrame, codes: DataFrame,
+                   books: Array[Array[Array[Float]]], corpus: DataFrame,
+                   k: Int, overFetch: Int = 8): DataFrame = {
+    val spark = queries.sparkSession
+    val nSub = books.length
+    val cq = codes
     // Per-query LUT: nSub x nCodes approximate-dot entries.
     val lut = array(books.zipWithIndex.toSeq.map { case (book, s) =>
       val subDim = book(0).length
@@ -737,6 +760,45 @@ object Similarity {
   def readCommittedCentroids(spark: org.apache.spark.sql.SparkSession,
                              root: String): Array[Array[Float]] =
     centroidsFromDf(graft.sinks.VersionedTable.read(spark, root, Some(0L)))
+
+  /** PQ codebooks as a lake table: one row per (sub, code, vector).
+    * Float32 round-trips parquet exactly, so a reloaded codebook is
+    * bit-identical to the trained one (spec-asserted, same contract as
+    * the IVF quantizer). */
+  private def codebooksDf(spark: org.apache.spark.sql.SparkSession,
+                          books: Array[Array[Array[Float]]]): DataFrame = {
+    import spark.implicits._
+    (for { (book, s) <- books.zipWithIndex; (cv, c) <- book.zipWithIndex }
+      yield (s, c, cv.toSeq)).toSeq.toDF("sub", "code", "vec")
+  }
+
+  private def codebooksFromDf(df: DataFrame): Array[Array[Array[Float]]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("sub"), col("code"), col("vec"))
+      .as[(Int, Int, Seq[Float])].collect()
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3.toArray))
+  }
+
+  /** Commit trained PQ codebooks to a [[graft.sinks.VersionedTable]]
+    * root if no version exists yet — the PQ twin of
+    * [[commitCentroidsIfAbsent]]: codebooks are trained ONCE and
+    * frozen (re-training would silently re-code history), and the
+    * commit is staging + atomic rename so racing first-time trainers
+    * are safe. */
+  def commitCodebooksIfAbsent(spark: org.apache.spark.sql.SparkSession,
+                              root: String)(train: => Array[Array[Array[Float]]]): Unit =
+    if (graft.sinks.VersionedTable.latestVersion(spark, root).isEmpty) {
+      graft.sinks.VersionedTable.commit(
+        codebooksDf(spark, train).coalesce(1), root)
+      ()
+    }
+
+  /** The FROZEN codebooks: always version 0 (first-ever commit). */
+  def readCommittedCodebooks(spark: org.apache.spark.sql.SparkSession,
+                             root: String): Array[Array[Array[Float]]] =
+    codebooksFromDf(graft.sinks.VersionedTable.read(spark, root, Some(0L)))
 
   /** Map-only assignment of a vector batch to a (stored) quantizer:
     * centroids ride the plan as literals — no shuffle, no training.

@@ -446,6 +446,75 @@ object TextQueries {
   def decontaminateCharsQ(spark: SparkSession, dir: String): DataFrame =
     charDecontaminate(docs(spark, dir), pmod(col("doc_id"), lit(29L)) === 0)
 
+  /** STREAMING decontamination, driven end to end — the ingest-time
+    * shape of [[decontaminateQ]]: a decontamination service holds the
+    * benchmark's n-gram index as STORED lake state and screens every
+    * arriving document batch against it, so contaminated documents are
+    * flagged the moment they enter the lake instead of by a corpus-wide
+    * batch job later. The benchmark index (the eval slice's distinct
+    * word-8-gram hashes with their eval doc ids — benchmark-sized, tiny
+    * next to the corpus) is committed ONCE to a
+    * [[graft.sinks.VersionedTable]] root and reloaded by every batch;
+    * the documents table replays as a file stream, and each micro-batch
+    * is shingled (batch-only work), probes the broadcast index, and
+    * lands its per-document verdicts as the next index version through
+    * [[graft.streaming.IndexStream.runVersionedSink]] (atomic commit +
+    * `_batch_id` replay ledger, so a crash replay or a re-run over the
+    * same checkpoint lands nothing twice). A document is one row, so
+    * its verdict is complete within its own micro-batch — no cross-batch
+    * streaming state at all, which is why the accumulated verdict union
+    * is HASH-EXACT against the batch `text_decontaminate` oracle.
+    * Scale: per-batch cost is shingle+broadcast-probe of the BATCH only;
+    * the index never reshuffles; state is zero. */
+  def streamDecontamQ(spark: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_stream_decontam_v1_${Integer.toHexString(dir.hashCode)}")
+    base.mkdirs()
+    // Stream-source fixture: the documents table as 4 files => 4
+    // micro-batches at maxFilesPerTrigger=1 (written once per dir;
+    // staging + rename so a racing run never reads a torn copy).
+    val src = new java.io.File(base, "src")
+    if (!src.exists()) {
+      val staging = new java.io.File(base, "src.tmp")
+      docs(spark, dir).repartition(4)
+        .write.mode("overwrite").parquet(staging.getAbsolutePath)
+      if (!staging.renameTo(src)) // benign race: another run won
+        org.apache.hadoop.fs.FileUtil.fullyDelete(staging)
+    }
+    // Stored benchmark index, committed once (v0 pinned thereafter).
+    val idxRoot = new java.io.File(base, "eval_idx").getAbsolutePath
+    if (graft.sinks.VersionedTable.latestVersion(spark, idxRoot).isEmpty)
+      graft.sinks.VersionedTable.commit(
+        docs(spark, dir).where(pmod(col("doc_id"), lit(29L)) === 0)
+          .select(col("doc_id").as("eval_id"),
+            explode(shingleHashesNative(spark, col("text"), 8)).as("h"))
+          .distinct(),
+        idxRoot)
+    val verdictRoot = new java.io.File(base, "verdicts").getAbsolutePath
+    val schema = spark.read.parquet(src.getAbsolutePath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.getAbsolutePath)
+    val q = graft.streaming.IndexStream.runVersionedSink(
+      stream, verdictRoot,
+      b => {
+        // foreachBatch hands a clone session: resolve everything —
+        // index read included — against it.
+        val s = b.sparkSession
+        val evalIdx = graft.sinks.VersionedTable.read(s, idxRoot, Some(0L))
+        b.where(pmod(col("doc_id"), lit(29L)) =!= 0)
+          .select(col("doc_id"),
+            explode(shingleHashesNative(s, col("text"), 8)).as("h"))
+          .join(broadcast(evalIdx), "h")
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("h")).as("n_shared_ngrams"),
+            countDistinct(col("eval_id")).as("n_eval_docs"))
+      },
+      Some(new java.io.File(base, "ckpt").getAbsolutePath))
+    q.awaitTermination()
+    graft.sinks.VersionedTable.readAll(spark, verdictRoot)
+      .orderBy(col("doc_id"))
+  }
+
   /** Duplicated-SPAN REMOVAL (the step past flagging): the corpus-level
     * substring dedup of Lee et al. 2022 realized at word-8-gram
     * granularity — any 8-gram occurring more than once in the corpus

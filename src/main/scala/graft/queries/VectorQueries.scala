@@ -264,6 +264,37 @@ object VectorQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Incremental PQ over STORED codebooks — the third index family
+    * closing the same build-once/commit/reload/encode-map-only/serve
+    * lifecycle as the stored IVF quantizer ([[annIvfStored]]) and the
+    * stored lexical index (`text_bm25_inc`): PQ codebooks are trained
+    * ONCE and committed to the lake ([[Similarity
+    * .commitCodebooksIfAbsent]] — a VersionedTable commit, staging +
+    * atomic rename); each arriving batch (the two vec_id parity
+    * halves) is ENCODED map-only against the RELOADED frozen codebooks
+    * (literal plan constants — no retraining, no shuffle, ~16 bytes
+    * per vector landed); search runs ADC over the accumulated code
+    * table with only the shortlist rescored on floats
+    * ([[Similarity.pqTopKStored]] — at scale the rescore is an
+    * id-keyed point lookup against primary storage). Approximate (PQ)
+    * hence rows-only at the driver; SimilaritySpec proves the sharp
+    * end: reload is bit-exact and the whole stored path returns
+    * EXACTLY plain PQ's rows (deterministic codebooks + row-
+    * independent encoding), while codebooks trained on a different
+    * sample measurably do not. */
+  def annPqStored(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir)
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_pq_books_v1_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+    Similarity.commitCodebooksIfAbsent(spark, root)(
+      Similarity.pqCodebooks(all, nSub = 8, nCodes = 32))
+    val books = Similarity.readCommittedCodebooks(spark, root)
+    val codes = Similarity.pqEncodeTable(all.where(col("vec_id") % 2 === 0), books)
+      .unionAll(Similarity.pqEncodeTable(all.where(col("vec_id") % 2 =!= 0), books))
+    Similarity.pqTopKStored(all.where(col("vec_id") % 100 === 0), codes, books, all, k = 10)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** STREAMED maintenance of the stored IVF index, driven end to end —
     * the vector twin of `text_bm25_inc`'s streaming lexical loop, so
     * both index families now close the same lifecycle: the embeddings
@@ -311,6 +342,28 @@ object VectorQueries {
     val lists = graft.sinks.VersionedTable.readAll(spark, root)
     Similarity.ivfTopKStored(all.where(col("vec_id") % 100 === 0), lists, cents, k = 10)
       .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** PCA dimensionality reduction of the embedding corpus (64 -> 8):
+    * ONE distributed moment pass (per-partition fixed-point
+    * accumulators reduced to a 64x64 covariance — bit-stable under any
+    * partitioning), a DRIVER-side Jacobi eigensolve over that tiny
+    * matrix (the train-small/apply-distributed regime of the k-means
+    * and PQ trainers), and a MAP-ONLY projection with the float32
+    * components as plan literals — the whitening/compression step an
+    * embedding pipeline runs before indexing, at the only cost shape
+    * that survives 100 TB (two corpus scans, zero shuffles beyond the
+    * tiny moment reduce). Rows-only at the driver (an eigensolve is
+    * not SQL-expressible); PcaSpec proves the sharp ends against an
+    * in-memory reference: orthonormality, the eigen equation itself,
+    * spectrum-dominance over the mean, partitioning-invariance of the
+    * fitted model, and that the DISTRIBUTED projections' variance per
+    * component equals the driver-side eigenvalue. */
+  def vecPcaQ(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir)
+    val model = graft.operators.Pca.fit(all, r = 8)
+    graft.operators.Pca.project(all, model)
+      .orderBy(col("vec_id"), col("comp"))
   }
 
   /** Embedding-cluster survey — per-cluster sizes, label purity, and

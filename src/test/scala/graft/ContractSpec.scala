@@ -36,11 +36,12 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query count matches the SURVEY inventory claim") {
-    // 164 query entries (156 at round 7 + round 8's ev_stream_hopping,
+    // 165 query entries (156 at round 7 + round 8's ev_stream_hopping,
     // text_dedup_spans_char + its kept-corpus terminal,
     // dedup_survivors_minhash_inc, retrieval_rrf_perq,
-    // vec_cluster_stats, text_bm25_inc, and ann_ivf_stream); update
+    // vec_cluster_stats, text_bm25_inc, ann_ivf_stream, and
+    // text_stream_decontam, ann_pq_stored, and vec_pca); update
     // alongside SURVEY §2 when adding a query.
-    assert(SparkEntry.queries.size === 164, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size === 167, s"got ${SparkEntry.queries.size}")
   }
 }

@@ -122,4 +122,27 @@ class IndexStreamSpec extends SparkSpec {
     assert(VersionedTable.versions(spark, root).size === 1)
     assert(served === plain)
   }
+
+  test("streamed decontamination equals the batch verdicts; re-run lands nothing") {
+    // text_stream_decontam's sharp end: a document's verdict is
+    // complete within its own micro-batch (no cross-batch state), so
+    // the accumulated verdict union must equal the corpus-wide batch
+    // decontamination row for row — and a second drive over the same
+    // checkpoint+ledger must land no new version.
+    val streamed = TextQueries.streamDecontamQ(spark, Sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = TextQueries.decontaminateQ(spark, Sf)
+      .collect().map(_.toSeq).toSeq
+    assert(batch.nonEmpty && streamed === batch)
+
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_stream_decontam_v1_${Integer.toHexString(Sf.hashCode)}")
+    val root = new java.io.File(base, "verdicts").getAbsolutePath
+    val nv = VersionedTable.versions(spark, root).size
+    val again = TextQueries.streamDecontamQ(spark, Sf)
+      .collect().map(_.toSeq).toSeq
+    assert(again === batch)
+    assert(VersionedTable.versions(spark, root).size === nv,
+      "a re-run over the same source must not land new versions")
+  }
 }

@@ -236,6 +236,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("pca projection is map-only: literal components, no exchange in the plan") {
+    // Same frozen-model contract as IVF assignment / PQ encoding:
+    // projecting a batch must cost one scan — components are plan
+    // literals, so ANY Exchange means dimensionality-reducing a batch
+    // started reshuffling data.
+    val all = graft.sources.TableLoader.load(spark, Sf, "embeddings")
+    val model = graft.operators.Pca.fit(all, r = 8)
+    val p = plan(graft.operators.Pca.project(all, model))
+    assert(!p.contains("Exchange"), s"projection must not shuffle:\n${p.take(600)}")
+  }
+
   test("ivf assignment is map-only: literal centroids, no exchange in the plan") {
     // The incremental/streamed index contract rests on this: assigning
     // a batch against the frozen quantizer must cost one scan of the

@@ -356,6 +356,47 @@ class SimilaritySpec extends SparkSpec {
     assert(stored === ivf)
   }
 
+  test("stored PQ codebooks: bit-exact reload, stored-path search equals plain PQ, different training does not") {
+    // The driver query's shape (ann_pq_stored): codebooks trained once,
+    // committed through VersionedTable, each arrival batch ENCODED
+    // map-only against the reloaded frozen codebooks, ADC search over
+    // the accumulated code table. Deterministic training + bit-exact
+    // float32 round-trip + row-independent encoding => the stored path
+    // returns EXACTLY plain PQ's rows.
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_store").toString + "/books"
+    val trained = Similarity.pqCodebooks(emb, nSub = 8, nCodes = 32)
+    Similarity.commitCodebooksIfAbsent(spark, root)(trained)
+    val loaded = Similarity.readCommittedCodebooks(spark, root)
+    assert(loaded.length === trained.length)
+    assert(loaded.zip(trained).forall { case (bs, bt) =>
+      bs.zip(bt).forall { case (a, b) => a.sameElements(b) } })
+
+    val q = emb.where(col("vec_id") % 100 === 0)
+    val plain = Similarity.pqTopK(q, emb, k = 10)
+      .select("q_id", "rnk", "n_id").as[(Long, Int, Long)].collect().toSet
+    val codes = Similarity.pqEncodeTable(emb.where(col("vec_id") % 2 === 0), loaded)
+      .unionAll(Similarity.pqEncodeTable(emb.where(col("vec_id") % 2 =!= 0), loaded))
+    val stored = Similarity.pqTopKStored(q, codes, loaded, emb, k = 10)
+      .select("q_id", "rnk", "n_id").as[(Long, Int, Long)].collect().toSet
+    assert(plain.nonEmpty && stored === plain)
+
+    // A codebook trained on a DIFFERENT sample is a different quantizer
+    // — which is exactly why the operational contract freezes one
+    // instead of retraining per batch.
+    val other = Similarity.pqCodebooks(emb, nSub = 8, nCodes = 32,
+      maxTrainRows = 64L)
+    assert(!other.zip(loaded).forall { case (bs, bt) =>
+      bs.zip(bt).forall { case (a, b) => a.sameElements(b) } },
+      "differently-sampled training must produce different codebooks")
+
+    // The commit is if-absent: a second (would-be retraining) commit is
+    // a no-op and the served books stay pinned at version 0.
+    Similarity.commitCodebooksIfAbsent(spark, root)(other)
+    val pinned = Similarity.readCommittedCodebooks(spark, root)
+    assert(pinned.zip(loaded).forall { case (bs, bt) =>
+      bs.zip(bt).forall { case (a, b) => a.sameElements(b) } })
+  }
+
   test("clusterStats partitions the corpus and clusters cohere above the corpus-wide pairwise mean") {
     val stats = Similarity.clusterStats(emb, nCentroids = 16).collect()
     val total = emb.count()
