@@ -278,11 +278,12 @@ object TextQueries {
 
   /** The lake roots of the incremental lexical index ([[bm25IncQ]]):
     * the postings table (doc_id, term, tf) and the doc-length table
-    * (doc_id, dl), each a [[graft.sinks.VersionedTable]] with v0 = the
-    * historical build and v1 = one ingest batch's delta. Exposed for
-    * the spec that pins the build-once/batch-isolation contract. */
+    * (doc_id, dl), each a [[graft.sinks.VersionedTable]] holding one
+    * version marked `_split_historical_0` (the historical build) and
+    * one marked `_split_batch_0` (one ingest batch's delta). Exposed
+    * for the spec that pins the build-once/batch-isolation contract. */
   private[graft] def lexIndexRoots(dir: String): (String, String) = {
-    val fixtureVersion = 1
+    val fixtureVersion = 2
     def root(kind: String) = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_lex_${kind}_v${fixtureVersion}_${Integer.toHexString(dir.hashCode)}")
       .getAbsolutePath
@@ -295,12 +296,14 @@ object TextQueries {
     * (dedup_survivors_minhash_inc). The index is two lake tables
     * committed via [[graft.sinks.VersionedTable]] (staging + atomic
     * rename): POSTINGS (doc_id, term, tf) and DOCLENS (doc_id, dl),
-    * with v0 = the historical corpus build (the 3-in-4 sources) and
-    * v1 = one ingest batch's delta (the 1-in-4 "new" sources). Only
+    * one version marked as the historical corpus build (the 3-in-4
+    * sources) and one as an ingest batch's delta (the 1-in-4 "new"
+    * sources) — version ids are never load-bearing, the markers are. Only
     * the batch's documents are ever tokenized on the incremental run —
-    * v0 is read back, never re-derived — and DOCLENS is derived from
-    * the COMMITTED postings (index-internal consistency, not a side
-    * recompute). Serving reads v0 ∪ v1: the query-term filter pushes
+    * the historical part is read back, never re-derived — and DOCLENS
+    * is derived from the COMMITTED postings (index-internal
+    * consistency, not a side recompute). Serving reads the two
+    * marker-selected versions: the query-term filter pushes
     * down to the postings parquet scan (an inverted-index probe — the
     * full postings table is never materialized for scoring), df/stats
     * are broadcast scalars, and the only per-document state that moves
@@ -335,24 +338,35 @@ object TextQueries {
     val d = docs(spark, dir)
     val isNewSource = pmod(xxhash64(col("source")), lit(4L)) === 0L
     val (pRoot, dRoot) = lexIndexRoots(dir)
-    // Each root's commits are guarded by ITS OWN latestVersion, so a
-    // crash between any two commits resumes idempotently.
-    if (VersionedTable.latestVersion(spark, pRoot).isEmpty)
-      VersionedTable.commit(postingsOf(d.where(!isNewSource)), pRoot)
-    if (VersionedTable.latestVersion(spark, pRoot).contains(0L))
-      VersionedTable.commit(postingsOf(d.where(isNewSource)), pRoot)
+    // Build-once guards key on CONTENT markers, not version count: a
+    // `_split_<part>_0` marker lands atomically with the version it
+    // describes, so a lost commit race — which renumbers the version —
+    // can neither skip the batch build (the guard asks "is the batch
+    // indexed anywhere", not "is the latest version 0") nor make
+    // serving double-count (serving selects the FIRST version carrying
+    // each part's marker; a raced duplicate is simply never read).
+    // A crash between any two commits still resumes idempotently.
+    def ensure(root: String, part: String, build: => DataFrame): Long = {
+      val have = VersionedTable.versionsWithMarker(spark, root, s"split_$part")
+      if (have.nonEmpty) have.min
+      else {
+        VersionedTable.commit(build, root, markers = Seq(s"_split_${part}_0"))
+        VersionedTable.versionsWithMarker(spark, root, s"split_$part").min
+      }
+    }
+    val pHist = ensure(pRoot, "historical", postingsOf(d.where(!isNewSource)))
+    val pBatch = ensure(pRoot, "batch", postingsOf(d.where(isNewSource)))
     def doclensOf(v: Long) = VersionedTable.read(spark, pRoot, Some(v))
       .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    if (VersionedTable.latestVersion(spark, dRoot).isEmpty)
-      VersionedTable.commit(doclensOf(0L), dRoot)
-    if (VersionedTable.latestVersion(spark, dRoot).contains(0L))
-      VersionedTable.commit(doclensOf(1L), dRoot)
-    // Serving reads the accumulated index as ONE partition-discovered
-    // scan (v is a partition column; pruning rides PartitionFilters),
-    // pinned at the snapshot both batches have landed in.
+    val dlHist = ensure(dRoot, "historical", doclensOf(pHist))
+    val dlBatch = ensure(dRoot, "batch", doclensOf(pBatch))
+    // Serving reads the two marker-selected versions as ONE
+    // partition-discovered scan (v is a partition column; pruning
+    // rides PartitionFilters) — a snapshot pinned by content, immune
+    // to version renumbering.
     bm25FromIndex(
-      VersionedTable.readAll(spark, pRoot, upTo = Some(1L)),
-      VersionedTable.readAll(spark, dRoot, upTo = Some(1L)))
+      VersionedTable.readVersions(spark, pRoot, Seq(pHist, pBatch)),
+      VersionedTable.readVersions(spark, dRoot, Seq(dlHist, dlBatch)))
   }
 
   /** Deterministic stratified sampling + train/test split: membership

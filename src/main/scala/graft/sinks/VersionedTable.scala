@@ -186,6 +186,35 @@ object VersionedTable {
     if (vals.isEmpty) None else Some(vals.max)
   }
 
+  /** Versions (ascending) carrying a `_<name>_<number>` marker of the
+    * given family — content-addressed version selection. A committer
+    * that stamps what a version HOLDS (e.g. `_split_historical_0`)
+    * lets build-once guards and readers key on content rather than on
+    * version ids, which a lost commit race renumbers: the raced
+    * duplicate lands under a higher id with the same marker and a
+    * reader selecting the first marked version never sees it. */
+  def versionsWithMarker(spark: SparkSession, root: String, name: String): Seq[Long] = {
+    val f = fs(spark, root)
+    versions(spark, root).filter { v =>
+      f.listStatus(new Path(root, s"v=$v")).exists(s =>
+        s.getPath.getName match {
+          case NumberedMarker(n, _) => n == name
+          case _ => false
+        })
+    }
+  }
+
+  /** An explicit set of versions in ONE partition-discovered scan —
+    * same plan shape as [[readAll]] (version pruning rides
+    * PartitionFilters), but the snapshot is a chosen version set (e.g.
+    * the marker-selected members of a content split) instead of a
+    * `<= upTo` prefix. */
+  def readVersions(spark: SparkSession, root: String, vs: Seq[Long]): DataFrame = {
+    require(vs.nonEmpty, s"readVersions needs at least one version at $root")
+    spark.read.option("basePath", root).parquet(root)
+      .where(col("v").isin(vs: _*)).drop("v")
+  }
+
   /** Fold versions [0..upTo] into ONE equivalent version — snapshot
     * retention for roots that accrue a version per batch or
     * micro-batch ([[graft.streaming.IndexStream]]): the `versions`
