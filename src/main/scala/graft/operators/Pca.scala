@@ -61,7 +61,8 @@ object Pca {
         if (sums == null) {
           sums = new Array[Long](d)
           prods = new Array[Long](d * (d + 1) / 2)
-        }
+        } else require(d == sums.length,
+          s"pca: inconsistent embedding dimension — expected ${sums.length}, got $d")
         val a = new Array[Double](d)
         var i = 0
         while (i < d) { a(i) = v(i).toDouble; i += 1 }
@@ -80,14 +81,23 @@ object Pca {
       }
       if (n == 0) Iterator.empty
       else Iterator.single((n, sums, prods))
-    }.reduce { (x, y) =>
-      val (na, sa, pa) = x; val (nb, sb, pb) = y
-      var i = 0
-      while (i < sa.length) { sa(i) += sb(i); i += 1 }
-      i = 0
-      while (i < pa.length) { pa(i) += pb(i); i += 1 }
-      (na + nb, sa, pa)
-    }
+    // Fold with a None zero (rdd.fold needs a neutral element and
+    // Dataset.reduce throws an opaque "empty collection" on an empty
+    // corpus): dimensions are cross-checked at every combine, and an
+    // empty corpus surfaces as the intended descriptive failure below.
+    }.rdd.map(Option(_)).fold(None) {
+      case (None, b) => b
+      case (a, None) => a
+      case (Some((na, sa, pa)), Some((nb, sb, pb))) =>
+        require(sa.length == sb.length,
+          s"pca: inconsistent embedding dimension across partitions — ${sa.length} vs ${sb.length}")
+        var i = 0
+        while (i < sa.length) { sa(i) += sb(i); i += 1 }
+        i = 0
+        while (i < pa.length) { pa(i) += pb(i); i += 1 }
+        Some((na + nb, sa, pa))
+    }.getOrElse(throw new IllegalArgumentException(
+      "pca needs at least 2 rows; the corpus is empty"))
     val d = sumFp.length
     require(n > 1, "pca needs at least 2 rows")
     val mean = sumFp.map(_ / Fp / n)
@@ -202,4 +212,42 @@ object Pca {
       .select(col("vec_id"), col("pos").cast("int").as("comp"),
         col("col").as("proj_micro"))
   }
+
+  /** The fitted model as a tiny single-row lake table. Components stay
+    * float32 and mean/eigvals double — both round-trip parquet exactly,
+    * so a reloaded model is bit-identical to the trained one
+    * (spec-asserted, same contract as the IVF quantizer and PQ
+    * codebooks). */
+  private def modelDf(spark: SparkSession, m: Model): DataFrame = {
+    import spark.implicits._
+    Seq((m.mean.toSeq, m.comps.map(_.toSeq).toSeq, m.eigvals.toSeq, m.n))
+      .toDF("mean", "comps", "eigvals", "n")
+  }
+
+  private def modelFromDf(df: DataFrame): Model = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (mean, comps, eigvals, n) = df
+      .select(col("mean"), col("comps"), col("eigvals"), col("n"))
+      .as[(Seq[Double], Seq[Seq[Float]], Seq[Double], Long)].head()
+    Model(mean.toArray, comps.map(_.toArray).toArray, eigvals.toArray, n)
+  }
+
+  /** Commit a fitted model to a [[graft.sinks.VersionedTable]] root if
+    * no version exists yet — the PCA member of the frozen-trained-state
+    * family ([[Similarity.commitCentroidsIfAbsent]] /
+    * `commitCodebooksIfAbsent`): the model is fitted ONCE and frozen
+    * (refitting would silently re-base every stored projection), the
+    * commit is staging + atomic rename so racing first-time trainers
+    * are safe (identical deterministic content — one wins, the rest
+    * read it back), and serving always projects against version 0. */
+  def commitModelIfAbsent(spark: SparkSession, root: String)(train: => Model): Unit =
+    if (graft.sinks.VersionedTable.latestVersion(spark, root).isEmpty) {
+      graft.sinks.VersionedTable.commit(modelDf(spark, train).coalesce(1), root)
+      ()
+    }
+
+  /** The FROZEN model: always version 0 (first-ever commit). */
+  def readCommittedModel(spark: SparkSession, root: String): Model =
+    modelFromDf(graft.sinks.VersionedTable.read(spark, root, Some(0L)))
 }

@@ -78,6 +78,42 @@ class PcaSpec extends SparkSpec {
     assert(again.comps.zip(model.comps).forall { case (a, b) => a.sameElements(b) })
   }
 
+  test("stored model round-trips bit-exactly; stored projection equals fresh") {
+    val root = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_pca_model").toFile,
+      "model").getAbsolutePath
+    Pca.commitModelIfAbsent(spark, root)(model)
+    // Freeze: a second commit attempt is a no-op.
+    Pca.commitModelIfAbsent(spark, root)(
+      sys.error("must not retrain once committed"))
+    val back = Pca.readCommittedModel(spark, root)
+    // float32 comps and double mean/eigvals round-trip parquet exactly.
+    assert(back.n === model.n)
+    assert(back.mean.sameElements(model.mean))
+    assert(back.eigvals.sameElements(model.eigvals))
+    assert(back.comps.length === model.comps.length)
+    assert(back.comps.zip(model.comps).forall { case (a, b) => a.sameElements(b) })
+    // Projection against the reloaded model is the SAME map-only plan
+    // (components ride as literals), so outputs match row for row.
+    val fresh = Pca.project(emb, model).orderBy(col("vec_id"), col("comp"))
+      .collect().map(_.toSeq).toSeq
+    val stored = Pca.project(emb, back).orderBy(col("vec_id"), col("comp"))
+      .collect().map(_.toSeq).toSeq
+    assert(stored.nonEmpty)
+    assert(stored === fresh)
+  }
+
+  test("empty corpus and inconsistent dimensions fail with descriptive errors") {
+    val empty = emb.where(lit(false))
+    val e1 = intercept[IllegalArgumentException](Pca.fit(empty, r = 2))
+    assert(e1.getMessage.contains("corpus is empty"))
+    val mixed = emb.select(col("embedding"))
+      .union(spark.range(1).select(array(lit(1.0f), lit(2.0f)).as("embedding")))
+    val e2 = intercept[org.apache.spark.SparkException](Pca.fit(mixed, r = 2))
+    assert(e2.getMessage.contains("inconsistent embedding dimension") ||
+      Option(e2.getCause).exists(_.getMessage.contains("inconsistent embedding dimension")))
+  }
+
   test("distributed projection variance per component equals the eigenvalue") {
     val proj = Pca.project(emb, model)
     val stats = proj.groupBy(col("comp"))
