@@ -356,8 +356,8 @@ object EventQueries {
     * the streamed result could never equal the batch oracle. Written
     * once per input dir; filtered back out of every result. */
   private def streamSourceFixture(spark: SparkSession, dir: String): String = {
-    val fx = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_stream_src_v1_${Integer.toHexString(dir.hashCode)}")
+    val fx = new java.io.File(
+      graft.sinks.LakeRoot.root(spark, dir, "stream_src_v1"))
     if (!fx.exists()) {
       val ev = events(spark, dir)
         .select(col("user_id"), col("event_id"), col("ts"), col("value"), col("event_type"))
@@ -531,8 +531,8 @@ object EventQueries {
     * converged lake — the production restart shape. */
   def streamMerge(spark: SparkSession, dir: String): DataFrame = {
     val src = streamSourceFixture(spark, dir)
-    val base = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_stream_merge_v1_${Integer.toHexString(dir.hashCode)}")
+    val base = new java.io.File(
+      graft.sinks.LakeRoot.root(spark, dir, "stream_merge_v1"))
     base.mkdirs()
     val lake = new java.io.File(base, "lake").getAbsolutePath
     val ckpt = new java.io.File(base, "ckpt").getAbsolutePath

@@ -49,12 +49,14 @@ object IngestQueries {
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
       col("o_orderpriority"), to_date(col("o_orderdate")).as("o_date"))
 
-  /** One-time per input dir: materialize `df` under /tmp in `fmt`
-    * (staging + rename, so concurrent runs can't see a half-written
-    * fixture — the same discipline as the stream-source fixture). */
-  private def formatFixture(dir: String, fmt: String)(write: String => Unit): String = {
-    val fx = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_fmt_${fmt}_v1_${Integer.toHexString(dir.hashCode)}")
+  /** One-time per input dir: materialize `df` under the lake root in
+    * `fmt` (staging + rename, so concurrent runs can't see a
+    * half-written fixture — the same discipline as the stream-source
+    * fixture). */
+  private def formatFixture(spark: SparkSession, dir: String, fmt: String)(
+      write: String => Unit): String = {
+    val fx = new java.io.File(
+      graft.sinks.LakeRoot.root(spark, dir, s"fmt_${fmt}_v1"))
     if (!fx.exists()) {
       val staging = new java.io.File(fx.getParent, fx.getName + ".tmp")
       write(staging.getAbsolutePath)
@@ -71,7 +73,7 @@ object IngestQueries {
     * Distributed end to end: the fixture is written partitioned and
     * read split-per-file; no driver funnel. */
   def csvIngest(spark: SparkSession, dir: String): DataFrame = {
-    val src = formatFixture(dir, "csv") { p =>
+    val src = formatFixture(spark, dir, "csv") { p =>
       ordersSlice(spark, dir).write.option("header", "true").csv(p)
     }
     spark.read.option("header", "true")
@@ -88,7 +90,7 @@ object IngestQueries {
     * rendering). The shape every web-scrape/training-data drop lands
     * in before it reaches the lake. */
   def jsonlIngest(spark: SparkSession, dir: String): DataFrame = {
-    val src = formatFixture(dir, "jsonl") { p =>
+    val src = formatFixture(spark, dir, "jsonl") { p =>
       ordersSlice(spark, dir).write.json(p)
     }
     spark.read
@@ -106,7 +108,7 @@ object IngestQueries {
     * a hash match proves the double survived the container. Output
     * shape mirrors xml_ingest. */
   def orcIngest(spark: SparkSession, dir: String): DataFrame = {
-    val src = formatFixture(dir, "orc") { p =>
+    val src = formatFixture(spark, dir, "orc") { p =>
       TableLoader.load(spark, dir, "customer")
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
           col("c_acctbal"), col("c_mktsegment"))
@@ -223,8 +225,8 @@ object IngestQueries {
     * hashing, and the three-way outer-join classification all
     * composed correctly. */
   def versionDiffQ(spark: SparkSession, dir: String): DataFrame = {
-    val fx = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_vtq_v1_${Integer.toHexString(dir.hashCode)}")
+    val fx = new java.io.File(
+      graft.sinks.LakeRoot.root(spark, dir, "vtq_v1"))
     if (!fx.exists()) {
       val d = TableLoader.load(spark, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))

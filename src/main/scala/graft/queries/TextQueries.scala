@@ -282,11 +282,9 @@ object TextQueries {
     * version marked `_split_historical_0` (the historical build) and
     * one marked `_split_batch_0` (one ingest batch's delta). Exposed
     * for the spec that pins the build-once/batch-isolation contract. */
-  private[graft] def lexIndexRoots(dir: String): (String, String) = {
-    val fixtureVersion = 2
-    def root(kind: String) = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_lex_${kind}_v${fixtureVersion}_${Integer.toHexString(dir.hashCode)}")
-      .getAbsolutePath
+  private[graft] def lexIndexRoots(spark: SparkSession, dir: String): (String, String) = {
+    def root(kind: String) =
+      graft.sinks.LakeRoot.root(spark, dir, s"lex_${kind}_v2")
     (root("postings"), root("doclens"))
   }
 
@@ -337,7 +335,7 @@ object TextQueries {
     import graft.sinks.VersionedTable
     val d = docs(spark, dir)
     val isNewSource = pmod(xxhash64(col("source")), lit(4L)) === 0L
-    val (pRoot, dRoot) = lexIndexRoots(dir)
+    val (pRoot, dRoot) = lexIndexRoots(spark, dir)
     // Build-once guards key on CONTENT markers, not version count: a
     // `_split_<part>_0` marker lands atomically with the version it
     // describes, so a lost commit race — which renumbers the version —
@@ -481,8 +479,8 @@ object TextQueries {
     * Scale: per-batch cost is shingle+broadcast-probe of the BATCH only;
     * the index never reshuffles; state is zero. */
   def streamDecontamQ(spark: SparkSession, dir: String): DataFrame = {
-    val base = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_stream_decontam_v1_${Integer.toHexString(dir.hashCode)}")
+    val base = new java.io.File(
+      graft.sinks.LakeRoot.root(spark, dir, "stream_decontam_v1"))
     base.mkdirs()
     // Stream-source fixture: the documents table as 4 files => 4
     // micro-batches at maxFilesPerTrigger=1 (written once per dir;
@@ -1024,10 +1022,7 @@ object TextQueries {
     // atomic rename on Hadoop FS, nesting-race-safe) — stored dedup
     // state uses the same hardened lake-commit discipline as the
     // stored IVF quantizer and minhash band fixtures.
-    val fixtureVersion = 2
-    val root = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_prior_labels_v${fixtureVersion}_${Integer.toHexString(dir.hashCode)}")
-      .getAbsolutePath
+    val root = graft.sinks.LakeRoot.root(spark, dir, "prior_labels_v2")
     if (graft.sinks.VersionedTable.latestVersion(spark, root).isEmpty)
       graft.sinks.VersionedTable.commit(
         Dedup.connectedComponents(pairs.where(isOld)), root)
@@ -1227,10 +1222,8 @@ object TextQueries {
     val isNewSource = pmod(xxhash64(col("source")), lit(4L)) === 0L
     val oldDocs = d.where(!isNewSource)
     val newDocs = d.where(isNewSource)
-    val fixtureVersion = 1
-    def root(kind: String) = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_mh_${kind}_v${fixtureVersion}_${Integer.toHexString(dir.hashCode)}")
-      .getAbsolutePath
+    def root(kind: String) =
+      graft.sinks.LakeRoot.root(spark, dir, s"mh_${kind}_v1")
     val bandsRoot = root("bands")
     val labelsRoot = root("labels")
     if (graft.sinks.VersionedTable.latestVersion(spark, bandsRoot).isEmpty)

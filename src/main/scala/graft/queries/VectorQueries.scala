@@ -22,9 +22,8 @@ object VectorQueries {
     * shared by the batch-incremental ([[annIvfStored]]) and streaming
     * ([[annIvfStream]]) index maintainers, which is the point of the
     * freeze: every consumer assigns against the SAME centroids. */
-  private def ivfCentroidRoot(dir: String): String =
-    new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_ivf_cent_v2_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+  private def ivfCentroidRoot(spark: SparkSession, dir: String): String =
+    graft.sinks.LakeRoot.root(spark, dir, "ivf_cent_v2")
 
   /** Exact top-10 neighbors for query vectors (vec_id % 100 == 0). */
   def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
@@ -252,7 +251,7 @@ object VectorQueries {
     // frozen quantizer is pinned to version 0 (first-ever commit);
     // deterministic k-means makes any racing first-time trainer's
     // content identical anyway.
-    val root = ivfCentroidRoot(dir)
+    val root = ivfCentroidRoot(spark, dir)
     Similarity.commitCentroidsIfAbsent(spark, root)(
       Similarity.kmeansCentroids(all, 16))
     val cents = Similarity.readCommittedCentroids(spark, root)
@@ -284,8 +283,7 @@ object VectorQueries {
     * sample measurably do not. */
   def annPqStored(spark: SparkSession, dir: String): DataFrame = {
     val all = emb(spark, dir)
-    val root = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_pq_books_v1_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+    val root = graft.sinks.LakeRoot.root(spark, dir, "pq_books_v1")
     Similarity.commitCodebooksIfAbsent(spark, root)(
       Similarity.pqCodebooks(all, nSub = 8, nCodes = 32))
     val books = Similarity.readCommittedCodebooks(spark, root)
@@ -314,8 +312,8 @@ object VectorQueries {
     * `foldHistory` retention leaves the served result unchanged. */
   def annIvfStream(spark: SparkSession, dir: String): DataFrame = {
     val all = emb(spark, dir)
-    val base = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_ivf_stream_v1_${Integer.toHexString(dir.hashCode)}")
+    val base = new java.io.File(
+      graft.sinks.LakeRoot.root(spark, dir, "ivf_stream_v1"))
     base.mkdirs()
     val src = new java.io.File(base, "src")
     if (!src.exists()) {
@@ -327,7 +325,7 @@ object VectorQueries {
     // One frozen quantizer, two consumers: the SAME v0 centroid commit
     // annIvfStored serves from (deterministic k-means makes any racing
     // first-time trainer's content identical).
-    val centRoot = ivfCentroidRoot(dir)
+    val centRoot = ivfCentroidRoot(spark, dir)
     Similarity.commitCentroidsIfAbsent(spark, centRoot)(
       Similarity.kmeansCentroids(all, 16))
     val cents = Similarity.readCommittedCentroids(spark, centRoot)
@@ -344,6 +342,10 @@ object VectorQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Lake root of the frozen PCA model (v0 = first-ever commit). */
+  private def pcaModelRoot(spark: SparkSession, dir: String): String =
+    graft.sinks.LakeRoot.root(spark, dir, "pca_model_v1")
+
   /** PCA dimensionality reduction of the embedding corpus (64 -> 8):
     * ONE distributed moment pass (per-partition fixed-point
     * accumulators reduced to a 64x64 covariance — bit-stable under any
@@ -353,15 +355,25 @@ object VectorQueries {
     * components as plan literals — the whitening/compression step an
     * embedding pipeline runs before indexing, at the only cost shape
     * that survives 100 TB (two corpus scans, zero shuffles beyond the
-    * tiny moment reduce). Rows-only at the driver (an eigensolve is
-    * not SQL-expressible); PcaSpec proves the sharp ends against an
-    * in-memory reference: orthonormality, the eigen equation itself,
-    * spectrum-dominance over the mean, partitioning-invariance of the
-    * fitted model, and that the DISTRIBUTED projections' variance per
-    * component equals the driver-side eigenvalue. */
+    * tiny moment reduce). Fit-once-freeze-forever: the model is
+    * committed through [[graft.sinks.VersionedTable]] on first touch
+    * and serving always projects against the RELOADED version-0 model —
+    * the same lifecycle as the IVF quantizer and PQ codebooks, so
+    * re-runs (and racing first runs) never re-base stored projections.
+    * Rows-only at the driver (an eigensolve is not SQL-expressible);
+    * PcaSpec proves the sharp ends against an in-memory reference:
+    * orthonormality, the eigen equation itself, spectrum-dominance
+    * over the mean, partitioning-invariance of the fitted model,
+    * float32/double parquet round-trip bit-equality of the stored
+    * model, stored-projection == fresh-projection, and that the
+    * DISTRIBUTED projections' variance per component equals the
+    * driver-side eigenvalue. */
   def vecPcaQ(spark: SparkSession, dir: String): DataFrame = {
     val all = emb(spark, dir)
-    val model = graft.operators.Pca.fit(all, r = 8)
+    val root = pcaModelRoot(spark, dir)
+    graft.operators.Pca.commitModelIfAbsent(spark, root)(
+      graft.operators.Pca.fit(all, r = 8))
+    val model = graft.operators.Pca.readCommittedModel(spark, root)
     graft.operators.Pca.project(all, model)
       .orderBy(col("vec_id"), col("comp"))
   }

@@ -21,7 +21,7 @@ class Bm25IncSpec extends SparkSpec {
     assert(inc.nonEmpty)
     assert(inc === fromScratch)
 
-    val (pRoot, dRoot) = TextQueries.lexIndexRoots(Sf)
+    val (pRoot, dRoot) = TextQueries.lexIndexRoots(spark, Sf)
     def marked(root: String, part: String) =
       VersionedTable.versionsWithMarker(spark, root, s"split_$part")
     // Exactly one version carries each part's marker after a clean run.
