@@ -35,6 +35,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // the library's documented deployment shape: native functions,
+      // the TopKPerGroup strategy, and the opt-in TopKRewrite rule
+      // ride the session extensions (GraftSession sets the same)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // scan-split sizing: the test lake is a few single-file tables, so

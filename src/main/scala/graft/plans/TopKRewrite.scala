@@ -25,7 +25,9 @@ import org.apache.spark.sql.types.IntegerType
   * `q_topk_native` as deliberately distinct plans anchoring the same
   * oracle, and silently rewriting the anchor would make that contrast
   * vacuous. Production sessions that want plain-SQL acceleration flip
-  * the flag.
+  * the flag; the `q_topk_rewrite` driver query does exactly that —
+  * same window SQL, flag on, hash-checked against the same oracle with
+  * the rewritten plan shape asserted in-query.
   *
   * Conservative eligibility — rewrites ONLY when:
   *  - the Window computes exactly one expression, a row_number() alias

@@ -302,6 +302,7 @@ object OracleSql {
     // the native whole-operator must agree bit-for-bit with the window
     // SQL — one shared definition so the oracles can never drift
     "q_topk_native" -> topkSql,
+    "q_topk_rewrite" -> topkSql,
 
     "q_delta_mom" ->
       """WITH m AS (

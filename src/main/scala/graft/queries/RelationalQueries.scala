@@ -164,6 +164,53 @@ object RelationalQueries {
         (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("acctbal_cents"))
       .orderBy(col("c_nationkey"), col("rnk"))
 
+  /** The SAME plain window SQL as [[qTopKPerGroup]], but executed with
+    * `spark.graft.topk.autoRewrite=true` — the opt-in
+    * [[graft.plans.TopKRewrite]] optimizer rule replaces the
+    * Window + per-group sort + filter with the native
+    * [[graft.plans.TopKPerGroup]] operator (bounded per-partition
+    * heaps), proving at the driver's hash gate that a user writing
+    * ordinary leaderboard SQL gets the accelerated plan WITHOUT
+    * changing their query. The rewritten optimized plan is wrapped
+    * back into a DataFrame so the gate's write path executes the
+    * native operator regardless of later conf state, and the
+    * plan shape is asserted in-query: the native node present, no
+    * logical Window left. Shares q_topk_per_group's oracle — the
+    * rewrite must be bit-for-bit invisible in the results. */
+  def qTopKRewrite(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.TopKPerGroupStrategy.ensureRegistered(spark)
+    // Sessions built with spark.sql.extensions=graft.GraftExtensions
+    // already carry the rule; register it for any other session too
+    // (inert while the flag is off, and idempotent under both paths —
+    // a second application finds no Window to rewrite).
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.TopKRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.TopKRewrite
+    val flag = "spark.graft.topk.autoRewrite"
+    val prev = spark.conf.getOption(flag)
+    spark.conf.set(flag, "true")
+    try {
+      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val df = t(spark, dir, "customer")
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("c_nationkey"), col("rnk"), col("c_custkey"),
+          (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("acctbal_cents"))
+        .orderBy(col("c_nationkey"), col("rnk"))
+      // The rule fires during optimization, while the flag is on.
+      val optimized = df.queryExecution.optimizedPlan
+      require(optimized.exists(_.isInstanceOf[graft.plans.TopKPerGroup]),
+        s"TopKRewrite did not fire:\n$optimized")
+      require(!optimized.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Window]),
+        s"rewritten plan still contains a Window:\n$optimized")
+      org.apache.spark.sql.graftbridge.GraftSqlBridge.ofRows(spark, optimized)
+    } finally prev match {
+      case Some(v) => spark.conf.set(flag, v)
+      case None => spark.conf.unset(flag)
+    }
+  }
+
   /** Month-over-month delta of order totals per priority (the reference's
     * rating-progress-over-periods analog). */
   def qDeltaMom(spark: SparkSession, dir: String): DataFrame = {

@@ -115,6 +115,23 @@ class TopKRewriteSpec extends SparkSpec {
     }
   }
 
+  test("q_topk_rewrite driver query: native plan, oracle-equal results, flag restored") {
+    assert(spark.conf.getOption(Flag).isEmpty)
+    val df = queries.RelationalQueries.qTopKRewrite(spark, Sf)
+    // The query restores the session flag on exit (it must not leak
+    // the rewrite into unrelated queries of the same session)...
+    assert(spark.conf.getOption(Flag).isEmpty)
+    // ...yet the returned frame still executes the native operator.
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroup"), s"native operator missing:\n$p")
+    assert(!p.contains("Window"), s"Window survived:\n$p")
+    val expect = queries.RelationalQueries.qTopKPerGroup(spark, Sf)
+      .collect().map(_.toSeq).toSeq
+    val got = df.collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    assert(got === expect)
+  }
+
   test("ineligible shapes are left untouched") {
     withRewrite(on = true) {
       val part = Window.partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
