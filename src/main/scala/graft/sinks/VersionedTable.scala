@@ -235,9 +235,20 @@ object VersionedTable {
     * [[foldHistory]] (or [[recoverFold]]) reads the marker and
     * completes the deletions before doing anything else.
     *
+    * The folded version is born COMPACTED: without it, folding N
+    * one-file micro-batch commits yields one version that still holds
+    * ~N small files — the listing is bounded but every serve scan
+    * keeps paying N file opens. The folded union is coalesced (narrow,
+    * no shuffle) to ceil(bytes / targetBytes) output files, so fold
+    * doubles as the [[Compactor]] pass for versioned roots — done
+    * inside the staging write because rewriting a landed version
+    * in place would race serving and (mode=overwrite) destroy the
+    * marker ledger.
+    *
     * Returns the folded version's id. */
   def foldHistory(spark: SparkSession, root: String,
-      upTo: Option[Long] = None, maxAttempts: Int = 5): Long = {
+      upTo: Option[Long] = None, maxAttempts: Int = 5,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
     recoverFold(spark, root)
     val vs = versions(spark, root)
     if (vs.isEmpty)
@@ -260,7 +271,10 @@ object VersionedTable {
       .map { case (n, num) => s"_${n}_$num" }.toSeq
     val staging = new Path(root,
       s".staging-${java.util.UUID.randomUUID.toString.take(12)}")
-    readAll(spark, root, upTo = Some(hi))
+    val bytes = range.map(v =>
+      f.getContentSummary(new Path(root, s"v=$v")).getLength).sum
+    val targetFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    readAll(spark, root, upTo = Some(hi)).coalesce(targetFiles)
       .write.mode("overwrite").parquet(staging.toString)
     (s"_folded_upto_$hi" +: carried).foreach(m =>
       f.create(new Path(staging, m)).close())

@@ -45,9 +45,19 @@ class IndexStreamSpec extends SparkSpec {
     assert(VersionedTable.versions(spark, root).size === nv)
 
     // Retention: fold the per-micro-batch ledger into one version and
-    // the served ranking is unchanged.
+    // the served ranking is unchanged — and compact-on-fold means the
+    // surviving version holds ONE file (the whole stream's postings are
+    // far below targetBytes), not one per micro-batch commit, so the
+    // serve scan stops paying per-micro-batch file opens.
+    def parquetFiles(dir: java.io.File): Int =
+      dir.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val filesBeforeFold = VersionedTable.versions(spark, root)
+      .map(v => parquetFiles(new java.io.File(s"$root/v=$v"))).sum
     VersionedTable.foldHistory(spark, root)
     assert(VersionedTable.versions(spark, root).size === 1)
+    val foldedV = VersionedTable.versions(spark, root).head
+    assert(filesBeforeFold > 1)
+    assert(parquetFiles(new java.io.File(s"$root/v=$foldedV")) === 1)
     val pf = VersionedTable.readAll(spark, root)
     val dlf = pf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     assert(TextQueries.bm25FromIndex(pf, dlf)

@@ -74,11 +74,20 @@ class VersionedTableSpec extends SparkSpec {
     val before = VersionedTable.readAll(spark, root)
       .as[(Long, Long)].collect().toSet
 
+    def dataFiles(v: Long) =
+      new java.io.File(s"$root/v=$v").listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val filesBefore = VersionedTable.versions(spark, root).map(dataFiles).sum
+
     val folded = VersionedTable.foldHistory(spark, root)
     assert(folded === 3L)
     assert(VersionedTable.versions(spark, root) === Seq(3L))
     assert(VersionedTable.readAll(spark, root)
       .as[(Long, Long)].collect().toSet === before)
+    // Compact-on-fold: the tiny folded union (far below targetBytes)
+    // lands as ONE file, not one per original commit's partitions.
+    assert(filesBefore > 1)
+    assert(dataFiles(3L) === 1)
     // the folded version is an ordinary pinned-readable version
     assert(VersionedTable.read(spark, root, Some(3L))
       .as[(Long, Long)].collect().toSet === before)
