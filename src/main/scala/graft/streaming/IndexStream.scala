@@ -15,10 +15,22 @@ import graft.sinks.VersionedTable
   * Replay idempotence: every version lands with a `_batch_id_<B>`
   * marker file staged alongside its data (one atomic rename, so the
   * marker's claim is true the instant the version is visible), and a
-  * batch whose id is already <= the max surviving marker is skipped —
-  * a replay after a sink crash between the commit and the checkpoint
-  * advancing, or a re-run over the same source with a fresh
-  * checkpoint, lands nothing twice. The marker — not the version
+  * batch whose id is already <= the max surviving marker is skipped.
+  * The guarantee is scoped to re-runs that REPRODUCE the original
+  * batching: a replay under the same checkpoint (Spark re-delivers
+  * the checkpointed batch contents — the crash-between-commit-and-
+  * checkpoint-advance case this guards), or a fresh checkpoint over a
+  * byte-identical source with the same reader options (file streams
+  * batch deterministically, so ids line up). It does NOT cover a
+  * fresh checkpoint over a source that has since GROWN or different
+  * batching options — there, old documents regrouped into high-id
+  * batches would re-commit and new documents grouped into low-id
+  * batches would be skipped; resume a grown source with its original
+  * checkpoint (the shape the IndexStreamSpec post-fold test pins), or
+  * start a fresh root. A per-source-file ledger would lift the caveat
+  * but accretes one marker per file ever ingested — unbounded
+  * metadata the retention fold would have to carry forever — so batch
+  * granularity is the deliberate trade. The marker — not the version
   * COUNT — is the ledger, because [[VersionedTable.foldHistory]]
   * retention shrinks the version list but carries each marker family's
   * max into the folded version: ingestion continues correctly across
