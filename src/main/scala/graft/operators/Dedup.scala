@@ -251,7 +251,35 @@ object Dedup {
 
   private[graft] def ccCacheSize: Int = ccCache.synchronized(ccCache.size())
 
+  private val ccListenerRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.SparkContext]()
+
+  private def ensureCcListener(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val sc = spark.sparkContext
+    if (ccListenerRegistered.add(sc))
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          ccCache.synchronized {
+            val it = ccCache.keySet.iterator
+            while (it.hasNext) if (it.next()._1.sparkContext eq sc) it.remove()
+          }
+          ccListenerRegistered.remove(sc)
+        }
+      })
+  }
+
+  /** Drop the label tables of ONE retiring child session — same
+    * lifecycle contract as [[PlanCache.onSessionEnd]] (Spark has no
+    * per-child-session stop event, so the host calls this). */
+  def onSessionEnd(spark: org.apache.spark.sql.SparkSession): Unit =
+    ccCache.synchronized {
+      val it = ccCache.keySet.iterator
+      while (it.hasNext) if (it.next()._1 eq spark) it.remove()
+    }
+
   def connectedComponents(pairs: DataFrame): DataFrame = {
+    ensureCcListener(pairs.sparkSession)
     val key = (pairs.sparkSession, pairs.queryExecution.analyzed.semanticHash())
     ccCache.synchronized(Option(ccCache.get(key))).getOrElse {
       // LAZY checkpoint: a cache hit reuses the blocks the first

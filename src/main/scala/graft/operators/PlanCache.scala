@@ -15,12 +15,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * entries' blocks are released by the ContextCleaner once
   * unreferenced), and `localCheckpoint` blocks are non-recoverable —
   * after an executor loss call [[clear]] to force recomputation.
+  *
+  * Lifecycle: entries die with their session, not only under LRU
+  * pressure. A stopped SparkContext purges every entry of its sessions
+  * (a SparkListener registered on first use), and a long-lived context
+  * hosting several short-lived child sessions calls [[onSessionEnd]]
+  * when retiring one — Spark emits no per-child-session end event, so
+  * that purge is necessarily explicit.
   */
 object PlanCache {
-  // Must exceed the number of memoized derivations a one-dir session
-  // touches (currently 8: vec top-20, video frames, png media, two
-  // graph edge tables, terms postings, char-dedup, jaccard pairs) —
-  // at the cap, one more key would evict-thrash every query.
+  // Must exceed the number of memoized derivation families a one-dir
+  // session touches — one per PlanCache.memo call site under queries/
+  // (grep recounts them; 8 as of this note). At the cap, one more key
+  // would evict-thrash every query.
   private val Max = 12
   private val cache =
     new java.util.LinkedHashMap[(SparkSession, String), DataFrame](16, 0.75f, true) {
@@ -29,12 +36,45 @@ object PlanCache {
         size() > Max
     }
 
+  private val listenerRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.SparkContext]()
+
+  private def ensureListener(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    if (listenerRegistered.add(sc))
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          purgeContext(sc)
+          listenerRegistered.remove(sc)
+        }
+      })
+  }
+
+  /** Drop every entry belonging to a session of this (stopping)
+    * context. Driven by the listener; callable directly too. */
+  private[graft] def purgeContext(sc: org.apache.spark.SparkContext): Unit =
+    cache.synchronized {
+      val it = cache.keySet.iterator
+      while (it.hasNext) if (it.next()._1.sparkContext eq sc) it.remove()
+    }
+
+  /** Drop every entry of ONE session — for a long-lived context that
+    * retires short-lived child sessions (`spark.newSession()`): Spark
+    * has no per-child-session stop event, so the host must say when a
+    * session is done or its pinned tables linger until LRU pressure. */
+  def onSessionEnd(spark: SparkSession): Unit = cache.synchronized {
+    val it = cache.keySet.iterator
+    while (it.hasNext) if (it.next()._1 eq spark) it.remove()
+  }
+
   /** Memoized build of a named derivation. Lazy checkpoint: the first
     * ACTION materializes the blocks; a plan cached but never executed
     * costs nothing. Built outside the lock (duplicate compute on a
     * race is deterministic and benign; holding the lock across a Spark
     * job would serialize unrelated callers). */
   def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    ensureListener(spark)
     val k = (spark, key)
     cache.synchronized(Option(cache.get(k))).getOrElse {
       val built = build.localCheckpoint(false)
