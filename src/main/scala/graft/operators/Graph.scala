@@ -128,6 +128,156 @@ object Graph {
     ranks
   }
 
+  /** [[pageRank]] that also RETURNS the internal per-round state an
+    * incremental maintainer needs: one row per (round, node) with the
+    * round's contribution sum and rank. Round 0 carries the out-degree
+    * in `contribs` and the uniform initial rank. The `pr` values are
+    * bit-identical to [[pageRank]]'s (same integer arithmetic, same
+    * join shapes), so state built here and ranks computed there anchor
+    * the same oracle. */
+  def pageRankStates(edges: DataFrame, iters: Int): DataFrame = {
+    val ed = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = ed.join(deg.hint("shuffle_hash"), "src")
+    val round0 = deg.select(lit(0).as("round"), col("src").as("node"),
+      col("outdeg").as("contribs"), lit(1000000L).as("pr"))
+    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (i <- 1 to iters) {
+      val next = e.join(ranks.hint("shuffle_hash"), col("src") === col("node"))
+        .select(col("dst"), expr("pr div outdeg").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("contribs"))
+        .select(col("dst").as("node"), col("contribs"),
+          (lit(150000L) + expr("(85L * contribs) div 100L")).as("pr"))
+        .localCheckpoint(true)
+      rounds += next.select(lit(i).as("round"), col("node"), col("contribs"), col("pr"))
+      ranks = next.select(col("node"), col("pr"))
+    }
+    val all = (round0 +: rounds.toSeq).reduce(_ unionByName _).localCheckpoint(true)
+    ed.unpersist()
+    all
+  }
+
+  /** EXACT incremental maintenance of [[pageRankStates]] state for a
+    * batch of new distinct edges — incremental view maintenance of the
+    * fixed-round integer PageRank, not an approximation: the returned
+    * state is bit-identical to a from-scratch [[pageRankStates]] over
+    * the full edge set (spec-pinned), but the per-round COMPUTE is
+    * proportional to the delta's blast radius, not the corpus.
+    *
+    * Per round r the only nodes whose round-r contribution sum can
+    * change are the out-neighbors of `touched` nodes — those whose
+    * round-(r-1) rank changed, or whose out-degree the batch changed
+    * (which alters every contribution they emit). For each such
+    * receiver the new sum is the stored sum minus the touched nodes'
+    * old terms plus their new terms; since G_old = G_new \ delta, the
+    * old-term sum over G_old rides the same single probe of the full
+    * edge table as the new-term sum, corrected by a join against the
+    * (small) delta. So each round costs: one shuffle-hash probe of the
+    * src-partitioned edge table by the touched set (build side =
+    * touched, nodes-scale at worst), one delta-sized join, and one
+    * partial-agg'd sum over affected receivers — the full rank table
+    * is never recomputed, only patched (anti-join + union against the
+    * stored round). The 150000 + (85c) div 100 damping is re-applied
+    * to patched contribution sums, so integer truncation composes
+    * exactly rather than approximately.
+    *
+    * @param state      stored [[pageRankStates]] output for the OLD graph
+    * @param fullEdges  the new full edge set (old ∪ delta; dups ok)
+    * @param deltaEdges the NEW distinct directed edges only (must not
+    *                   repeat edges already in the old graph)
+    * @return patched state, same schema as [[pageRankStates]] */
+  def pageRankIncrement(state: DataFrame, fullEdges: DataFrame,
+                        deltaEdges: DataFrame, iters: Int): DataFrame = {
+    val ed = fullEdges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dEff = deltaEdges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    val st = state.localCheckpoint(false)
+    val degOld = st.where(col("round") === 0)
+      .select(col("node"), col("contribs").as("degOld"))
+    // New degrees only where the batch added out-edges: degNew = degOld
+    // + the node's delta out-count (delta-sized work, no full re-count).
+    val degChanged = dEff.groupBy(col("src").as("node")).agg(count(lit(1)).as("dAdd"))
+      .join(degOld.hint("shuffle_hash"), Seq("node"), "left")
+      .select(col("node"), col("degOld"),
+        (coalesce(col("degOld"), lit(0L)) + col("dAdd")).as("degNew"))
+      .localCheckpoint(true)
+    val roundTables = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // Round 0 of the new state: old degrees patched with the changed ones.
+    roundTables += degOld
+      .join(degChanged.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node"), col("degOld").as("contribs"))
+      .unionByName(degChanged.select(col("node"), col("degNew").as("contribs")))
+      .select(lit(0).as("round"), col("node"), col("contribs"), lit(1000000L).as("pr"))
+    // (node, prOld nullable, prNew) of nodes whose rank changed at the
+    // previous round; empty before round 1 (rank 0 is uniform).
+    var changed: DataFrame = null
+    for (r <- 1 to iters) {
+      val prevStored =
+        if (r == 1) degOld.select(col("node"), lit(1000000L).as("prStored"))
+        else st.where(col("round") === r - 1).select(col("node"), col("pr").as("prStored"))
+      // The touched emitters: rank changed last round, or degree changed.
+      val base = degChanged.select(col("node"), col("degNew"))
+      val withChanged =
+        if (changed == null) base
+          .withColumn("prOldC", lit(null).cast("long"))
+          .withColumn("prNewC", lit(null).cast("long"))
+        else base.join(changed, Seq("node"), "full_outer")
+      val touched = withChanged
+        .join(prevStored.hint("shuffle_hash"), Seq("node"), "left")
+        .join(degOld.hint("shuffle_hash"), Seq("node"), "left")
+        .select(col("node"),
+          // old emitted term: absent for nodes the old graph never had
+          coalesce(col("prOldC"), col("prStored")).as("prOldPrev"),
+          // new rank last round; a degree-changed node whose rank did
+          // not change keeps its stored rank (1e6 for brand-new nodes)
+          coalesce(col("prNewC"), col("prStored"), lit(1000000L)).as("prNewPrev"),
+          col("degOld"),
+          coalesce(col("degNew"), col("degOld")).as("degNew"))
+        .localCheckpoint(true)
+      val oldTerm = when(col("degOld").isNotNull && col("prOldPrev").isNotNull,
+        expr("prOldPrev div degOld")).otherwise(lit(0L))
+      val newTerm = expr("prNewPrev div degNew")
+      // One probe of the full edge table by the touched set carries
+      // both terms; the delta join adds back old terms the old graph
+      // never emitted (G_old = G_new \ delta).
+      val net = ed.join(touched.hint("shuffle_hash"), ed("src") === touched("node"))
+        .select(col("dst"), (newTerm - oldTerm).as("d"))
+        .groupBy(col("dst")).agg(sum(col("d")).as("dNet"))
+      val corr = dEff.join(touched.hint("shuffle_hash"), dEff("src") === touched("node"))
+        .select(col("dst"), oldTerm.as("d"))
+        .groupBy(col("dst")).agg(sum(col("d")).as("dCorr"))
+      val dAll = net.join(corr, Seq("dst"), "full_outer")
+        .select(col("dst").as("node"),
+          (coalesce(col("dNet"), lit(0L)) + coalesce(col("dCorr"), lit(0L))).as("dC"))
+      val oldRound = st.where(col("round") === r)
+        .select(col("node"), col("contribs").as("cOld"), col("pr").as("prOldR"))
+      val patched = dAll.join(oldRound.hint("shuffle_hash"), Seq("node"), "left")
+        .select(col("node"), (coalesce(col("cOld"), lit(0L)) + col("dC")).as("contribs"),
+          col("prOldR"))
+        .withColumn("pr", lit(150000L) + expr("(85L * contribs) div 100L"))
+        .localCheckpoint(true)
+      changed = patched
+        .where(col("prOldR").isNull || col("pr") =!= col("prOldR"))
+        .select(col("node"), col("prOldR").as("prOldC"), col("pr").as("prNewC"))
+        .localCheckpoint(true)
+      roundTables += oldRound
+        .join(patched.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), col("cOld").as("contribs"), col("prOldR").as("pr"))
+        .unionByName(patched.select(col("node"), col("contribs"), col("pr")))
+        .select(lit(r).as("round"), col("node"), col("contribs"), col("pr"))
+    }
+    val all = roundTables.toSeq.reduce(_ unionByName _).localCheckpoint(true)
+    ed.unpersist()
+    all
+  }
+
   /** Exact triangle counting by degree-ordered edge orientation — the
     * standard distributed formulation (Suri & Vassilvitskii's MapReduce
     * variant of compact-forward counting): orient every undirected edge

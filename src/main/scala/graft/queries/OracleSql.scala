@@ -118,6 +118,30 @@ object OracleSql {
       |SELECT c_nationkey, CAST(rnk AS INT) AS rnk, c_custkey, acctbal_cents
       |FROM r WHERE rnk <= 3 ORDER BY c_nationkey, rnk""".stripMargin
 
+  /** 5 unrolled integer-PageRank rounds over the full purchase graph —
+    * shared verbatim by graph_pagerank (from-scratch) and
+    * graph_pagerank_inc (stored-state incremental fold): identical
+    * oracle == the fold is provably lossless. */
+  private val pagerankSql: String = {
+    val iters = 5
+    val rounds = (1 to iters).map { i =>
+      s""",
+         |r$i AS (SELECT dst AS node,
+         | CAST(150000 + (85 * CAST(SUM(pr // outdeg) AS BIGINT)) // 100 AS BIGINT) AS pr
+         | FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node GROUP BY 1)""".stripMargin
+    }.mkString
+    s"""WITH base AS (
+       | SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT c AS src, s AS dst FROM base UNION ALL SELECT s, c FROM base),
+       |deg AS (SELECT src AS dsrc, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+       |e AS (SELECT src, dst, outdeg FROM edges JOIN deg ON src = dsrc),
+       |r0 AS (SELECT dsrc AS node, CAST(1000000 AS BIGINT) AS pr FROM deg)$rounds,
+       |rk AS (SELECT node, pr, ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS rnk FROM r$iters)
+       |SELECT CAST(rnk AS INT) AS rnk, node, CAST(node % 2 AS INT) AS is_supplier, pr
+       |FROM rk WHERE rnk <= 25 ORDER BY rnk""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "xml_ingest" ->
       """SELECT c_custkey, c_name, c_nationkey,
@@ -1621,25 +1645,7 @@ object OracleSql {
          |ORDER BY node""".stripMargin
     },
 
-    "graph_pagerank" -> {
-      val iters = 5
-      val rounds = (1 to iters).map { i =>
-        s""",
-           |r$i AS (SELECT dst AS node,
-           | CAST(150000 + (85 * CAST(SUM(pr // outdeg) AS BIGINT)) // 100 AS BIGINT) AS pr
-           | FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node GROUP BY 1)""".stripMargin
-      }.mkString
-      s"""WITH base AS (
-         | SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
-         | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         |edges AS (SELECT c AS src, s AS dst FROM base UNION ALL SELECT s, c FROM base),
-         |deg AS (SELECT src AS dsrc, COUNT(*) AS outdeg FROM edges GROUP BY 1),
-         |e AS (SELECT src, dst, outdeg FROM edges JOIN deg ON src = dsrc),
-         |r0 AS (SELECT dsrc AS node, CAST(1000000 AS BIGINT) AS pr FROM deg)$rounds,
-         |rk AS (SELECT node, pr, ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS rnk FROM r$iters)
-         |SELECT CAST(rnk AS INT) AS rnk, node, CAST(node % 2 AS INT) AS is_supplier, pr
-         |FROM rk WHERE rnk <= 25 ORDER BY rnk""".stripMargin
-    },
+    "graph_pagerank" -> pagerankSql,
 
     // Weighted PageRank: the SAME 5 unrolled rounds, with each node's
     // rank split proportionally to edge weight ((pr * w) // sw) — the
@@ -1932,5 +1938,10 @@ object OracleSql {
          | CAST(FLOOR(10000.0 * $byteSum / length(text)) AS BIGINT) AS mean_byte_bp
          |FROM documents ORDER BY media_id""".stripMargin
     }
+  ) ++ Map(
+    // The incremental fold must be LOSSLESS: graph_pagerank_inc shares
+    // the from-scratch full-graph oracle verbatim, so the driver's
+    // hash check proves exact incremental view maintenance.
+    "graph_pagerank_inc" -> pagerankSql
   )
 }

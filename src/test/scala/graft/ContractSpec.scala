@@ -42,6 +42,6 @@ class ContractSpec extends SparkSpec {
     // vec_cluster_stats, text_bm25_inc, ann_ivf_stream, and
     // text_stream_decontam, ann_pq_stored, and vec_pca); update
     // alongside SURVEY §2 when adding a query.
-    assert(SparkEntry.queries.size === 168, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size === 169, s"got ${SparkEntry.queries.size}")
   }
 }
