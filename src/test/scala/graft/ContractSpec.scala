@@ -36,12 +36,13 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query count matches the SURVEY inventory claim") {
-    // 165 query entries (156 at round 7 + round 8's ev_stream_hopping,
-    // text_dedup_spans_char + its kept-corpus terminal,
-    // dedup_survivors_minhash_inc, retrieval_rrf_perq,
-    // vec_cluster_stats, text_bm25_inc, ann_ivf_stream, and
-    // text_stream_decontam, ann_pq_stored, and vec_pca); update
-    // alongside SURVEY §2 when adding a query.
+    // 169 query entries: 167 at the end of round 8 (156 at round 7 +
+    // ev_stream_hopping, text_dedup_spans_char + its kept-corpus
+    // terminal, dedup_survivors_minhash_inc, retrieval_rrf_perq,
+    // vec_cluster_stats, text_bm25_inc, ann_ivf_stream,
+    // text_stream_decontam, ann_pq_stored, vec_pca) + round 9's
+    // q_topk_rewrite and graph_pagerank_inc; update alongside
+    // SURVEY §2 when adding a query.
     assert(SparkEntry.queries.size === 169, s"got ${SparkEntry.queries.size}")
   }
 }
