@@ -455,7 +455,11 @@ object Similarity {
              nSub: Int = 8, nCodes: Int = 32, overFetch: Int = 8,
              kmeansIters: Int = 4): DataFrame = {
     val books = pqCodebooks(corpus, nSub, nCodes, kmeansIters)
-    pqTopKStored(queries, pqEncodeTable(corpus, books), books, corpus, k, overFetch)
+    // Materialized for the same reason as ivfPqTopK's cq: fusing the
+    // 256-literal-dot encode into the ADC scan stage pushes the
+    // generated match loop past the JIT budget (interpreted hot loop).
+    pqTopKStored(queries, pqEncodeTable(corpus, books).localCheckpoint(false),
+      books, corpus, k, overFetch)
   }
 
   /** Map-only PQ encoding of a corpus (batch) into its stored index
@@ -540,10 +544,19 @@ object Similarity {
     val books = pqCodebooks(corpus, nSub, nCodes)
     // Stored/hot corpus representation: (centroid list id, PQ codes,
     // stored float norm) — what the lake would persist for this index.
+    // MATERIALIZED before the probe join (a serving layer reads these
+    // rows from the lake; only this in-process test path derives them
+    // inline): without the stage boundary, whole-stage codegen fuses
+    // the 256-literal-dot encode + 16-dot assignment into the join
+    // stage's match loop, whose generated method then exceeds the JIT
+    // bytecode budget and the ENTIRE hot loop (including the per-pair
+    // ADC sum) runs interpreted — measured 42 s vs 2.4 s at sf1 for
+    // the identical candidate set.
     val cq = corpus.select(col("vec_id").as("n_id"),
       pqEncode(spark, col("embedding"), books).as("n_codes"),
       vecDot(spark, col("embedding"), col("embedding")).as("n_n"),
       nearestCentroidId(spark, col("embedding"), cents).as("cent_id"))
+      .localCheckpoint(false)
     val centsDf = broadcast(
       cents.zipWithIndex.map { case (cv, i) => (i, cv.toSeq) }.toSeq
         .toDF("cent_id", "cent_vec")

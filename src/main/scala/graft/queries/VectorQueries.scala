@@ -287,8 +287,13 @@ object VectorQueries {
     Similarity.commitCodebooksIfAbsent(spark, root)(
       Similarity.pqCodebooks(all, nSub = 8, nCodes = 32))
     val books = Similarity.readCommittedCodebooks(spark, root)
+    // Materialized like ivfPqTopK's cq: fusing the literal-codebook
+    // encode into the ADC scan stage pushes the generated hot loop
+    // past the JIT bytecode budget (interpreted scan). A serving
+    // layer reads these rows from the lake anyway.
     val codes = Similarity.pqEncodeTable(all.where(col("vec_id") % 2 === 0), books)
       .unionAll(Similarity.pqEncodeTable(all.where(col("vec_id") % 2 =!= 0), books))
+      .localCheckpoint(false)
     Similarity.pqTopKStored(all.where(col("vec_id") % 100 === 0), codes, books, all, k = 10)
       .orderBy(col("q_id"), col("rnk"))
   }
