@@ -67,11 +67,16 @@ object Similarity {
             when(substring(col("bucket0"), i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
             substring(col("bucket0"), i + 2, nPlanes - i - 1))
         }): _*)))
+    // No distinct: the probe set (own bucket + each single-bit flip)
+    // is pairwise-distinct by construction and each corpus vector has
+    // exactly one bucket, so a (q_id, n_id) candidate matches at most
+    // one probe — a dedup would cost a full exchange of every scored
+    // candidate before WindowGroupLimit can prune to k per partition.
     val scored = broadcast(q).join(c, col("probe") === col("bucket"))
       .where(col("q_id") =!= col("n_id"))
       .withColumn("cos_micro",
         cosMicro(spark, col("q_vec"), col("q_n"), col("n_vec"), col("n_n")))
-      .select(col("q_id"), col("n_id"), col("n_label"), col("cos_micro")).distinct()
+      .select(col("q_id"), col("n_id"), col("n_label"), col("cos_micro"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_micro").desc, col("n_id"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
