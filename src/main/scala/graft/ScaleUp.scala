@@ -68,7 +68,12 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dst, replicas)
+    spark.stop()
+    println(s"[scaleup] wrote ${replicas}x of $src to $dst")
+  }
 
+  def run(spark: SparkSession, src: String, dst: String, replicas: Int): Unit = {
     def rd(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def wr(name: String, df: DataFrame): Unit = {
       df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
@@ -144,8 +149,5 @@ object ScaleUp {
       else base.withColumn("embedding",
         expr(s"transform(sequence(0, ${dim - 1}), i -> embedding[int((i + $shift) % $dim)])"))
     }.reduce(_ unionByName _))
-
-    spark.stop()
-    println(s"[scaleup] wrote ${replicas}x of $src to $dst")
   }
 }
