@@ -33,7 +33,7 @@ object PlanCache {
     new java.util.LinkedHashMap[(SparkSession, String), DataFrame](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
-        size() > Max
+        this.size() > Max
     }
 
   private val listenerRegistered =
