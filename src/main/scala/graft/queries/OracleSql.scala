@@ -1942,6 +1942,9 @@ object OracleSql {
     // The incremental fold must be LOSSLESS: graph_pagerank_inc shares
     // the from-scratch full-graph oracle verbatim, so the driver's
     // hash check proves exact incremental view maintenance.
-    "graph_pagerank_inc" -> pagerankSql
+    "graph_pagerank_inc" -> pagerankSql,
+    // ... and so must the STREAMED fold chain: graph_pagerank_stream's
+    // accumulated per-batch increments end at the same full graph.
+    "graph_pagerank_stream" -> pagerankSql
   )
 }

@@ -75,4 +75,30 @@ class GraphIncSpec extends SparkSpec {
     GraphQueries.qPageRankInc(spark, Sf).count()
     assert(VersionedTable.versions(spark, root) === before)
   }
+
+  test("streamed fold chain equals graph_pagerank; replay lands nothing") {
+    val got = GraphQueries.qPageRankStream(spark, Sf).collect().map(_.toSeq).toSeq
+    val expect = GraphQueries.qPageRank(spark, Sf).collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    assert(got === expect)
+
+    val base = new java.io.File(
+      graft.sinks.LakeRoot.root(spark, Sf, "pagerank_stream_v1"))
+    val edges = new java.io.File(base, "edges").getAbsolutePath
+    val state = new java.io.File(base, "state").getAbsolutePath
+    // One ledger entry per micro-batch on BOTH roots, and a gapless
+    // state ledger (the commit point).
+    val stateMarked = VersionedTable.versionsWithMarker(spark, state, "batch_id")
+    assert(stateMarked.nonEmpty)
+    assert(VersionedTable.maxMarker(spark, state, "batch_id").get ===
+      stateMarked.size - 1)
+    assert(VersionedTable.versionsWithMarker(spark, edges, "batch_id").size ===
+      stateMarked.size)
+    // Replay over the drained source: nothing lands on either root.
+    val beforeE = VersionedTable.versions(spark, edges)
+    val beforeS = VersionedTable.versions(spark, state)
+    GraphQueries.qPageRankStream(spark, Sf).count()
+    assert(VersionedTable.versions(spark, edges) === beforeE)
+    assert(VersionedTable.versions(spark, state) === beforeS)
+  }
 }
