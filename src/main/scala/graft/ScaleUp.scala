@@ -22,14 +22,18 @@ import org.apache.spark.sql.functions._
   *    integrity holds within each replica; dims region/nation are
   *    shared, as on any multi-tenant lake).
   *  - **Documents get per-replica token namespaces** (every
-  *    whitespace token suffixed `_r` for replica r > 0): within a
-  *    replica the duplicate/shingle structure is IDENTICAL to the
+  *    whitespace token suffixed `zzr<r>zz` for replica r > 0): within
+  *    a replica the duplicate/shingle structure is IDENTICAL to the
   *    source corpus, across replicas the Jaccard/MinHash/substring
   *    overlap is zero — so dedup work scales with data, instead of
   *    every document gaining N-1 artificial exact twins (which would
-  *    measure a different problem). The suffix digit survives the
-  *    [^a-z0-9] normalizations, so char-level dedup and
-  *    decontamination see disjoint replicas too; n_chars is
+  *    measure a different problem). The suffix is all [a-z0-9], so it
+  *    survives the surface's [^a-z0-9] normalizations INTACT (an
+  *    earlier `_r` suffix lost its `_` to normalization, and `foo_3`
+  *    → `foo3` can collide with a literal source token `foo3`); a
+  *    pre-write guard asserts no source token already matches the
+  *    suffix pattern, making the disjointness claim checked rather
+  *    than assumed on any corpus. n_chars is
   *    recomputed.
   *  - **Embeddings get per-replica dimension rotations** (circular
   *    shift by 7r mod 64): norms and all intra-replica angles are
@@ -50,7 +54,9 @@ object ScaleUp {
     * stride: keeps id spaces disjoint AND congruent mod every divisor
     * of `l`). */
   private def stride(df: DataFrame, idCol: String, l: Long): Long = {
-    val mx = df.agg(max(col(idCol))).head.getLong(0)
+    // Cast before getLong: an IntegerType id column in a source lake
+    // would otherwise ClassCastException at runtime.
+    val mx = df.agg(max(col(idCol).cast("long"))).head().getLong(0)
     (mx / l + 1) * l
   }
 
@@ -127,12 +133,22 @@ object ScaleUp {
     val lDoc = 2922504000L  // lcm(3,4,8,13,16,17,19,29,40,64,100,1000)
     val docs = rd("documents")
     val kDoc = stride(docs, "doc_id", lDoc)
+    // Namespace-collision guard: the replica suffix must not already
+    // occur as a token tail in the source corpus, or cross-replica
+    // token disjointness (raw AND normalized) silently degrades into
+    // partial overlap and the dedup/decontam growth ratios lie.
+    val collisions = docs
+      .where(col("text").rlike("zzr[0-9]+zz( |$)")).count()
+    require(collisions == 0L,
+      s"$collisions source documents contain a token ending in the " +
+        "replica namespace suffix pattern zzr<digits>zz — pick a " +
+        "different suffix for this corpus")
     wr("documents", (0 until replicas).map { r =>
       val base = docs.withColumn("doc_id", col("doc_id") + lit(r * kDoc))
       if (r == 0) base
       else base
         .withColumn("text", array_join(
-          transform(split(col("text"), " "), w => concat(w, lit(s"_$r"))), " "))
+          transform(split(col("text"), " "), w => concat(w, lit(s"zzr${r}zz"))), " "))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }.reduce(_ unionByName _))
 
@@ -141,7 +157,7 @@ object ScaleUp {
     val lVec = 1600L  // lcm(2,8,50,64,100)
     val emb = rd("embeddings")
     val kVec = stride(emb, "vec_id", lVec)
-    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
     wr("embeddings", (0 until replicas).map { r =>
       val base = emb.withColumn("vec_id", col("vec_id") + lit(r * kVec))
       val shift = (r * 7) % dim

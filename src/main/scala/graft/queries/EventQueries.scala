@@ -355,10 +355,9 @@ object EventQueries {
     * session of every user would stay in the state store forever and
     * the streamed result could never equal the batch oracle. Written
     * once per input dir; filtered back out of every result. */
-  private def streamSourceFixture(spark: SparkSession, dir: String): String = {
-    val fx = new java.io.File(
-      graft.sinks.LakeRoot.root(spark, dir, "stream_src_v1"))
-    if (!fx.exists()) {
+  private def streamSourceFixture(spark: SparkSession, dir: String): String =
+    graft.sinks.LakeRoot.fixture(spark,
+      graft.sinks.LakeRoot.root(spark, dir, "stream_src_v1")) { staging =>
       val ev = events(spark, dir)
         .select(col("user_id"), col("event_id"), col("ts"), col("value"), col("event_type"))
       val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
@@ -366,14 +365,9 @@ object EventQueries {
         lit(-1L).as("user_id"), lit(-1L).as("event_id"),
         timestamp_micros(lit(maxUs + 4L * 3600L * 1000000L)).as("ts"),
         lit(0.0).as("value"), lit("sentinel").as("event_type"))
-      val staging = new java.io.File(fx.getParent, fx.getName + ".tmp")
       ev.unionByName(sentinel)
-        .write.mode("overwrite").parquet(staging.getAbsolutePath)
-      if (!staging.renameTo(fx)) // benign race: another run won
-        org.apache.hadoop.fs.FileUtil.fullyDelete(staging)
+        .write.mode("overwrite").parquet(staging)
     }
-    fx.getAbsolutePath
-  }
 
   /** Run `f` with the session's shuffle-partition count — which fixes
     * the STATE STORE partition count of any streaming query started
@@ -531,11 +525,10 @@ object EventQueries {
     * converged lake — the production restart shape. */
   def streamMerge(spark: SparkSession, dir: String): DataFrame = {
     val src = streamSourceFixture(spark, dir)
-    val base = new java.io.File(
-      graft.sinks.LakeRoot.root(spark, dir, "stream_merge_v1"))
-    base.mkdirs()
-    val lake = new java.io.File(base, "lake").getAbsolutePath
-    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+    val base = graft.sinks.LakeRoot.root(spark, dir, "stream_merge_v1")
+    graft.sinks.LakeRoot.mkdirs(spark, base)
+    val lake = graft.sinks.LakeRoot.child(base, "lake")
+    val ckpt = graft.sinks.LakeRoot.child(base, "ckpt")
     val query = EventStream.runUpsertSink(spark, src, lake, Some(ckpt))
     query.awaitTermination()
     spark.read.parquet(lake)

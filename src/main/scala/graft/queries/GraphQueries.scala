@@ -183,32 +183,49 @@ object GraphQueries {
     * a crash between the two commits) is safe: a batch whose state
     * marker survives is skipped outright, and a surviving edges
     * marker without its state marker means the delta landed but the
-    * fold crashed — the delta version is REUSED, never re-committed,
-    * and only the fold re-runs. An empty effective delta still lands
-    * its markers (the ledger must be gapless) but re-lands the prior
-    * state unchanged.
+    * fold crashed — the delta version is REUSED (selected by marker
+    * family AND value, [[graft.sinks.VersionedTable.versionsWithMarkerValue]]
+    * — a family-only match would see every batch's marker and the
+    * recovery branch would be dead code), never re-committed, and only
+    * the fold re-runs (GraphIncSpec's crash-injection case pins this).
+    * An empty effective delta still lands its markers (the ledger must
+    * be gapless) but re-lands the prior state unchanged.
     *
-    * Scale: per batch, edge derivation and the anti-join cost ∝ the
-    * batch; the fold's per-round compute ∝ the delta's blast radius
+    * Scale — per batch, honestly separated into compute and input:
+    * edge DERIVATION and the anti-join SHUFFLE cost ∝ the batch (the
+    * stored-edge side is pre-pruned by a Bloom filter over the batch's
+    * edge keys before the anti-join, so only ~batch-sized survivors
+    * shuffle; dropping non-matching build rows cannot change an
+    * anti-join result); the anti-join's input SCAN is the stored
+    * distinct edge set — ∝ the GRAPH (stored versions are disjoint
+    * deltas, so total rows = |E| however many batches ran), not the
+    * batch, and that is the floor an exact "never seen before" test
+    * pays without a keyed index. The listing/file-count debt of one
+    * version per batch forever is retired in-loop:
+    * after each commit point the edges root past
+    * `spark.graft.stream.edgesFoldBudget` (default 4) versions is
+    * folded+compacted ([[graft.sinks.VersionedTable.foldHistory]] —
+    * marker ledger carried at family max; safe here because a fold
+    * only ever runs AFTER the batch's state marker landed, so
+    * per-value recovery lookups never need a folded-away delta). The
+    * incremental fold's per-round compute ∝ the delta's blast radius
     * ([[Graph.pageRankIncrement]]); serving is one pruned read of the
     * newest state version. The stream never recomputes history. */
   def qPageRankStream(spark: SparkSession, dir: String): DataFrame = {
-    import graft.sinks.VersionedTable
-    val base = new java.io.File(
-      graft.sinks.LakeRoot.root(spark, dir, "pagerank_stream_v1"))
-    base.mkdirs()
+    import graft.sinks.{LakeRoot, VersionedTable}
+    val base = LakeRoot.root(spark, dir, "pagerank_stream_v1")
+    LakeRoot.mkdirs(spark, base)
     // Replayable source fixture: the orders slice as 3 parquet files,
-    // staged + renamed so a concurrent first run never sees a tear.
-    val src = new java.io.File(base, "src")
-    if (!src.exists()) {
-      val staging = new java.io.File(base, "src.tmp")
+    // staged + renamed (Hadoop FS, scheme-preserving) so a concurrent
+    // first run never sees a tear.
+    val src = LakeRoot.fixture(spark, LakeRoot.child(base, "src")) { staging =>
       t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-        .repartition(3).write.mode("overwrite").parquet(staging.getAbsolutePath)
-      if (!staging.renameTo(src)) // benign race: another run won
-        org.apache.hadoop.fs.FileUtil.fullyDelete(staging)
+        .repartition(3).write.mode("overwrite").parquet(staging)
     }
-    val edgesRoot = new java.io.File(base, "edges").getAbsolutePath
-    val stateRoot = new java.io.File(base, "state").getAbsolutePath
+    val edgesRoot = LakeRoot.child(base, "edges")
+    val stateRoot = LakeRoot.child(base, "state")
+    val foldBudget = spark.conf.getOption("spark.graft.stream.edgesFoldBudget")
+      .map(_.toInt).getOrElse(4)
     val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
     def edgesOf(orders: DataFrame): DataFrame = {
       val raw = li.join(broadcast(orders.select(col("o_orderkey"), col("o_custkey"))),
@@ -218,9 +235,9 @@ object GraphQueries {
         .unionAll(raw.select(col("s").as("src"), col("c").as("dst")))
         .distinct()
     }
-    val schema = spark.read.parquet(src.getAbsolutePath).schema
+    val schema = spark.read.parquet(src).schema
     val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(src.getAbsolutePath)
+      .option("maxFilesPerTrigger", "1").parquet(src)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
@@ -229,16 +246,30 @@ object GraphQueries {
           val marker = s"_batch_id_$batchId"
           // Effective delta: edges this batch adds that no earlier
           // batch (or an earlier crashed attempt of THIS batch) has.
-          val dEff = VersionedTable.versionsWithMarker(s, edgesRoot, s"batch_id_$batchId")
+          val dEff = VersionedTable
+            .versionsWithMarkerValue(s, edgesRoot, "batch_id", batchId)
             .headOption match {
             case Some(v) => VersionedTable.read(s, edgesRoot, Some(v))
             case None =>
-              val prior =
-                if (VersionedTable.versions(s, edgesRoot).isEmpty) None
-                else Some(VersionedTable.readAll(s, edgesRoot))
-              val d = prior.fold(edgesOf(batch))(p =>
-                edgesOf(batch).join(p, Seq("src", "dst"), "left_anti"))
-                .localCheckpoint(false)
+              val d =
+                if (VersionedTable.versions(s, edgesRoot).isEmpty)
+                  edgesOf(batch).localCheckpoint(false)
+                else {
+                  // Pinned: feeds the Bloom build AND the anti-join.
+                  val batchE = edgesOf(batch).localCheckpoint(false)
+                  // Pre-prune the stored-edge build side to ~batch size:
+                  // xxhash64(src, dst) is a sound Bloom key for the
+                  // (src, dst) pair (equal pairs hash equal — no false
+                  // negatives; hash/Bloom false positives only ADD
+                  // build rows, which the exact anti-join then ignores).
+                  val bloom = graft.operators.Bloom.buildBitset(
+                    batchE.select(xxhash64(col("src"), col("dst")).as("k")), "k")
+                  val prior = VersionedTable.readAll(s, edgesRoot).where(
+                    graft.operators.Bloom.mightContain(
+                      xxhash64(col("src"), col("dst")), bloom))
+                  batchE.join(prior, Seq("src", "dst"), "left_anti")
+                    .localCheckpoint(false)
+                }
               VersionedTable.commit(d, edgesRoot, markers = Seq(marker))
               d
           }
@@ -252,11 +283,19 @@ object GraphQueries {
                 VersionedTable.readAll(s, edgesRoot), dEff, iters = 5)
           }
           VersionedTable.commit(state, stateRoot, markers = Seq(marker))
+          // Retention, strictly after the commit point: bound the edge
+          // root's version listing (and its small-file count — the fold
+          // output is born compacted) so per-batch listings and scans
+          // stay ∝ the graph however long the stream runs. Ordering
+          // invariant: folding before the state marker landed could
+          // merge THIS batch's delta away while recovery still needs it.
+          if (VersionedTable.versions(s, edgesRoot).size > foldBudget)
+            VersionedTable.foldHistory(s, edgesRoot)
           ()
         }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation", new java.io.File(base, "ckpt").getAbsolutePath)
+      .option("checkpointLocation", LakeRoot.child(base, "ckpt"))
       .start()
     q.awaitTermination()
     val vServe = VersionedTable.versionsWithMarker(spark, stateRoot, "batch_id").last

@@ -54,17 +54,9 @@ object IngestQueries {
     * half-written fixture — the same discipline as the stream-source
     * fixture). */
   private def formatFixture(spark: SparkSession, dir: String, fmt: String)(
-      write: String => Unit): String = {
-    val fx = new java.io.File(
-      graft.sinks.LakeRoot.root(spark, dir, s"fmt_${fmt}_v1"))
-    if (!fx.exists()) {
-      val staging = new java.io.File(fx.getParent, fx.getName + ".tmp")
-      write(staging.getAbsolutePath)
-      if (!staging.renameTo(fx)) // benign race: another run won
-        org.apache.hadoop.fs.FileUtil.fullyDelete(staging)
-    }
-    fx.getAbsolutePath
-  }
+      write: String => Unit): String =
+    graft.sinks.LakeRoot.fixture(spark,
+      graft.sinks.LakeRoot.root(spark, dir, s"fmt_${fmt}_v1"))(write)
 
   /** CSV ingest round-trip: the orders slice is written as
     * header-carrying CSV (quoting, date rendering, text escaping all
@@ -225,9 +217,8 @@ object IngestQueries {
     * hashing, and the three-way outer-join classification all
     * composed correctly. */
   def versionDiffQ(spark: SparkSession, dir: String): DataFrame = {
-    val fx = new java.io.File(
-      graft.sinks.LakeRoot.root(spark, dir, "vtq_v1"))
-    if (!fx.exists()) {
+    val fx = graft.sinks.LakeRoot.fixture(spark,
+      graft.sinks.LakeRoot.root(spark, dir, "vtq_v1")) { staging =>
       val d = TableLoader.load(spark, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       val v2 = d.where(pmod(col("doc_id"), lit(17L)) =!= 0)
@@ -236,14 +227,12 @@ object IngestQueries {
             .otherwise(col("n_chars")))
         .unionByName(d.where(pmod(col("doc_id"), lit(19L)) === 0)
           .withColumn("doc_id", col("doc_id") + 1000000L))
-      val staging = new java.io.File(fx.getParent, fx.getName + ".tmp")
-      graft.sinks.VersionedTable.commit(d, staging.getAbsolutePath)
-      graft.sinks.VersionedTable.commit(v2, staging.getAbsolutePath)
-      if (!staging.renameTo(fx)) // benign race: another run won
-        org.apache.hadoop.fs.FileUtil.fullyDelete(staging)
+      graft.sinks.VersionedTable.commit(d, staging)
+      graft.sinks.VersionedTable.commit(v2, staging)
+      ()
     }
     graft.sinks.VersionedTable
-      .diff(spark, fx.getAbsolutePath, from = 0L, to = 1L, keyCols = Seq("doc_id"))
+      .diff(spark, fx, from = 0L, to = 1L, keyCols = Seq("doc_id"))
       .orderBy(col("doc_id"))
   }
 

@@ -479,22 +479,18 @@ object TextQueries {
     * Scale: per-batch cost is shingle+broadcast-probe of the BATCH only;
     * the index never reshuffles; state is zero. */
   def streamDecontamQ(spark: SparkSession, dir: String): DataFrame = {
-    val base = new java.io.File(
-      graft.sinks.LakeRoot.root(spark, dir, "stream_decontam_v1"))
-    base.mkdirs()
+    val base = graft.sinks.LakeRoot.root(spark, dir, "stream_decontam_v1")
+    graft.sinks.LakeRoot.mkdirs(spark, base)
     // Stream-source fixture: the documents table as 4 files => 4
     // micro-batches at maxFilesPerTrigger=1 (written once per dir;
     // staging + rename so a racing run never reads a torn copy).
-    val src = new java.io.File(base, "src")
-    if (!src.exists()) {
-      val staging = new java.io.File(base, "src.tmp")
+    val src = graft.sinks.LakeRoot.fixture(spark,
+      graft.sinks.LakeRoot.child(base, "src")) { staging =>
       docs(spark, dir).repartition(4)
-        .write.mode("overwrite").parquet(staging.getAbsolutePath)
-      if (!staging.renameTo(src)) // benign race: another run won
-        org.apache.hadoop.fs.FileUtil.fullyDelete(staging)
+        .write.mode("overwrite").parquet(staging)
     }
     // Stored benchmark index, committed once (v0 pinned thereafter).
-    val idxRoot = new java.io.File(base, "eval_idx").getAbsolutePath
+    val idxRoot = graft.sinks.LakeRoot.child(base, "eval_idx")
     if (graft.sinks.VersionedTable.latestVersion(spark, idxRoot).isEmpty)
       graft.sinks.VersionedTable.commit(
         docs(spark, dir).where(pmod(col("doc_id"), lit(29L)) === 0)
@@ -502,10 +498,10 @@ object TextQueries {
             explode(shingleHashesNative(spark, col("text"), 8)).as("h"))
           .distinct(),
         idxRoot)
-    val verdictRoot = new java.io.File(base, "verdicts").getAbsolutePath
-    val schema = spark.read.parquet(src.getAbsolutePath).schema
+    val verdictRoot = graft.sinks.LakeRoot.child(base, "verdicts")
+    val schema = spark.read.parquet(src).schema
     val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(src.getAbsolutePath)
+      .option("maxFilesPerTrigger", "1").parquet(src)
     val q = graft.streaming.IndexStream.runVersionedSink(
       stream, verdictRoot,
       b => {
@@ -521,7 +517,7 @@ object TextQueries {
           .agg(countDistinct(col("h")).as("n_shared_ngrams"),
             countDistinct(col("eval_id")).as("n_eval_docs"))
       },
-      Some(new java.io.File(base, "ckpt").getAbsolutePath))
+      Some(graft.sinks.LakeRoot.child(base, "ckpt")))
     q.awaitTermination()
     graft.sinks.VersionedTable.readAll(spark, verdictRoot)
       .orderBy(col("doc_id"))

@@ -204,6 +204,26 @@ object VersionedTable {
     }
   }
 
+  /** Versions (ascending) carrying the EXACT marker `_<name>_<num>` —
+    * family AND value. This is the lookup a replay ledger needs:
+    * [[versionsWithMarker]] matches any member of a family (`batch_id`
+    * matches `_batch_id_0`, `_batch_id_7`, …), so a caller asking "did
+    * batch 7's delta land?" must compare the NUMBER too, not bake it
+    * into the family name (a composed name like `batch_id_7` parses as
+    * family `batch_id` + value 7 and would never equal the family
+    * string — the recovery branch keyed that way is dead code). */
+  def versionsWithMarkerValue(spark: SparkSession, root: String,
+      name: String, num: Long): Seq[Long] = {
+    val f = fs(spark, root)
+    versions(spark, root).filter { v =>
+      f.listStatus(new Path(root, s"v=$v")).exists(s =>
+        s.getPath.getName match {
+          case NumberedMarker(n, x) => n == name && x.toLong == num
+          case _ => false
+        })
+    }
+  }
+
   /** An explicit set of versions in ONE partition-discovered scan —
     * same plan shape as [[readAll]] (version pruning rides
     * PartitionFilters), but the snapshot is a chosen version set (e.g.

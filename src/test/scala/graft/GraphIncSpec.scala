@@ -67,8 +67,7 @@ class GraphIncSpec extends SparkSpec {
     assert(got === expect)
 
     // Marker-guarded: one version per part, re-serve commits nothing.
-    val root = new java.io.File(
-      graft.sinks.LakeRoot.root(spark, Sf, "pagerank_state_v1")).getAbsolutePath
+    val root = graft.sinks.LakeRoot.root(spark, Sf, "pagerank_state_v1")
     assert(VersionedTable.versionsWithMarker(spark, root, "split_historical").size === 1)
     assert(VersionedTable.versionsWithMarker(spark, root, "split_batch").size === 1)
     val before = VersionedTable.versions(spark, root)
@@ -82,10 +81,9 @@ class GraphIncSpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got === expect)
 
-    val base = new java.io.File(
-      graft.sinks.LakeRoot.root(spark, Sf, "pagerank_stream_v1"))
-    val edges = new java.io.File(base, "edges").getAbsolutePath
-    val state = new java.io.File(base, "state").getAbsolutePath
+    val base = graft.sinks.LakeRoot.root(spark, Sf, "pagerank_stream_v1")
+    val edges = graft.sinks.LakeRoot.child(base, "edges")
+    val state = graft.sinks.LakeRoot.child(base, "state")
     // One ledger entry per micro-batch on BOTH roots, and a gapless
     // state ledger (the commit point).
     val stateMarked = VersionedTable.versionsWithMarker(spark, state, "batch_id")
@@ -100,5 +98,77 @@ class GraphIncSpec extends SparkSpec {
     GraphQueries.qPageRankStream(spark, Sf).count()
     assert(VersionedTable.versions(spark, edges) === beforeE)
     assert(VersionedTable.versions(spark, state) === beforeS)
+  }
+
+  test("crash between edges and state commit: recovery REUSES the landed delta") {
+    import graft.sinks.LakeRoot
+    // Runs after the streamed-fold test, so the shared stream lake is
+    // fully landed. Inject the documented crash: batch 2's delta landed
+    // (edges marker _batch_id_2 survives) but its state commit did not
+    // — delete the state version carrying marker value 2 AND the
+    // checkpoint's commit record for batch 2, so the restart replays
+    // batch 2 against a root whose edges ledger is one ahead.
+    val base = LakeRoot.root(spark, Sf, "pagerank_stream_v1")
+    val edges = LakeRoot.child(base, "edges")
+    val state = LakeRoot.child(base, "state")
+    val lastBatch = VersionedTable.maxMarker(spark, state, "batch_id").get
+    val hc = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(hc)
+    val stateV = VersionedTable
+      .versionsWithMarkerValue(spark, state, "batch_id", lastBatch)
+    assert(stateV.size === 1)
+    fs.delete(new org.apache.hadoop.fs.Path(state, s"v=${stateV.head}"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      LakeRoot.child(base, "ckpt"), s"commits/$lastBatch"), false)
+    val edgesBefore = VersionedTable.versions(spark, edges)
+
+    val got = GraphQueries.qPageRankStream(spark, Sf).collect().map(_.toSeq).toSeq
+    val expect = GraphQueries.qPageRank(spark, Sf).collect().map(_.toSeq).toSeq
+    assert(got === expect) // the re-run fold is lossless
+    // The recovery branch selected the landed delta by marker family
+    // AND value — it was reused, never re-committed (a family-only
+    // match would have recomputed an EMPTY delta against a history
+    // that already contains the orphan, re-landed the stale state, and
+    // grown the edges ledger by a duplicate-marker version).
+    assert(VersionedTable.versions(spark, edges) === edgesBefore)
+    assert(VersionedTable
+      .versionsWithMarkerValue(spark, edges, "batch_id", lastBatch).size === 1)
+    // The state ledger is whole again: marker value re-landed.
+    assert(VersionedTable
+      .versionsWithMarkerValue(spark, state, "batch_id", lastBatch).size === 1)
+  }
+
+  test("edges root folds past the version budget; ledger and hash survive") {
+    import graft.sinks.LakeRoot
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.lake.root",
+      java.nio.file.Files.createTempDirectory("graft-foldlake").toString)
+    s2.conf.set("spark.graft.stream.edgesFoldBudget", "1")
+    val got = GraphQueries.qPageRankStream(s2, Sf).collect().map(_.toSeq).toSeq
+    val expect = GraphQueries.qPageRank(spark, Sf).collect().map(_.toSeq).toSeq
+    assert(got === expect) // post-fold batches landed and folded losslessly
+    val base = LakeRoot.root(s2, Sf, "pagerank_stream_v1")
+    val edges = LakeRoot.child(base, "edges")
+    val state = LakeRoot.child(base, "state")
+    // History retired: one folded version, not one per micro-batch —
+    // the listing/file-count debt is bounded by the budget, not the
+    // stream's lifetime.
+    assert(VersionedTable.versions(s2, edges).size === 1)
+    // The replay ledger survived the folds at family max.
+    val lastBatch = VersionedTable.maxMarker(s2, state, "batch_id").get
+    assert(lastBatch >= 2) // 3-file fixture => >= 3 micro-batches
+    assert(VersionedTable.maxMarker(s2, edges, "batch_id").contains(lastBatch))
+    // Folded edges still serve the exact distinct-edge union.
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val ord = spark.read.parquet(s"$Sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val raw = li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+    val full = raw.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(raw.select(col("s").as("src"), col("c").as("dst"))).distinct()
+    val stored = VersionedTable.readAll(s2, edges)
+    assert(stored.count() === full.count())
+    assert(stored.join(full, Seq("src", "dst"), "left_anti").count() === 0L)
   }
 }

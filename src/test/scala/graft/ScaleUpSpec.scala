@@ -56,6 +56,16 @@ class ScaleUpSpec extends SparkSpec {
     val shared = toks.where(col("base")).select("tok").distinct()
       .join(toks.where(!col("base")).select("tok").distinct(), "tok")
     assert(shared.count() === 0)
+    // Disjointness must also survive the surface's [^a-z0-9]
+    // normalization — the reason the suffix is all-alphanumeric
+    // (`zzr<r>zz`): an `_`-carrying suffix loses its separator to
+    // normalization and can collide with literal source tokens.
+    val norm = toks.select(col("base"),
+      regexp_replace(lower(col("tok")), "[^a-z0-9]", "").as("tok"))
+      .where(length(col("tok")) > 0)
+    val sharedNorm = norm.where(col("base")).select("tok").distinct()
+      .join(norm.where(!col("base")).select("tok").distinct(), "tok")
+    assert(sharedNorm.count() === 0)
     // n_chars stays consistent with the rewritten text.
     assert(rep("documents")
       .where(col("n_chars") =!= length(col("text"))).count() === 0)
