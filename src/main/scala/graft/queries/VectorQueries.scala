@@ -317,15 +317,11 @@ object VectorQueries {
     * `foldHistory` retention leaves the served result unchanged. */
   def annIvfStream(spark: SparkSession, dir: String): DataFrame = {
     val all = emb(spark, dir)
-    val base = new java.io.File(
-      graft.sinks.LakeRoot.root(spark, dir, "ivf_stream_v1"))
-    base.mkdirs()
-    val src = new java.io.File(base, "src")
-    if (!src.exists()) {
-      val staging = new java.io.File(base, "src.tmp")
-      all.repartition(4).write.mode("overwrite").parquet(staging.getAbsolutePath)
-      if (!staging.renameTo(src)) // benign race: another run won
-        org.apache.hadoop.fs.FileUtil.fullyDelete(staging)
+    val base = graft.sinks.LakeRoot.root(spark, dir, "ivf_stream_v1")
+    graft.sinks.LakeRoot.mkdirs(spark, base)
+    val src = graft.sinks.LakeRoot.fixture(spark,
+      graft.sinks.LakeRoot.child(base, "src")) { staging =>
+      all.repartition(4).write.mode("overwrite").parquet(staging)
     }
     // One frozen quantizer, two consumers: the SAME v0 centroid commit
     // annIvfStored serves from (deterministic k-means makes any racing
@@ -334,13 +330,13 @@ object VectorQueries {
     Similarity.commitCentroidsIfAbsent(spark, centRoot)(
       Similarity.kmeansCentroids(all, 16))
     val cents = Similarity.readCommittedCentroids(spark, centRoot)
-    val root = new java.io.File(base, "lists").getAbsolutePath
-    val schema = spark.read.parquet(src.getAbsolutePath).schema
+    val root = graft.sinks.LakeRoot.child(base, "lists")
+    val schema = spark.read.parquet(src).schema
     val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "2").parquet(src.getAbsolutePath)
+      .option("maxFilesPerTrigger", "2").parquet(src)
     val q = graft.streaming.IndexStream.runVersionedSink(
       stream, root, b => Similarity.assignToCentroids(b, cents),
-      Some(new java.io.File(base, "ckpt").getAbsolutePath))
+      Some(graft.sinks.LakeRoot.child(base, "ckpt")))
     q.awaitTermination()
     val lists = graft.sinks.VersionedTable.readAll(spark, root)
     Similarity.ivfTopKStored(all.where(col("vec_id") % 100 === 0), lists, cents, k = 10)
@@ -609,13 +605,45 @@ object VectorQueries {
     * text path. No SQL oracle (a real PNG decode has no DuckDB
     * equivalent); MultimodalSpec pins brightness invariance, same-
     * group recovery, and cross-group separation. */
-  def mmPhashDedup(spark: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.syntheticPatternImages(
-      spark, TableLoader.load(spark, dir, "documents"))
-    val hashes = graft.multimodal.MediaOps.imageDHash(media).toDF()
-    graft.multimodal.MediaOps.phashPairs(hashes, maxDist = 6)
+  /** dHash near-dup pairs, memoized per (session, dir): the pair table
+    * feeds both the pair-anchor query (mm_phash_dedup) and the
+    * survivor terminal (mm_phash_survivors), and upstream of it sits
+    * the real PNG decode of the whole media corpus — decode once. */
+  private def phashPairsTable(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PlanCache.memo(spark, s"mm:phash-pairs:$dir") {
+      val media = Multimodal.syntheticPatternImages(
+        spark, TableLoader.load(spark, dir, "documents"))
+      val hashes = graft.multimodal.MediaOps.imageDHash(media).toDF()
+      graft.multimodal.MediaOps.phashPairs(hashes, maxDist = 6)
+    }
+
+  def mmPhashDedup(spark: SparkSession, dir: String): DataFrame =
+    phashPairsTable(spark, dir)
       .orderBy(col("hamming"), col("id1"), col("id2"))
       .limit(20)
+
+  /** Image near-dup SURVIVOR assignment — the dedup terminal whose
+    * OUTPUT stays linear in the corpus where the pair list grows ∝
+    * dups² (the sf1 decade measured the pair query at 31× for 10×
+    * data because true duplicate pairs densify ~100×; a near-dup
+    * terminal must emit per-media rows, not per-pair rows, to survive
+    * duplicate-dense media at scale). Connected components over the
+    * pigeonhole-blocked dHash pairs (the same large-star/small-star
+    * contraction `dedup_corpus` uses for text), one row per media in a
+    * near-dup component: its canonical survivor (component min id) and
+    * the component size. No SQL oracle (real PNG decode);
+    * MultimodalSpec pins survivor sets == brute-force union-find
+    * components over the same pairs. */
+  def mmPhashSurvivors(spark: SparkSession, dir: String): DataFrame =
+    survivorsOf(phashPairsTable(spark, dir))
+
+  private def survivorsOf(pairs: DataFrame): DataFrame = {
+    val cc = graft.operators.Dedup.connectedComponents(pairs)
+    val sizes = cc.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "comp")
+      .select(col("id").as("media_id"), col("comp").as("survivor_id"),
+        col("cluster_size"))
+      .orderBy(col("media_id"))
   }
 
   /** Audio-level near-dup dedup via the 63-bit energy-contour
@@ -626,12 +654,24 @@ object VectorQueries {
     * dedup now covers all three modalities. No SQL oracle (real WAV
     * decode); MultimodalSpec pins gain invariance, damage tolerance,
     * separation, and blocked == brute parity. */
-  def mmAudioFpDedup(spark: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.syntheticPatternWavs(
-      spark, TableLoader.load(spark, dir, "documents"))
-    val hashes = graft.multimodal.MediaOps.audioFingerprint(media).toDF()
-    graft.multimodal.MediaOps.phashPairs(hashes, maxDist = 6)
+  /** Audio-fingerprint near-dup pairs, memoized per (session, dir) —
+    * same decode-once rationale as [[phashPairsTable]]. */
+  private def audioFpPairsTable(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PlanCache.memo(spark, s"mm:audiofp-pairs:$dir") {
+      val media = Multimodal.syntheticPatternWavs(
+        spark, TableLoader.load(spark, dir, "documents"))
+      val hashes = graft.multimodal.MediaOps.audioFingerprint(media).toDF()
+      graft.multimodal.MediaOps.phashPairs(hashes, maxDist = 6)
+    }
+
+  def mmAudioFpDedup(spark: SparkSession, dir: String): DataFrame =
+    audioFpPairsTable(spark, dir)
       .orderBy(col("hamming"), col("id1"), col("id2"))
       .limit(20)
-  }
+
+  /** Audio near-dup SURVIVOR assignment — see [[mmPhashSurvivors]];
+    * the same per-media (not per-pair) output contract over the
+    * energy-contour fingerprint pairs. */
+  def mmAudioFpSurvivors(spark: SparkSession, dir: String): DataFrame =
+    survivorsOf(audioFpPairsTable(spark, dir))
 }

@@ -36,13 +36,11 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query count matches the SURVEY inventory claim") {
-    // 170 query entries: 167 at the end of round 8 (156 at round 7 +
-    // ev_stream_hopping, text_dedup_spans_char + its kept-corpus
-    // terminal, dedup_survivors_minhash_inc, retrieval_rrf_perq,
-    // vec_cluster_stats, text_bm25_inc, ann_ivf_stream,
-    // text_stream_decontam, ann_pq_stored, vec_pca) + round 9's
-    // q_topk_rewrite, graph_pagerank_inc, and graph_pagerank_stream; update alongside
-    // SURVEY §2 when adding a query.
-    assert(SparkEntry.queries.size === 170, s"got ${SparkEntry.queries.size}")
+    // 172 query entries: 170 at the end of round 9 (167 at round 8 +
+    // q_topk_rewrite, graph_pagerank_inc, graph_pagerank_stream) +
+    // round 10's media near-dup survivor terminals mm_phash_survivors
+    // and mm_audio_fp_survivors; update alongside SURVEY §2 when
+    // adding a query.
+    assert(SparkEntry.queries.size === 172, s"got ${SparkEntry.queries.size}")
   }
 }

@@ -223,4 +223,42 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs === brute, s"blocked join missed ${(brute -- pairs).take(5)}")
     assert(pairs.nonEmpty)
   }
+
+  test("survivor terminals equal brute-force union-find over the same pairs") {
+    // The per-media survivor output (linear in the corpus) must carry
+    // exactly the pair-derived component structure the per-pair query
+    // (quadratic in duplicate density) exposes — for BOTH modalities.
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val cases: Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = Seq(
+      (graft.queries.VectorQueries.mmPhashSurvivors(spark, Sf),
+        graft.multimodal.MediaOps.phashPairs(graft.multimodal.MediaOps
+          .imageDHash(Multimodal.syntheticPatternImages(spark, docs)).toDF(), 6)),
+      (graft.queries.VectorQueries.mmAudioFpSurvivors(spark, Sf),
+        graft.multimodal.MediaOps.phashPairs(graft.multimodal.MediaOps
+          .audioFingerprint(Multimodal.syntheticPatternWavs(spark, docs)).toDF(), 6)))
+    for ((survivorsDf, pairsDf) <- cases) {
+      val got = survivorsDf.select("media_id", "survivor_id", "cluster_size")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got.nonEmpty)
+      // Brute-force reference: union-find over the raw (unlimited)
+      // pair list, canonical = component min, size = member count.
+      val pairs = pairsDf.select("id1", "id2").as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val members = parent.keys.toSeq.groupBy(find)
+      val expect = members.flatMap { case (_, ms) =>
+        val canon = ms.min
+        ms.map(m => (m, canon, ms.size.toLong))
+      }.toSet
+      assert(got === expect,
+        s"diff: got-only=${(got -- expect).take(3)} expect-only=${(expect -- got).take(3)}")
+    }
+  }
 }
