@@ -34,12 +34,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Actual output schema (Spark DDL) per query, captured from the
+    // DataFrame itself — the no-oracle schema gate compares these
+    // strings against SparkEntry.expectedSchema, so schema drift in a
+    // sketch/approx query fails the gate instead of passing rows-only.
+    val schemas = collection.mutable.Map.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        schemas(name) = df.schema.toDDL
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -55,9 +62,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    def jmap(m: collection.Map[String, String]): String =
+      m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      jmap(SparkEntry.oracleSql))
+    // No-oracle minimum gates + captured actual schemas (all queries).
+    Files.writeString(Paths.get(s"$outDir/row_bounds.json"),
+      jmap(SparkEntry.rowBoundSql))
+    Files.writeString(Paths.get(s"$outDir/expected_schema.json"),
+      jmap(SparkEntry.expectedSchema))
+    Files.writeString(Paths.get(s"$outDir/schemas.json"), jmap(schemas))
     spark.stop()
   }
 }

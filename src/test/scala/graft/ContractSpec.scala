@@ -43,4 +43,24 @@ class ContractSpec extends SparkSpec {
     // adding a query.
     assert(SparkEntry.queries.size === 172, s"got ${SparkEntry.queries.size}")
   }
+
+  test("no-oracle entries are exactly covered by row-bound + schema gates") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(SparkEntry.rowBoundSql.keySet === noOracle,
+      s"rowBoundSql drift: missing=${noOracle -- SparkEntry.rowBoundSql.keySet} " +
+        s"extra=${SparkEntry.rowBoundSql.keySet -- noOracle}")
+    assert(SparkEntry.expectedSchema.keySet === noOracle,
+      s"expectedSchema drift: missing=${noOracle -- SparkEntry.expectedSchema.keySet} " +
+        s"extra=${SparkEntry.expectedSchema.keySet -- noOracle}")
+    // The declared DDLs are live contracts, not stale copies: each
+    // must equal the actual output schema at the spec SF.
+    for ((name, ddl) <- SparkEntry.expectedSchema.toSeq.sortBy(_._1)
+         if Set("q_distinct_approx", "q_heavy_hitters_approx",
+           "q_percentiles_approx", "q_distinct_hll_sketch",
+           "text_bpe_vocab", "text_term_freq_cms").contains(name)) {
+      // (cheap subset — the full surface is exercised by the driver
+      // gate, which compares every actual DDL against these strings)
+      assert(SparkEntry.queries(name)(spark, Sf).schema.toDDL === ddl, name)
+    }
+  }
 }

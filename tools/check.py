@@ -24,10 +24,23 @@ if RUN_SPARK:
         print(r.stdout[-3000:]); print(r.stderr[-2000:]); sys.exit(1)
 
 def emit(q, v):
-    ok = v.startswith("OK") or v.startswith("rows-only")
+    ok = v.startswith("OK") or v.startswith("rows-only") or v.startswith("gated")
     print(f"{'PASS' if ok else 'FAIL':4} {q:24} {v}", flush=True)
 
+def load_optional(path):
+    try:
+        return json.load(open(path))
+    except Exception:
+        return {}
+
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+# No-oracle minimum gates: row-count bound SQL (one row: lo, hi) plus
+# the declared Spark schema DDL, compared against the actual DDL the
+# Verify run captured. Older Verify outputs lack these files -> the
+# check degrades to the legacy rows-only behavior.
+row_bounds = load_optional(f"{OUT}/row_bounds.json")
+expected_schema = load_optional(f"{OUT}/expected_schema.json")
+actual_schema = load_optional(f"{OUT}/schemas.json")
 con = duckdb.connect()
 tables = "region nation customer supplier part orders lineitem events documents embeddings".split()
 for t in tables:
@@ -57,7 +70,28 @@ for name in sorted(glob.glob(f"{OUT}/*/")):
     except Exception as e:
         results[qname] = f"SPARK-READ-FAIL {e}"; emit(qname, results[qname]); continue
     if qname not in oracle:
-        results[qname] = f"rows-only rows={len(spark_df)}"; emit(qname, results[qname]); continue
+        n = len(spark_df)
+        if qname in row_bounds or qname in expected_schema:
+            probs = []
+            lo = hi = None
+            if qname in row_bounds:
+                try:
+                    lo, hi = con.sql(row_bounds[qname]).fetchone()
+                    if not (lo <= n <= hi):
+                        probs.append(f"ROWS-OUT-OF-BOUNDS rows={n} bound=[{lo},{hi}]")
+                except Exception as e:
+                    probs.append(f"BOUND-SQL-FAIL {str(e)[:160]}")
+            if qname in expected_schema:
+                got = actual_schema.get(qname)
+                if got != expected_schema[qname]:
+                    probs.append(f"SCHEMA-DRIFT got={got!r} want={expected_schema[qname]!r}")
+            if probs:
+                results[qname] = "; ".join(probs)
+            else:
+                results[qname] = f"gated rows={n} bound=[{lo},{hi}] schema-ok"
+        else:
+            results[qname] = f"rows-only rows={n}"
+        emit(qname, results[qname]); continue
     try:
         duck_df = norm(con.sql(oracle[qname]).to_df())
     except Exception as e:
@@ -99,6 +133,13 @@ if os.environ.get("CHECK_JSON"):
         if v.startswith("OK"):
             return {"rows_match": True, "schema_match": True, "hash_match": True,
                     "rows": int(v.split("rows=")[1]), "err": None}
+        if v.startswith("gated"):
+            # no value oracle, but row-bound + schema gates both held
+            rows = int(v.split("rows=")[1].split(" ")[0])
+            bound = v.split("bound=")[1].split(" ")[0]
+            bound = None if "None" in bound else json.loads(bound)
+            return {"rows_match": True, "schema_match": True, "hash_match": None,
+                    "rows": rows, "row_bound": bound, "err": "no_oracle"}
         if v.startswith("rows-only"):
             return {"rows_match": None, "schema_match": None, "hash_match": None,
                     "rows": int(v.split("rows=")[1]), "err": "no_oracle"}
