@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Pin.PinOps
 
 /** Byte-pair-encoding VOCABULARY TRAINING — the tokenizer-building step
   * of an LLM training-data pipeline, distributed the way the algorithm
@@ -136,7 +137,7 @@ object Bpe {
     var syms = words.select(
         concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(Eow), lit(" ")).as("s"),
         col("freq"))
-      .localCheckpoint(true)
+      .pin(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     // Candidate width per action: bigger m = more merges per round in
     // the Zipf head, at the cost of a slightly wider (still tiny)
@@ -178,7 +179,7 @@ object Bpe {
       }
       // Lazy: the NEXT round's argmax action materializes this round's
       // merge result and truncates lineage.
-      syms = syms.select(rewritten.as("s"), col("freq")).localCheckpoint(false)
+      syms = syms.select(rewritten.as("s"), col("freq")).pin(false)
       rounds += 1
     }
     lastTrainRounds = rounds

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Pin.PinOps
 import graft.functions.TextFunctions._
 import graft.expressions.ShingleHashes.shingleHashesNative
 
@@ -289,7 +290,7 @@ object Dedup {
       // (Computed outside the lock — an iterative job under a lock
       // would serialize unrelated callers; a rare duplicate compute
       // is deterministic and benign.)
-      val labeled = connectedComponentsUncached(pairs).localCheckpoint(false)
+      val labeled = connectedComponentsUncached(pairs).pin(false)
       ccCache.synchronized {
         Option(ccCache.get(key)).getOrElse { ccCache.put(key, labeled); labeled }
       }
@@ -300,15 +301,15 @@ object Dedup {
     // Materialize the (usually expensive) candidate-pair plan once: the
     // symmetric union and the nodes/edges branches below would otherwise
     // each recompute it.
-    val p = pairs.select(col("id1"), col("id2")).localCheckpoint(true)
+    val p = pairs.select(col("id1"), col("id2")).pin(true)
     val sym = p.select(col("id1").as("src"), col("id2").as("dst"))
       .unionAll(p.select(col("id2").as("src"), col("id1").as("dst")))
     // Lazy checkpoint: nodes are not needed until the FINAL labeling join,
     // so don't spend a job materializing them up front — the final action
     // computes them once (from the already-checkpointed p) and persists.
-    val nodes = sym.select(col("src").as("id")).distinct().localCheckpoint(false)
+    val nodes = sym.select(col("src").as("id")).distinct().pin(false)
     // Invariant throughout: edges oriented large -> small, no self loops.
-    var edges = sym.where(col("src") > col("dst")).distinct().localCheckpoint(true)
+    var edges = sym.where(col("src") > col("dst")).distinct().pin(true)
     var prev = (-1L, -1L, -1L)
     var rounds = 0
     var done = false
@@ -336,7 +337,7 @@ object Dedup {
         // the checkpoint as a side effect, so each round costs ONE job
         // instead of an eager-materialize job plus the stat job. Lineage
         // is still truncated at every round.
-        .localCheckpoint(false)
+        .pin(false)
       // Convergence = fixpoint of (count, two INDEPENDENT order-invariant
       // hash-sums: xxhash64(src,dst) and xxhash64(dst,src)). For a false
       // positive both 64-bit sums must collide between different edge

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Pin.PinOps
 import org.apache.spark.storage.StorageLevel
 
 /** Iterative graph analytics beyond connected components (see
@@ -24,9 +25,13 @@ import org.apache.spark.storage.StorageLevel
   * the contributions, never a re-shuffle of the edges themselves.
   * Joins carry a shuffle-hash hint (build on the rank/degree side):
   * a sort-merge join would re-sort the edge partitions every round.
-  * Ranks are lazily localCheckpointed per iteration so the plan stays
-  * flat; the final round is an EAGER checkpoint, after which the edge
-  * cache is dropped — the operator leaves no pinned state behind.
+  * Ranks are pinned per iteration ([[Pin]]: localCheckpoint by
+  * default; `spark.graft.checkpoint.reliable=true` switches every
+  * iteration pin in this object to a reliable checkpoint that
+  * survives executor loss — set it under dynamic allocation or
+  * preemptible executors) so the plan stays flat; the final round is
+  * an EAGER pin, after which the edge cache is dropped — the operator
+  * leaves no pinned state behind.
   */
 object Graph {
 
@@ -79,7 +84,7 @@ object Graph {
       // released immediately, so no matter how many iterations run,
       // at most TWO rank tables are ever pinned at once (unbounded
       // accumulation was executor storage pressure at high iters).
-      ranks = next.localCheckpoint(true)
+      ranks = next.pin(true)
       prevPin.foreach(_.unpersist(false))
       prevPin = pinnedRdd(ranks)
     }
@@ -120,7 +125,7 @@ object Graph {
         .groupBy(col("dst")).agg(sum(col("contrib")).as("contribs"))
         .select(col("dst").as("node"),
           (lit(150000L) + expr("(85L * contribs) div 100L")).as("pr"))
-      ranks = next.localCheckpoint(true)
+      ranks = next.pin(true)
       prevPin.foreach(_.unpersist(false))
       prevPin = pinnedRdd(ranks)
     }
@@ -152,11 +157,11 @@ object Graph {
         .groupBy(col("dst")).agg(sum(col("contrib")).as("contribs"))
         .select(col("dst").as("node"), col("contribs"),
           (lit(150000L) + expr("(85L * contribs) div 100L")).as("pr"))
-        .localCheckpoint(true)
+        .pin(true)
       rounds += next.select(lit(i).as("round"), col("node"), col("contribs"), col("pr"))
       ranks = next.select(col("node"), col("pr"))
     }
-    val all = (round0 +: rounds.toSeq).reduce(_ unionByName _).localCheckpoint(true)
+    val all = (round0 +: rounds.toSeq).reduce(_ unionByName _).pin(true)
     ed.unpersist()
     all
   }
@@ -197,8 +202,8 @@ object Graph {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dEff = deltaEdges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint(true)
-    val st = state.localCheckpoint(false)
+      .pin(true)
+    val st = state.pin(false)
     val degOld = st.where(col("round") === 0)
       .select(col("node"), col("contribs").as("degOld"))
     // New degrees only where the batch added out-edges: degNew = degOld
@@ -207,7 +212,7 @@ object Graph {
       .join(degOld.hint("shuffle_hash"), Seq("node"), "left")
       .select(col("node"), col("degOld"),
         (coalesce(col("degOld"), lit(0L)) + col("dAdd")).as("degNew"))
-      .localCheckpoint(true)
+      .pin(true)
     val roundTables = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // Round 0 of the new state: old degrees patched with the changed ones.
     roundTables += degOld
@@ -240,7 +245,7 @@ object Graph {
           coalesce(col("prNewC"), col("prStored"), lit(1000000L)).as("prNewPrev"),
           col("degOld"),
           coalesce(col("degNew"), col("degOld")).as("degNew"))
-        .localCheckpoint(true)
+        .pin(true)
       val oldTerm = when(col("degOld").isNotNull && col("prOldPrev").isNotNull,
         expr("prOldPrev div degOld")).otherwise(lit(0L))
       val newTerm = expr("prNewPrev div degNew")
@@ -262,18 +267,18 @@ object Graph {
         .select(col("node"), (coalesce(col("cOld"), lit(0L)) + col("dC")).as("contribs"),
           col("prOldR"))
         .withColumn("pr", lit(150000L) + expr("(85L * contribs) div 100L"))
-        .localCheckpoint(true)
+        .pin(true)
       changed = patched
         .where(col("prOldR").isNull || col("pr") =!= col("prOldR"))
         .select(col("node"), col("prOldR").as("prOldC"), col("pr").as("prNewC"))
-        .localCheckpoint(true)
+        .pin(true)
       roundTables += oldRound
         .join(patched.select(col("node")), Seq("node"), "left_anti")
         .select(col("node"), col("cOld").as("contribs"), col("prOldR").as("pr"))
         .unionByName(patched.select(col("node"), col("contribs"), col("pr")))
         .select(lit(r).as("round"), col("node"), col("contribs"), col("pr"))
     }
-    val all = roundTables.toSeq.reduce(_ unionByName _).localCheckpoint(true)
+    val all = roundTables.toSeq.reduce(_ unionByName _).pin(true)
     ed.unpersist()
     all
   }
@@ -317,7 +322,7 @@ object Graph {
         when(col("rka") < col("rkb"), col("a")).otherwise(col("b")).as("src"),
         when(col("rka") < col("rkb"), col("b")).otherwise(col("a")).as("dst"),
         greatest(col("rka"), col("rkb")).as("rkd"))
-      .localCheckpoint(false) // consumed 3x: two wedge sides + the close
+      .pin(false) // consumed 3x: two wedge sides + the close
     // Wedges (u -> v, u -> w) with rank(v) < rank(w), closed by the
     // oriented edge (v -> w). Inner join is exact: the edge set is
     // distinct, so each triangle materializes exactly once.
@@ -355,7 +360,7 @@ object Graph {
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     val adj = edges.select(col("a").as("u"), col("b").as("v"))
       .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint(false) // consumed once per round; released below
+      .pin(false) // consumed once per round; released below
     var labels = adj.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     var prevPin: Option[org.apache.spark.rdd.RDD[_]] = None
@@ -365,7 +370,7 @@ object Graph {
         .groupBy(col("u"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("u").as("node"), (-col("m.nl")).as("label"))
-        .localCheckpoint(true)
+        .pin(true)
       prevPin.foreach(_.unpersist(false))
       prevPin = pinnedRdd(labels)
     }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Pin.PinOps
 import graft.functions.VectorFunctions._
 import graft.expressions.FloatVecDot.vecDot
 
@@ -151,7 +152,7 @@ object Similarity {
     // avg() would depend on partition-wise summation order).
     val train = corpus.where(
       pmod(xxhash64(col("vec_id")), lit(TrainSampleMod(corpus, maxTrainRows))) === 0)
-      .localCheckpoint(true)
+      .pin(true)
     var cents: Array[Array[Float]] = train.orderBy(col("vec_id")).limit(nCentroids)
       .select(col("embedding")).as[Seq[Float]].collect().map(_.toArray)
     for (_ <- 0 until iters) {
@@ -215,7 +216,7 @@ object Similarity {
     // stored index (ann_ivf_stored reads it from the lake); deriving
     // it inline fuses the 16-literal-dot assignment into the probe
     // join's codegen stage. Measured 1.8 -> 0.8 s warm at sf1.
-    ivfTopKStored(queries, assignToCentroids(corpus, cents).localCheckpoint(false),
+    ivfTopKStored(queries, assignToCentroids(corpus, cents).pin(false),
       cents, k, nProbe)
   }
 
@@ -474,7 +475,7 @@ object Similarity {
     // Materialized for the same reason as ivfPqTopK's cq: fusing the
     // 256-literal-dot encode into the ADC scan stage pushes the
     // generated match loop past the JIT budget (interpreted hot loop).
-    pqTopKStored(queries, pqEncodeTable(corpus, books).localCheckpoint(false),
+    pqTopKStored(queries, pqEncodeTable(corpus, books).pin(false),
       books, corpus, k, overFetch)
   }
 
@@ -572,7 +573,7 @@ object Similarity {
       pqEncode(spark, col("embedding"), books).as("n_codes"),
       vecDot(spark, col("embedding"), col("embedding")).as("n_n"),
       nearestCentroidId(spark, col("embedding"), cents).as("cent_id"))
-      .localCheckpoint(false)
+      .pin(false)
     val centsDf = broadcast(
       cents.zipWithIndex.map { case (cv, i) => (i, cv.toSeq) }.toSeq
         .toDF("cent_id", "cent_vec")
@@ -650,7 +651,7 @@ object Similarity {
     val spark = queries.sparkSession
     val cand = bruteForceTopK(queries, corpus, kCand)
       .select(col("q_id"), col("n_id"), col("cos_micro").as("rel"))
-      .localCheckpoint(false)
+      .pin(false)
     // Pairwise sims WITHIN each query's candidate set: (q, kCand^2)
     // rows, an equijoin on q_id — never corpus x corpus.
     val ce = cand.join(
@@ -662,7 +663,7 @@ object Similarity {
     val ps = a.join(b, col("q_id") === col("q2") && col("aid") =!= col("bid"))
       .withColumn("sim", cosMicro(spark, col("va"), col("na"), col("vb"), col("nb")))
       .select(col("q_id"), col("aid"), col("bid"), col("sim"))
-      .localCheckpoint(false)
+      .pin(false)
     val wPick = Window.partitionBy(col("q_id")).orderBy(col("score_x10").desc, col("n_id"))
     var picks = cand
       .withColumn("score_x10", col("rel") * 7L)
@@ -679,7 +680,7 @@ object Similarity {
         .withColumn("score_x10", col("rel") * 7L - col("maxsim") * 3L)
       val pick = scored.withColumn("rn", row_number().over(wPick)).where(col("rn") === 1)
         .select(col("q_id"), lit(i).as("mmr_rank"), col("n_id"), col("score_x10"))
-      picks = picks.unionAll(pick).localCheckpoint(false)
+      picks = picks.unionAll(pick).pin(false)
     }
     picks
   }
@@ -872,7 +873,7 @@ object Similarity {
       count(lit(1)).as("lc"),
       sum(col("cos_c")).as("sc"),
       min(col("cos_c")).as("mc"))
-      .localCheckpoint(false)
+      .pin(false)
     val sizes = perLabel.groupBy(col("cid")).agg(
       sum(col("lc")).as("n_vecs"),
       count(lit(1)).as("n_labels"),
