@@ -29,12 +29,24 @@ import org.apache.spark.sql.types.IntegerType
   * EnsureRequirements inserts the group-keyed exchange between the
   * partial and final execs from `requiredChildDistribution`.
   */
+/** @param withTies false = row_number() semantics (exactly k rows per
+  *                 group, tie order among order-equal rows arbitrary —
+  *                 the same unspecified choice the Window formulation
+  *                 makes); true = rank() semantics (a row survives iff
+  *                 fewer than k rows order strictly before it, so ALL
+  *                 rows tied at the k-th value are kept and the emitted
+  *                 rank carries standard competition numbering with
+  *                 gaps). With ties the per-group kept set is k plus
+  *                 the boundary tie width — exactly the cardinality
+  *                 `rank() <= k` emits, so the bound is inherent to the
+  *                 semantics, not a regression vs the Window plan. */
 case class TopKPerGroup(
     k: Int,
     groupExprs: Seq[Expression],
     orderExprs: Seq[SortOrder],
     child: LogicalPlan,
-    rankAttr: AttributeReference = AttributeReference("rnk", IntegerType, nullable = false)())
+    rankAttr: AttributeReference = AttributeReference("rnk", IntegerType, nullable = false)(),
+    withTies: Boolean = false)
   extends UnaryNode {
   require(k >= 1, s"TopKPerGroup requires k >= 1, got $k")
   override def output: Seq[Attribute] = child.output :+ rankAttr
@@ -54,9 +66,9 @@ object TopKPerGroupStrategy extends SparkStrategy {
       val gExprs = t.groupExprs.map(
         org.apache.spark.sql.graftbridge.GraftSqlBridge.normalizeFloat)
       val partial = TopKPerGroupExec(t.k, gExprs, t.orderExprs,
-        rankAttr = None, child = planLater(t.child))
+        rankAttr = None, child = planLater(t.child), withTies = t.withTies)
       TopKPerGroupExec(t.k, gExprs, t.orderExprs,
-        rankAttr = Some(t.rankAttr), child = partial) :: Nil
+        rankAttr = Some(t.rankAttr), child = partial, withTies = t.withTies) :: Nil
     case _ => Nil
   }
 
@@ -91,7 +103,8 @@ case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     orderExprs: Seq[SortOrder],
     rankAttr: Option[AttributeReference],
-    child: SparkPlan)
+    child: SparkPlan,
+    withTies: Boolean = false)
   extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output ++ rankAttr
@@ -115,6 +128,7 @@ case class TopKPerGroupExec(
     val gExprs = groupExprs
     val oExprs = orderExprs
     val kk = k
+    val ties = withTies
     val rank = rankAttr
     val fullOutput = output
     val maxPartialGroups =
@@ -126,9 +140,38 @@ case class TopKPerGroupExec(
       // per group: max-heap by sort order — root is the WORST kept row,
       // evicted when a better (ordering-smaller) row arrives.
       def newHeap() = mutable.PriorityQueue.empty[UnsafeRow](ord.on(identity[UnsafeRow]))
+      // Evict rows whose strictly-better count reached k. In ties mode
+      // a row at the heap root may share its order value with other
+      // kept rows; evicting just the root would drop a row whose
+      // rank() is still <= k (e.g. k=3, kept [1,2,2], insert 1: both
+      // 2s keep rank 3). So pruning pops the ENTIRE worst tie group
+      // and drops it only when the remaining (all strictly better)
+      // rows already number >= k; otherwise the group is re-enqueued
+      // and the heap legitimately holds k + boundary-tie-width rows —
+      // the exact cardinality rank() <= k emits.
+      def pruneTies(h: mutable.PriorityQueue[UnsafeRow]): Unit = {
+        while (h.size > kk) {
+          val w = h.dequeue()
+          val grp = mutable.ArrayBuffer(w)
+          while (h.nonEmpty && ord.compare(h.head, w) == 0) grp += h.dequeue()
+          if (h.size >= kk) () // whole tie group out of the running: drop
+          else { grp.foreach(h.enqueue(_)); return }
+        }
+      }
       def insert(h: mutable.PriorityQueue[UnsafeRow], row: InternalRow): Unit =
         if (h.size < kk) h.enqueue(rowProj(row).copy())
-        else if (ord.compare(row, h.head) < 0) { h.dequeue(); h.enqueue(rowProj(row).copy()) }
+        else if (!ties) {
+          if (ord.compare(row, h.head) < 0) { h.dequeue(); h.enqueue(rowProj(row).copy()) }
+        } else {
+          // ties mode: a row strictly worse than the current worst has
+          // >= k strictly-better rows (every kept row, ties included,
+          // orders before it) — drop; anything else stays and the
+          // heap re-prunes.
+          if (ord.compare(row, h.head) <= 0) {
+            h.enqueue(rowProj(row).copy())
+            pruneTies(h)
+          }
+        }
 
       rank match {
         case None => // partial: emit survivors unranked, flushing at the group cap
@@ -178,9 +221,24 @@ case class TopKPerGroupExec(
               val h = newHeap()
               while (bit.hasNext && groupProj(bit.head) == key) insert(h, bit.next())
               val worstFirst: Seq[UnsafeRow] = h.dequeueAll[UnsafeRow]
-              out = worstFirst.reverseIterator.zipWithIndex.map { case (row, i) =>
-                outProj(joined(row, new GenericInternalRow(Array[Any](i + 1))))
-              }
+              val bestFirst = worstFirst.reverseIterator
+              out =
+                if (!ties) bestFirst.zipWithIndex.map { case (row, i) =>
+                  outProj(joined(row, new GenericInternalRow(Array[Any](i + 1))))
+                } else {
+                  // Standard competition ranking: order-equal rows share
+                  // a rank, the next distinct value jumps past them
+                  // (1, 2, 2, 4) — exactly rank()'s numbering, emitted
+                  // over the tie-complete survivor set.
+                  var prev: UnsafeRow = null
+                  var prevRank = 0
+                  bestFirst.zipWithIndex.map { case (row, i) =>
+                    val r = if (prev != null && ord.compare(row, prev) == 0) prevRank
+                            else i + 1
+                    prev = row; prevRank = r
+                    outProj(joined(row, new GenericInternalRow(Array[Any](r))))
+                  }
+                }
             }
             override def hasNext: Boolean = {
               while (!out.hasNext && bit.hasNext) nextRun()

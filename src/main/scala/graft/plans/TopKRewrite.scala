@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, ExprId, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, PredicateHelper, RowNumber, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, ExprId, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, PredicateHelper, Rank, RowNumber, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
@@ -73,12 +73,21 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private def rewriteOne(cond: Expression, w: Window): Option[LogicalPlan] =
     w.windowExpressions match {
-      case Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _))
-          if w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty =>
+      // rank() rewrites to the SAME operator in withTies mode: a row
+      // survives iff fewer than k rows order strictly before it (all
+      // boundary ties kept, competition numbering with gaps) — the
+      // exact rank() <= k semantics, so the rewrite is lossless even
+      // on tie-heavy orderings. dense_rank() is deliberately NOT
+      // matched: its "<= k" keeps the k smallest DISTINCT order
+      // values, an unbounded row set a bounded heap cannot represent.
+      case Seq(alias @ Alias(WindowExpression(fn, _), _))
+          if (fn.isInstanceOf[RowNumber] || fn.isInstanceOf[Rank]) &&
+            w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty =>
         val (kOpt, residual) = splitCond(cond, alias.exprId)
         kOpt.filter(_ >= 1).map { k =>
           val topk = TopKPerGroup(k, w.partitionSpec, w.orderSpec, w.child,
-            rankAttr = alias.toAttribute.asInstanceOf[AttributeReference])
+            rankAttr = alias.toAttribute.asInstanceOf[AttributeReference],
+            withTies = fn.isInstanceOf[Rank])
           residual.reduceOption(And).map(Filter(_, topk)).getOrElse(topk)
         }
       case _ => None

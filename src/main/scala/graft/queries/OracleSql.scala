@@ -328,6 +328,16 @@ object OracleSql {
     "q_topk_native" -> topkSql,
     "q_topk_rewrite" -> topkSql,
 
+    // rank() <= k with REAL ties: the tie-complete survivor set and
+    // competition numbering (gaps included) are deterministic, so the
+    // hash pins the withTies rewrite's full semantics.
+    "q_rank_rewrite" ->
+      """SELECT p_brand, rnk, p_partkey, p_size FROM (
+        | SELECT p_brand, p_partkey, p_size,
+        |  CAST(rank() OVER (PARTITION BY p_brand ORDER BY p_size) AS INT) AS rnk
+        | FROM part) t
+        |WHERE rnk <= 3 ORDER BY p_brand, rnk, p_partkey""".stripMargin,
+
     "q_delta_mom" ->
       """WITH m AS (
         | SELECT o_orderpriority, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,

@@ -177,7 +177,11 @@ object RelationalQueries {
     * plan shape is asserted in-query: the native node present, no
     * logical Window left. Shares q_topk_per_group's oracle — the
     * rewrite must be bit-for-bit invisible in the results. */
-  def qTopKRewrite(spark: SparkSession, dir: String): DataFrame = {
+  /** Build `df` with the opt-in TopKRewrite flag ON, assert the rule
+    * fired (native node present, no logical Window survives), and
+    * return the rewritten plan's rows. Shared by the row_number() and
+    * rank() rewrite gate queries. */
+  private def withTopKRewrite(spark: SparkSession)(df: => DataFrame): DataFrame = {
     graft.plans.TopKPerGroupStrategy.ensureRegistered(spark)
     // Sessions built with spark.sql.extensions=graft.GraftExtensions
     // already carry the rule; register it for any other session too
@@ -190,13 +194,6 @@ object RelationalQueries {
     val prev = spark.conf.getOption(flag)
     spark.conf.set(flag, "true")
     try {
-      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
-      val df = t(spark, dir, "customer")
-        .withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= 3)
-        .select(col("c_nationkey"), col("rnk"), col("c_custkey"),
-          (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("acctbal_cents"))
-        .orderBy(col("c_nationkey"), col("rnk"))
       // The rule fires during optimization, while the flag is on.
       val optimized = df.queryExecution.optimizedPlan
       require(optimized.exists(_.isInstanceOf[graft.plans.TopKPerGroup]),
@@ -210,6 +207,35 @@ object RelationalQueries {
       case None => spark.conf.unset(flag)
     }
   }
+
+  def qTopKRewrite(spark: SparkSession, dir: String): DataFrame =
+    withTopKRewrite(spark) {
+      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(spark, dir, "customer")
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("c_nationkey"), col("rnk"), col("c_custkey"),
+          (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("acctbal_cents"))
+        .orderBy(col("c_nationkey"), col("rnk"))
+    }
+
+  /** rank()-<=-k auto-rewrite gate: plain window SQL over a TIE-HEAVY
+    * ordering (part sizes within a brand — small integer domain, dozens
+    * of collisions per group), flag on, rewritten into the native
+    * operator in withTies mode. rank() semantics make the output SET
+    * deterministic even under ties (every boundary-tied row is kept
+    * and shares its rank), so unlike the row_number() anchors no
+    * tie-breaking column is needed and the DuckDB oracle hash-matches
+    * the full tie structure — competition numbering, gaps and all. */
+  def qRankRewrite(spark: SparkSession, dir: String): DataFrame =
+    withTopKRewrite(spark) {
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("p_size"))
+      t(spark, dir, "part")
+        .withColumn("rnk", rank().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("p_brand"), col("rnk"), col("p_partkey"), col("p_size"))
+        .orderBy(col("p_brand"), col("rnk"), col("p_partkey"))
+    }
 
   /** Month-over-month delta of order totals per priority (the reference's
     * rating-progress-over-periods analog). */

@@ -136,10 +136,12 @@ class TopKRewriteSpec extends SparkSpec {
     withRewrite(on = true) {
       val part = Window.partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
       val df = spark.read.parquet(s"$Sf/customer.parquet")
-      // rank() is not row_number(): ties share ranks, heap semantics differ
-      val rank = df.withColumn("rnk", org.apache.spark.sql.functions.rank().over(part))
+      // dense_rank() <= k keeps the k smallest DISTINCT values — an
+      // unbounded row set no bounded heap can represent: not rewritten
+      val dense = df.withColumn("rnk",
+          org.apache.spark.sql.functions.dense_rank().over(part))
         .where(col("rnk") <= 3)
-      assert(plan(rank).contains("Window"))
+      assert(plan(dense).contains("Window"))
       // global window (no partition): stays on the window path
       val global = df.withColumn(
           "rnk", row_number().over(Window.orderBy(col("c_custkey"))))
@@ -150,5 +152,59 @@ class TopKRewriteSpec extends SparkSpec {
         .where(col("c_custkey") <= 3)
       assert(plan(other).contains("Window"))
     }
+  }
+
+  test("rank() <= k rewrites tie-completely: boundary ties kept, gaps numbered") {
+    import spark.implicits._
+    // Adversarial tie layout for the partial heap: group 0's three
+    // best values are [1, 2, 2, 2, ...] — a naive k-bounded heap that
+    // fills with the 2s and then sees the 1 would evict ONE tied 2,
+    // losing a row whose rank (2) is within bound. 40 groups x 50
+    // rows over 8 input partitions exercise partial flush + merge.
+    val data = (0 until 40).flatMap { g =>
+      (0 until 50).map(i => (g, if (i < 3) 2 else if (i == 3) 1 else 5 + i, g * 1000 + i))
+    }
+    val df = data.toDF("grp", "v", "id").repartition(8)
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"))
+    def q(): DataFrame = df.withColumn("rnk", rank().over(w))
+      .where(col("rnk") <= 3)
+      .orderBy(col("grp"), col("rnk"), col("id"))
+    val native = withRewrite(on = true) {
+      val d = q()
+      val p = plan(d)
+      assert(p.contains("TopKPerGroup") && !p.contains("Window"), p)
+      d.collect().map(_.toSeq).toSeq
+    }
+    val window = withRewrite(on = false)(q().collect().map(_.toSeq).toSeq)
+    assert(native === window)
+    // The semantics were genuinely exercised: every group keeps 4 rows
+    // (1 + three tied 2s at ranks 2,2,2) — MORE than k — and rank 3 is
+    // skipped by competition numbering.
+    assert(native.count(r => r(0) == 0) === 4)
+    val ranks = native.filter(r => r(0) == 0).map(_(3))
+    assert(ranks === Seq(1, 2, 2, 2))
+  }
+
+  test("q_rank_rewrite driver query: native plan, window-equal, real ties") {
+    assert(spark.conf.getOption(Flag).isEmpty)
+    val df = queries.RelationalQueries.qRankRewrite(spark, Sf)
+    assert(spark.conf.getOption(Flag).isEmpty) // flag restored
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroup"), s"native operator missing:\n$p")
+    assert(!p.contains("Window"), s"Window survived:\n$p")
+    val got = df.collect().map(_.toSeq).toSeq
+    // un-rewritten window execution of the same query
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_size"))
+    val expect = spark.read.parquet(s"$Sf/part.parquet")
+      .withColumn("rnk", rank().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("p_brand"), col("rnk"), col("p_partkey"), col("p_size"))
+      .orderBy(col("p_brand"), col("rnk"), col("p_partkey"))
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    assert(got === expect)
+    // the corpus genuinely ties: some group keeps more than k rows
+    val perGroup = got.groupBy(_(0)).values.map(_.size)
+    assert(perGroup.exists(_ > 3), "no boundary ties — the gate is vacuous")
   }
 }
