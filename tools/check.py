@@ -44,7 +44,11 @@ actual_schema = load_optional(f"{OUT}/schemas.json")
 con = duckdb.connect()
 tables = "region nation customer supplier part orders lineitem events documents embeddings".split()
 for t in tables:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    p = f"{SF_DIR}/{t}.parquet"
+    # driver testdata tables are single files; ScaleUp lakes (target/sf1)
+    # are parquet DIRECTORIES — glob those
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
