@@ -73,9 +73,23 @@ object ClusterSmoke {
       // preemption-safe deployment shape.
       .config("spark.graft.checkpoint.reliable", "true")
       .config("spark.graft.checkpoint.dir", ckpt)
+      // reap checkpoint files of out-of-scope RDDs (see Pin's scaladoc
+      // — block-level unpersist alone never deletes checkpoint files)
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // Full JSON string escape incl. control chars — Spark exception
+    // messages routinely carry newlines (plan dumps, stage failures),
+    // and one unescaped \n in an err field invalidates the artifact.
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val results = SmokeSet.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -136,11 +136,20 @@ object ScaleUp {
     // Namespace-collision guard: the replica suffix must not already
     // occur as a token tail in the source corpus, or cross-replica
     // token disjointness (raw AND normalized) silently degrades into
-    // partial overlap and the dedup/decontam growth ratios lie.
+    // partial overlap and the dedup/decontam growth ratios lie. The
+    // check runs on tokens AFTER the surface's [^a-z0-9] normalization
+    // — that is the domain where a collision actually bites (raw
+    // 'abczzr1z.z' normalizes to 'abczzr1zz' and would collide with
+    // replica 1's suffixed 'abc'), and an ends-with match catches
+    // punctuation/whitespace-adjacent tails a raw word-boundary regex
+    // misses.
     val collisions = docs
-      .where(col("text").rlike("zzr[0-9]+zz( |$)")).count()
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .select(regexp_replace(lower(col("tok")), "[^a-z0-9]", "").as("tok"))
+      .where(col("tok").rlike("zzr[0-9]+zz$"))
+      .count()
     require(collisions == 0L,
-      s"$collisions source documents contain a token ending in the " +
+      s"$collisions source tokens normalize to a tail matching the " +
         "replica namespace suffix pattern zzr<digits>zz — pick a " +
         "different suffix for this corpus")
     wr("documents", (0 until replicas).map { r =>

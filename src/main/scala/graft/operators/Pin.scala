@@ -15,10 +15,18 @@ import org.apache.spark.sql.DataFrame
   * With `spark.graft.checkpoint.reliable=true`: a RELIABLE checkpoint
   * into `spark.graft.checkpoint.dir` (required — point it at the lake
   * filesystem next to [[graft.sinks.LakeRoot]]). Iteration state then
-  * survives executor loss at the price of a write+read per pin — the
-  * setting a 1000-executor deployment with preemption should run
-  * with. The checkpoint dir is set once per SparkContext, lazily, so
-  * merely importing this object costs nothing.
+  * survives executor loss — the setting a 1000-executor deployment
+  * with preemption should run with — at two documented costs this
+  * helper does NOT hide: (1) each pin pays a filesystem write+read,
+  * and an eager pin's plan is computed once for the action and again
+  * by the checkpoint-write job (the RDD-level recompute Spark's own
+  * checkpoint docs call out); (2) checkpoint FILES are not removed by
+  * the callers' block-level `unpersist` — set
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (a
+  * context-creation conf) so out-of-scope checkpoints are reaped, or
+  * point the dir at storage with a TTL. `ClusterSmoke` runs with the
+  * cleaner enabled. The checkpoint dir is set once per SparkContext,
+  * lazily, so merely importing this object costs nothing.
   *
   * Both paths return a DataFrame whose plan is a LogicalRDD, so
   * callers that release superseded rounds via the pinned RDD handle

@@ -61,8 +61,12 @@ object LakeRoot {
     val f = fsOf(spark, target)
     val p = new Path(target)
     if (!f.exists(p)) {
-      val staging = new Path(p.getParent, p.getName + ".tmp")
-      f.delete(staging, true) // a crashed earlier attempt's leftovers
+      // Per-attempt UUID staging (the VersionedTable.commit discipline):
+      // a FIXED staging path would let two concurrent first runs write
+      // into each other's staging and rename a torn mix into place — the
+      // rename guard below protects only the rename, not the write.
+      val staging = new Path(p.getParent,
+        s".${p.getName}-staging-${java.util.UUID.randomUUID.toString.take(12)}")
       write(staging.toString)
       VersionedTable.renameNoNest(f, staging, p) match {
         case VersionedTable.Renamed => ()

@@ -28,10 +28,15 @@ def emit(q, v):
     print(f"{'PASS' if ok else 'FAIL':4} {q:24} {v}", flush=True)
 
 def load_optional(path):
+    # Absent file = legacy Verify output -> gates degrade to rows-only.
+    # A PRESENT but unreadable file must fail loudly: silently dropping
+    # the gates is the exact degradation they were added to eliminate.
     try:
-        return json.load(open(path))
-    except Exception:
+        f = open(path)
+    except FileNotFoundError:
         return {}
+    with f:
+        return json.load(f)
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 # No-oracle minimum gates: row-count bound SQL (one row: lo, hi) plus
@@ -87,7 +92,13 @@ for name in sorted(glob.glob(f"{OUT}/*/")):
                     probs.append(f"BOUND-SQL-FAIL {str(e)[:160]}")
             if qname in expected_schema:
                 got = actual_schema.get(qname)
-                if got != expected_schema[qname]:
+                if got is None:
+                    # outDir holds this query's dump but schemas.json (written
+                    # whole each Verify run) lacks it: a restricted Verify
+                    # overwrote a fuller run's capture — config error, not drift
+                    probs.append("SCHEMA-UNCAPTURED (schemas.json lacks this query; "
+                                 "rerun Verify without a name filter)")
+                elif got != expected_schema[qname]:
                     probs.append(f"SCHEMA-DRIFT got={got!r} want={expected_schema[qname]!r}")
             if probs:
                 results[qname] = "; ".join(probs)
@@ -126,7 +137,8 @@ for name in sorted(glob.glob(f"{OUT}/*/")):
     results[qname] = "OK rows=%d" % len(spark_df) if not bad else "VALUE-MISMATCH " + "; ".join(bad[:3])
     emit(qname, results[qname])
 
-okc = sum(1 for v in results.values() if v.startswith("OK") or v.startswith("rows-only"))
+okc = sum(1 for v in results.values()
+          if v.startswith("OK") or v.startswith("rows-only") or v.startswith("gated"))
 print(f"== {okc}/{len(results)} pass")
 
 # Optional committable artifact (CHECK_JSON=path): per-query verdicts in
