@@ -730,13 +730,21 @@ object OracleSql {
     // re-derives the synthetic Motion-PNG AVI per-frame metadata purely
     // arithmetically; the Spark side must recover identical values by
     // walking real RIFF/AVI chunk structure and decoding real PNG frame
-    // pixels through javax.imageio
+    // pixels through javax.imageio.
+    // Color arithmetic note (applies to every media oracle below): the
+    // synthetic color is a WRAPPING Knuth multiply (id * 0x9E3779B1
+    // mod 2^64, low 24 bits kept). DuckDB INT64 ERRORS on overflow
+    // instead of wrapping, so these oracles use the mathematically
+    // identical pre-masked form — the low 24 bits of a product depend
+    // only on the operands' low 24 bits, hence (id & 0xFFFFFF) *
+    // 3635633 (= 0x9E3779B1 & 0xFFFFFF), max ~6e13, overflow-free at
+    // ANY id range (sf1's 2.9e9 id strides overflowed the naive form).
     "mm_video_frames" ->
       """WITH f AS (
         | SELECT doc_id, UNNEST(range(0, 2 + doc_id % 4)) AS frame_idx FROM documents),
         |m AS (
         | SELECT doc_id, frame_idx, 8 + doc_id % 8 AS w, 8 + (doc_id // 8) % 8 AS h,
-        |  ((doc_id * 2654435761) + frame_idx * 40503) & 16777215 AS rgb
+        |  (((doc_id & 16777215) * 3635633) + frame_idx * 40503) & 16777215 AS rgb
         | FROM f),
         |l AS (
         | SELECT doc_id, frame_idx, w, h,
@@ -755,7 +763,7 @@ object OracleSql {
         | SELECT doc_id, UNNEST(range(0, 2 + doc_id % 4)) AS frame_idx FROM documents),
         |m AS (
         | SELECT doc_id, frame_idx, 8 + doc_id % 8 AS w, 8 + (doc_id // 8) % 8 AS h,
-        |  ((doc_id * 2654435761) + frame_idx * 40503) & 16777215 AS rgb
+        |  (((doc_id & 16777215) * 3635633) + frame_idx * 40503) & 16777215 AS rgb
         | FROM f),
         |x AS (
         | SELECT doc_id, frame_idx, w, h,
@@ -792,7 +800,7 @@ object OracleSql {
     "mm_resize" ->
       """WITH m AS (
         | SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (doc_id // 16) % 8 AS h,
-        |  (doc_id * 2654435761) & 16777215 AS rgb
+        |  ((doc_id & 16777215) * 3635633) & 16777215 AS rgb
         | FROM documents),
         |s AS (SELECT doc_id, w, h, rgb, GREATEST(w, h) AS mx FROM m),
         |r AS (SELECT doc_id, rgb,
@@ -810,7 +818,7 @@ object OracleSql {
     "mm_image_meta" ->
       """WITH m AS (
         | SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (doc_id // 16) % 8 AS h,
-        |  (doc_id * 2654435761) & 16777215 AS rgb
+        |  ((doc_id & 16777215) * 3635633) & 16777215 AS rgb
         | FROM documents),
         |l AS (
         | SELECT doc_id, w, h,
