@@ -45,6 +45,12 @@ object ClusterSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val outFile = if (args.length > 1) args(1) else "CLUSTER_SMOKE.json"
+    // 3rd arg "full": run the ENTIRE query surface under the cluster
+    // (every SparkEntry entry, sorted) instead of the targeted
+    // iterative/stored-state/streaming set — the strongest
+    // driver-local-assumption sweep this environment can run.
+    val full = args.length > 2 && args(2) == "full"
+    val names = if (full) SparkEntry.queries.keys.toSeq.sorted else SmokeSet
     val classes = new java.io.File("target/scala-2.13/classes").getAbsolutePath
     val lake = new java.io.File(
       s"target/cluster-lake-${System.currentTimeMillis()}").getAbsolutePath
@@ -90,7 +96,7 @@ object ClusterSmoke {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val results = SmokeSet.map { name =>
+    val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val r =
@@ -110,6 +116,8 @@ object ClusterSmoke {
     val payload =
       s"""{"master":"local-cluster[2,4,2048]","sf":${q(sfDir)},""" +
         s""""reliable_checkpoint":true,"isolated_lake":true,""" +
+        s""""mode":${q(if (full) "full-surface" else "targeted")},""" +
+        s""""n_queries":${names.size},""" +
         s""""queries":{${results.mkString(",")}}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), payload + "\n")
     println(s"[smoke] wrote $outFile")

@@ -85,6 +85,14 @@ object NoOracleGates {
     "q_distinct_hll_sketch" ->
       ("SELECT count(DISTINCT o_orderpriority) AS lo, " +
         "count(DISTINCT o_orderpriority) AS hi FROM orders"),
+    // Stored-sketch serving twins: same exact group-set row counts as
+    // their inline twins (the stored split never changes the groups).
+    "q_distinct_hll_inc" ->
+      ("SELECT count(DISTINCT o_orderpriority) AS lo, " +
+        "count(DISTINCT o_orderpriority) AS hi FROM orders"),
+    // Exactly 10: candidate pool = per-month exact top-32, >= 10
+    // distinct keys on every gate corpus.
+    "q_heavy_hitters_stored" -> "SELECT 10 AS lo, 10 AS hi",
     "q_percentiles_approx" ->
       ("SELECT count(DISTINCT c_mktsegment) AS lo, count(DISTINCT c_mktsegment) AS hi " +
         "FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey"),
@@ -128,6 +136,9 @@ object NoOracleGates {
       "l_returnflag STRING,n_parts_approx BIGINT NOT NULL,n_supps_approx BIGINT NOT NULL",
     "q_distinct_hll_sketch" ->
       "o_orderpriority STRING,approx_custs BIGINT NOT NULL,n_months BIGINT NOT NULL",
+    "q_distinct_hll_inc" ->
+      "o_orderpriority STRING,approx_custs BIGINT NOT NULL,n_months BIGINT NOT NULL",
+    "q_heavy_hitters_stored" -> "custkey BIGINT NOT NULL,est_orders BIGINT NOT NULL",
     "q_percentiles_approx" -> "c_mktsegment STRING,p50_cents BIGINT,p90_cents BIGINT",
     "q_heavy_hitters_approx" -> "custkey BIGINT,n_orders BIGINT NOT NULL",
     "text_bpe_encode" ->

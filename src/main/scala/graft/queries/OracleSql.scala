@@ -1286,6 +1286,31 @@ object OracleSql {
         |WHERE levenshtein(a.pfx, b.pfx) <= 8
         |ORDER BY 1, 2""".stripMargin,
 
+    // the same blocked-Levenshtein pair census contracted to survivor
+    // assignments: recursive reachability (as in dedup_survivors),
+    // canonical = component min, size = members per canonical
+    "text_fuzzy_survivors" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, substr(text, 1, 8) AS blk,
+        |  substr(text, 1, 32) AS pfx FROM documents),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        | FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        | WHERE levenshtein(a.pfx, b.pfx) <= 8),
+        |edges AS (SELECT id1 AS src, id2 AS dst FROM p
+        | UNION SELECT id2, id1 FROM p),
+        |reach(src, dst) AS (
+        | SELECT src, dst FROM edges
+        | UNION
+        | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |canon AS (SELECT n.id, LEAST(n.id, MIN(r.dst)) AS survivor_id
+        | FROM nodes n LEFT JOIN reach r ON r.src = n.id GROUP BY n.id),
+        |sizes AS (SELECT survivor_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        | FROM canon GROUP BY 1)
+        |SELECT c.id AS doc_id, c.survivor_id, s.cluster_size
+        |FROM canon c JOIN sizes s USING (survivor_id)
+        |ORDER BY doc_id""".stripMargin,
+
     // per-source distinct 8-gram sets share the decontamination hash
     // family; COUNT(*) over the equijoin of two DISTINCT (source, h)
     // sides counts distinct shared fingerprints per pair

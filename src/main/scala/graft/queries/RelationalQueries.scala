@@ -609,6 +609,110 @@ object RelationalQueries {
       .select(col("t.item").as("custkey"), col("t.count").as("n_orders"))
       .orderBy(col("n_orders").desc, col("custkey"))
 
+  /** Distinct-count served from INCREMENTALLY-MAINTAINED stored HLL
+    * sketches — the sketch family's entry in the build→store→increment→
+    * serve lifecycle the other stored-state families already close
+    * (bm25 postings, frozen IVF/PQ quantizers, minhash bands, PageRank
+    * IVM state). Per-(priority, month) Datasketches HLL sketches are
+    * committed to a [[graft.sinks.VersionedTable]] in two
+    * marker-stamped parts — the historical month set (3-in-4 by month
+    * hash) and one ingest batch's months (1-in-4) — and ONLY the
+    * batch's orders are ever scanned on the incremental run; history
+    * enters as stored sketch bytes, never re-derived. Serving unions
+    * the marker-selected sketch rows per priority (register-max — one
+    * partition-discovered scan of kilobyte sketch rows, no rescan of
+    * orders) — at 100 TB this is the only distinct-count shape that
+    * works: daily sketch rows merge in milliseconds while the exact
+    * recompute rescans a year of facts. SketchLifecycleSpec pins
+    * stored-incremental == the inline one-pass twin
+    * (q_distinct_hll_sketch) row-for-row, so the split+store+union
+    * round-trip is semantically invisible. */
+  def qDistinctHllInc(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.VersionedTable
+    val root = graft.sinks.LakeRoot.root(spark, dir, "hll_orders_v1")
+    val month = date_trunc("month", col("o_orderdate"))
+    val isBatch = pmod(xxhash64(month), lit(4L)) === 0L
+    def sketchesOf(part: DataFrame) = part
+      .groupBy(col("o_orderpriority"), month.as("month"))
+      .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+    val hist = VersionedTable.ensurePart(spark, root, "historical")(
+      sketchesOf(t(spark, dir, "orders").where(!isBatch)))
+    val batch = VersionedTable.ensurePart(spark, root, "batch")(
+      sketchesOf(t(spark, dir, "orders").where(isBatch)))
+    VersionedTable.readVersions(spark, root, Seq(hist, batch))
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").as("approx_custs"),
+        count(lit(1)).as("n_months"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Heavy hitters served from INCREMENTALLY-MAINTAINED stored
+    * count-min sketches + per-month candidate lists — the mergeable
+    * twin of q_heavy_hitters_approx's one-shot sketch, closing the
+    * same stored lifecycle as [[qDistinctHllInc]]. The build pass (per
+    * marker-stamped part, historical/batch by month hash) scans orders
+    * ONCE and commits two lake tables: per-month CMS bytes of
+    * o_custkey (fixed seed — counter sums are order-independent, so
+    * sketch bytes are deterministic and merge is EXACT: merged
+    * counters == single-pass counters, SketchLifecycleSpec asserts
+    * bit-equality) and per-month exact top-32 candidate keys (the
+    * standard CMS heavy-hitter recipe: the sketch answers point
+    * queries, candidates bound which points to ask). Serving collects
+    * both — bounded by the CALENDAR (months × 32 keys, kilobytes at
+    * any corpus size), the same design-constant-collect class as the
+    * codebook and hot-key loads — merges sketches driver-side, and
+    * emits the top-10 candidates by full-period CMS estimate. A key
+    * that is top-32 in no month cannot be a full-period top-10 unless
+    * counts are near-uniform (spec'd on this corpus); everything else
+    * never rescans history. */
+  def qHeavyHittersStored(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sinks.VersionedTable
+    val cmsRoot = graft.sinks.LakeRoot.root(spark, dir, "cms_orders_v1")
+    val candRoot = graft.sinks.LakeRoot.root(spark, dir, "cms_cands_v1")
+    val month = date_trunc("month", col("o_orderdate"))
+    val isBatch = pmod(xxhash64(month), lit(4L)) === 0L
+    def part(batch: Boolean) =
+      t(spark, dir, "orders").where(if (batch) isBatch else !isBatch)
+    def cmsOf(p: DataFrame) = p
+      .groupBy(month.as("month"))
+      .agg(expr("count_min_sketch(o_custkey, 0.0001d, 0.99d, 42)").as("sk"))
+    // Per-month exact top-32 candidates via the native top-k operator
+    // (per-partition heaps — the exchange carries ≤ 32 rows per month
+    // per input partition, never the full key census).
+    def candsOf(p: DataFrame) = graft.operators.Windows.topKPerGroupNative(
+        p.groupBy(month.as("month"), col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders")),
+        32, Seq(col("month")), Seq(col("n_orders").desc, col("o_custkey")))
+      .select(col("month"), col("o_custkey"), col("n_orders"))
+    val cmsVs = Seq(
+      VersionedTable.ensurePart(spark, cmsRoot, "historical")(cmsOf(part(batch = false))),
+      VersionedTable.ensurePart(spark, cmsRoot, "batch")(cmsOf(part(batch = true))))
+    val candVs = Seq(
+      VersionedTable.ensurePart(spark, candRoot, "historical")(candsOf(part(batch = false))),
+      VersionedTable.ensurePart(spark, candRoot, "batch")(candsOf(part(batch = true))))
+    val merged = mergeCms(
+      VersionedTable.readVersions(spark, cmsRoot, cmsVs)
+        .select(col("sk")).collect().map(_.getAs[Array[Byte]](0)))
+    val cands = VersionedTable.readVersions(spark, candRoot, candVs)
+      .select(col("o_custkey")).distinct().as[Long].collect()
+    cands.map(k => (k, merged.estimateCount(k)))
+      .sortBy { case (k, est) => (-est, k) }.take(10)
+      .toSeq.toDF("custkey", "est_orders")
+      .orderBy(col("est_orders").desc, col("custkey"))
+  }
+
+  private def mergeCms(
+      sketches: Array[Array[Byte]]): org.apache.spark.util.sketch.CountMinSketch = {
+    require(sketches.nonEmpty, "no stored CMS sketches")
+    val first = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketches.head))
+    sketches.tail.foldLeft(first) { (acc, bytes) =>
+      acc.mergeInPlace(org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bytes)))
+    }
+  }
+
   /** TPC-H Q6 shape: tight single-scan filter + aggregate — the
     * pushdown showcase (all three predicates reach the parquet scan,
     * ReadSchema is 4 columns wide). */

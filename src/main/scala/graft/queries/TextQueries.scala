@@ -336,22 +336,12 @@ object TextQueries {
     val d = docs(spark, dir)
     val isNewSource = pmod(xxhash64(col("source")), lit(4L)) === 0L
     val (pRoot, dRoot) = lexIndexRoots(spark, dir)
-    // Build-once guards key on CONTENT markers, not version count: a
-    // `_split_<part>_0` marker lands atomically with the version it
-    // describes, so a lost commit race — which renumbers the version —
-    // can neither skip the batch build (the guard asks "is the batch
-    // indexed anywhere", not "is the latest version 0") nor make
-    // serving double-count (serving selects the FIRST version carrying
-    // each part's marker; a raced duplicate is simply never read).
-    // A crash between any two commits still resumes idempotently.
-    def ensure(root: String, part: String, build: => DataFrame): Long = {
-      val have = VersionedTable.versionsWithMarker(spark, root, s"split_$part")
-      if (have.nonEmpty) have.min
-      else {
-        VersionedTable.commit(build, root, markers = Seq(s"_split_${part}_0"))
-        VersionedTable.versionsWithMarker(spark, root, s"split_$part").min
-      }
-    }
+    // Build-once guards key on CONTENT markers, not version count —
+    // see VersionedTable.ensurePart (shared with the stored sketch
+    // state): a crash between any two commits resumes idempotently,
+    // and a lost commit race can neither skip a build nor double-count.
+    def ensure(root: String, part: String, build: => DataFrame): Long =
+      VersionedTable.ensurePart(spark, root, part)(build)
     val pHist = ensure(pRoot, "historical", postingsOf(d.where(!isNewSource)))
     val pBatch = ensure(pRoot, "batch", postingsOf(d.where(isNewSource)))
     def doclensOf(v: Long) = VersionedTable.read(spark, pRoot, Some(v))
@@ -1046,6 +1036,28 @@ object TextQueries {
   def fuzzyPairsQ(spark: SparkSession, dir: String): DataFrame =
     Dedup.fuzzyPrefixPairs(docs(spark, dir))
       .orderBy(col("id1"), col("id2"))
+
+  /** Fuzzy near-match SURVIVOR assignment — the linear-output terminal
+    * over [[fuzzyPairsQ]]'s pair census, exactly the pairs→survivors
+    * contraction the media family got (`mm_phash_survivors`): the
+    * blocked Levenshtein pairs feed the shared large-star/small-star
+    * CC and the emit is one row per document in a fuzzy component —
+    * (doc_id, survivor_id = component min, cluster_size). At duplicate
+    * density d the pair census grows ∝ (n·d)²/n while this terminal is
+    * ≤ n rows at ANY density — the row an entity-resolution stage
+    * writes back. Oracle: DuckDB recursive-CTE reachability over the
+    * identical builtin edit distance (hash-exact, unlike the media
+    * survivors whose decode step has no SQL twin). */
+  def fuzzySurvivorsQ(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.fuzzyPrefixPairs(docs(spark, dir))
+      .select(col("id1"), col("id2"))
+    val cc = Dedup.connectedComponents(pairs)
+    val sizes = cc.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "comp")
+      .select(col("id").as("doc_id"), col("comp").as("survivor_id"),
+        col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Cross-source contamination matrix: for every source pair, the
     * number of distinct 8-gram fingerprints present in BOTH sources —

@@ -224,6 +224,26 @@ object VersionedTable {
     }
   }
 
+  /** Build-once guard for a content-split part of a stored table: if a
+    * version already carries the `_split_<part>_0` marker, return the
+    * first such version; else build, commit with the marker, and
+    * return it. The marker lands atomically with its version, so the
+    * guard keys on "is the part committed ANYWHERE" — a lost commit
+    * race (which renumbers the version) can neither skip the build nor
+    * make serving double-count, because serving selects the FIRST
+    * marked version and a raced duplicate is simply never read. Shared
+    * by the incremental lexical index (bm25_inc) and the stored sketch
+    * state (q_distinct_hll_inc / q_heavy_hitters_stored). */
+  def ensurePart(spark: SparkSession, root: String, part: String)(
+      build: => DataFrame): Long = {
+    val have = versionsWithMarker(spark, root, s"split_$part")
+    if (have.nonEmpty) have.min
+    else {
+      commit(build, root, markers = Seq(s"_split_${part}_0"))
+      versionsWithMarker(spark, root, s"split_$part").min
+    }
+  }
+
   /** An explicit set of versions in ONE partition-discovered scan —
     * same plan shape as [[readAll]] (version pruning rides
     * PartitionFilters), but the snapshot is a chosen version set (e.g.

@@ -36,12 +36,13 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query count matches the SURVEY inventory claim") {
-    // 173 query entries: 170 at the end of round 9 (167 at round 8 +
-    // q_topk_rewrite, graph_pagerank_inc, graph_pagerank_stream) +
-    // round 10's media near-dup survivor terminals (mm_phash_survivors,
-    // mm_audio_fp_survivors) and the rank()-with-ties rewrite gate
-    // (q_rank_rewrite); update alongside SURVEY §2 when adding a query.
-    assert(SparkEntry.queries.size === 173, s"got ${SparkEntry.queries.size}")
+    // 176 query entries: 173 at the last sync (170 at the end of round
+    // 9 + round 10's media survivor terminals and the rank()-with-ties
+    // rewrite gate) + the stored-sketch lifecycle pair
+    // (q_distinct_hll_inc, q_heavy_hitters_stored) and the fuzzy
+    // survivor terminal (text_fuzzy_survivors); update alongside
+    // SURVEY §2 when adding a query.
+    assert(SparkEntry.queries.size === 176, s"got ${SparkEntry.queries.size}")
   }
 
   test("no-oracle entries are exactly covered by row-bound + schema gates") {

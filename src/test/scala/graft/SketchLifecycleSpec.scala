@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+import graft.queries.RelationalQueries
+import graft.sinks.{LakeRoot, VersionedTable}
+
+/** The stored-sketch lifecycle (q_distinct_hll_inc /
+  * q_heavy_hitters_stored): splitting the build into lake-committed
+  * marker-stamped parts and serving from the stored sketch bytes must
+  * be semantically invisible — the same contract the bm25/minhash/IVF
+  * incremental paths pin against their from-scratch twins.
+  */
+class SketchLifecycleSpec extends SparkSpec {
+
+  test("stored-incremental HLL serve equals the inline one-pass twin row-for-row") {
+    val inline = RelationalQueries.qDistinctHllSketch(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val stored = RelationalQueries.qDistinctHllInc(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // Identical per-(priority, month) input rows -> identical sketch
+    // registers -> union (register max, order-independent) gives the
+    // SAME estimate whether sketches were stored or inline.
+    assert(stored.toSeq === inline.toSeq)
+  }
+
+  test("sketch builds are build-once: a second serve commits nothing new") {
+    RelationalQueries.qDistinctHllInc(spark, Sf).collect()
+    RelationalQueries.qHeavyHittersStored(spark, Sf).collect()
+    val roots = Seq("hll_orders_v1", "cms_orders_v1", "cms_cands_v1")
+      .map(LakeRoot.root(spark, Sf, _))
+    val before = roots.map(r => VersionedTable.versions(spark, r))
+    before.zip(roots).foreach { case (vs, r) =>
+      assert(vs.size === 2, s"$r: expected historical+batch, got $vs")
+    }
+    RelationalQueries.qDistinctHllInc(spark, Sf).collect()
+    RelationalQueries.qHeavyHittersStored(spark, Sf).collect()
+    assert(roots.map(r => VersionedTable.versions(spark, r)) === before)
+    // both parts are content-marked (the guard keys on markers, not ids)
+    roots.foreach { r =>
+      assert(VersionedTable.versionsWithMarker(spark, r, "split_historical").size === 1)
+      assert(VersionedTable.versionsWithMarker(spark, r, "split_batch").size === 1)
+    }
+  }
+
+  test("merged stored CMS is bit-identical to the single-pass sketch") {
+    RelationalQueries.qHeavyHittersStored(spark, Sf).collect() // ensure built
+    val cmsRoot = LakeRoot.root(spark, Sf, "cms_orders_v1")
+    val stored = VersionedTable.readAll(spark, cmsRoot)
+      .select(col("sk")).collect().map(_.getAs[Array[Byte]](0))
+    val merged = stored.map(b => CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(b)))
+      .reduce((a, b) => a.mergeInPlace(b))
+    val onePass = spark.read.parquet(s"$Sf/orders.parquet")
+      .agg(expr("count_min_sketch(o_custkey, 0.0001d, 0.99d, 42)").as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val out = new java.io.ByteArrayOutputStream()
+    merged.writeTo(out)
+    // CMS merge is EXACT: counter sums per cell — storing per-month
+    // sketches loses nothing vs sketching the whole table in one pass.
+    assert(java.util.Arrays.equals(out.toByteArray, onePass))
+  }
+
+  test("stored heavy hitters: estimates are overestimate-only and top-10 is exact here") {
+    val exact = spark.read.parquet(s"$Sf/orders.parquet")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val served = RelationalQueries.qHeavyHittersStored(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(served.length === 10)
+    // CMS error is one-sided: an estimate never undercounts.
+    served.foreach { case (k, est) =>
+      assert(est >= exact(k), s"cust $k: est $est < exact ${exact(k)}")
+    }
+    // At this corpus size eps*N << 1, so estimates ARE the exact
+    // counts and the served set equals the exact top-10 (desc count,
+    // asc key) — the candidates covered it and the sketch didn't blur.
+    val exactTop = exact.toSeq.sortBy { case (k, n) => (-n, k) }.take(10)
+    assert(served.toSeq === exactTop)
+  }
+}
