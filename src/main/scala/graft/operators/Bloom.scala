@@ -51,26 +51,45 @@ object Bloom {
   private def canonType(df: DataFrame, keyCol: String): org.apache.spark.sql.types.DataType =
     df.select(canonKey(df, keyCol)).schema.head.dataType
 
-  /** Build the bitset for the distinct keys of `build(keyCol)`:
-    * Array[Long] of length nBits/64, little-endian bit order within a
-    * word. Distributed OR-aggregation; only the finished words reach
-    * the driver. */
-  def buildBitset(build: DataFrame, keyCol: String,
-                  nBits: Int = 1 << 17, nHashes: Int = 3): Array[Long] = {
+  /** The bitset as ROWS (word index, 64-bit word) — the STORABLE shape:
+    * bitsets over the same (nBits, nHashes) geometry OR-merge by word
+    * index, so a lake-committed Bloom filter is incrementally
+    * maintainable (a new key batch appends its own word rows; serving
+    * `bit_or`s per word across versions) without ever rescanning the
+    * historical key set. Distributed explode + map-side-partial OR;
+    * at most nBits/64 rows survive the aggregation. */
+  def bitsetWords(build: DataFrame, keyCol: String,
+                  nBits: Int = 1 << 17, nHashes: Int = 3): DataFrame = {
     require(nBits % 64 == 0, s"nBits=$nBits must be a multiple of 64")
-    val spark = build.sparkSession
-    import spark.implicits._
-    val words = build.select(explode(array(
+    build.select(explode(array(
         positions(canonKey(build, keyCol), nBits, nHashes): _*)).as("pos"))
       .select((col("pos") / 64).cast("int").as("word"),
         // functions.shiftleft only takes a literal shift; the SQL
         // function accepts a column one.
         call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int")).as("mask"))
       .groupBy(col("word")).agg(bit_or(col("mask")).as("bits"))
-      .as[(Int, Long)].collect()
+  }
+
+  /** Assemble (word, bits) rows into the dense Array[Long] the probe
+    * compiles into the plan. The collect is bounded by nBits/64 longs
+    * (16 KiB at nBits=2^17) regardless of key-set size. */
+  def bitsetFromWords(words: Array[(Int, Long)], nBits: Int): Array[Long] = {
+    require(nBits % 64 == 0, s"nBits=$nBits must be a multiple of 64")
     val bitset = new Array[Long](nBits / 64)
     words.foreach { case (w, b) => bitset(w) = b }
     bitset
+  }
+
+  /** Build the bitset for the distinct keys of `build(keyCol)`:
+    * Array[Long] of length nBits/64, little-endian bit order within a
+    * word. Distributed OR-aggregation; only the finished words reach
+    * the driver. */
+  def buildBitset(build: DataFrame, keyCol: String,
+                  nBits: Int = 1 << 17, nHashes: Int = 3): Array[Long] = {
+    val spark = build.sparkSession
+    import spark.implicits._
+    bitsetFromWords(
+      bitsetWords(build, keyCol, nBits, nHashes).as[(Int, Long)].collect(), nBits)
   }
 
   /** Membership test against a bitset literal: true iff every salted

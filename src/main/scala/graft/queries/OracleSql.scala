@@ -1332,6 +1332,18 @@ object OracleSql {
          | COUNT(DISTINCT e.eval_id) AS n_eval_docs
          |FROM t JOIN e ON t.h = e.h GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // The stored-Bloom prefilter serve is EXACT (no false negatives;
+    // the confirm equijoin removes false positives), so its oracle IS
+    // text_decontaminate's oracle verbatim.
+    "text_decontam_bloom_inc" ->
+      s"""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |d AS (SELECT doc_id, $shingle8HashesFromW AS sh FROM d0),
+         |e AS (SELECT doc_id AS eval_id, UNNEST(sh) AS h FROM d WHERE doc_id % 29 = 0),
+         |t AS (SELECT doc_id, UNNEST(sh) AS h FROM d WHERE doc_id % 29 <> 0)
+         |SELECT t.doc_id, COUNT(DISTINCT t.h) AS n_shared_ngrams,
+         | COUNT(DISTINCT e.eval_id) AS n_eval_docs
+         |FROM t JOIN e ON t.h = e.h GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // The streamed decontamination accumulates exactly the batch
     // verdict set (one complete verdict per document per micro-batch,
     // no cross-batch state), so its oracle IS the batch oracle.

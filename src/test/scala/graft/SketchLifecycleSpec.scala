@@ -61,6 +61,36 @@ class SketchLifecycleSpec extends SparkSpec {
     assert(java.util.Arrays.equals(out.toByteArray, onePass))
   }
 
+  test("stored-bloom decontamination equals the exact one-shot twin and prunes the probe") {
+    val exact = queries.TextQueries.decontaminateQ(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val served = queries.TextQueries.decontamBloomIncQ(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // Bloom has no false negatives and the exact confirm join removes
+    // the false positives, so the stored-prefilter serve is EXACT.
+    assert(served.toSeq === exact.toSeq)
+    // Build-once: two marker-stamped parts, a second serve adds nothing.
+    val root = LakeRoot.root(spark, Sf, "decontam_bloom_v1")
+    val vs = VersionedTable.versions(spark, root)
+    assert(vs.size === 2)
+    queries.TextQueries.decontamBloomIncQ(spark, Sf).collect()
+    assert(VersionedTable.versions(spark, root) === vs)
+    // The stored filter genuinely prunes: rebuild the merged bitset the
+    // serve path uses and count train shingles passing it vs all.
+    val bitset = graft.operators.Bloom.bitsetFromWords(
+      VersionedTable.readAll(spark, root)
+        .groupBy(col("word")).agg(org.apache.spark.sql.functions.bit_or(col("bits")).as("bits"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))), 1 << 17)
+    val ex = spark.read.parquet(s"$Sf/documents.parquet")
+      .where(pmod(col("doc_id"), lit(29L)) =!= 0)
+      .select(explode(graft.expressions.ShingleHashes
+        .shingleHashesNative(spark, col("text"), 8)).as("h"))
+    val full = ex.count()
+    val pruned = ex.where(graft.operators.Bloom.mightContain(col("h"), bitset)).count()
+    assert(pruned < full,
+      s"bloom prefilter pruned nothing: $pruned of $full train shingles pass")
+  }
+
   test("stored heavy hitters: estimates are overestimate-only and top-10 is exact here") {
     val exact = spark.read.parquet(s"$Sf/orders.parquet")
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
