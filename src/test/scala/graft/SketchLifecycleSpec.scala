@@ -91,6 +91,32 @@ class SketchLifecycleSpec extends SparkSpec {
       s"bloom prefilter pruned nothing: $pruned of $full train shingles pass")
   }
 
+  test("ensurePart crash recovery: a lost part rebuilds alone, the other is reused") {
+    // Simulate a crash between the two part commits: build both, then
+    // delete the BATCH part's version wholesale (directory + marker).
+    val exact = RelationalQueries.qDistinctHllSketch(spark, Sf).collect().toSeq
+    RelationalQueries.qDistinctHllInc(spark, Sf).collect()
+    val root = LakeRoot.root(spark, Sf, "hll_orders_v1")
+    val histV = VersionedTable.versionsWithMarker(spark, root, "split_historical").min
+    val batchV = VersionedTable.versionsWithMarker(spark, root, "split_batch").min
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/v=$batchV"), true)
+    assert(VersionedTable.versionsWithMarker(spark, root, "split_batch").isEmpty)
+    // Replay: the historical part is REUSED (same version id, no new
+    // commit), only the lost batch part rebuilds, and the serve is
+    // again row-identical to the inline twin.
+    val served = RelationalQueries.qDistinctHllInc(spark, Sf).collect().toSeq
+    assert(served === exact)
+    assert(VersionedTable.versionsWithMarker(spark, root, "split_historical") === Seq(histV))
+    // The rebuilt part gets a fresh commit (its version id may be
+    // REUSED if the lost version was the newest — ids restart at
+    // latest+1 — but the directory and marker are newly landed).
+    val rebuilt = VersionedTable.versionsWithMarker(spark, root, "split_batch")
+    assert(rebuilt.size === 1, s"batch part should rebuild exactly once, got $rebuilt")
+    assert(batchV != histV && rebuilt.head != histV)
+  }
+
   test("stored heavy hitters: estimates are overestimate-only and top-10 is exact here") {
     val exact = spark.read.parquet(s"$Sf/orders.parquet")
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
