@@ -658,9 +658,12 @@ object RelationalQueries {
     * bit-equality) and per-month exact top-32 candidate keys (the
     * standard CMS heavy-hitter recipe: the sketch answers point
     * queries, candidates bound which points to ask). Serving collects
-    * both — bounded by the CALENDAR (months × 32 keys, kilobytes at
-    * any corpus size), the same design-constant-collect class as the
-    * codebook and hot-key loads — merges sketches driver-side, and
+    * both — bounded by the CALENDAR, not the corpus: candidate rows
+    * are kilobytes (months × 32 keys) and sketch bytes are ~1.1 MB
+    * per month (width 2/eps = 20000 ≥ the per-month distinct-key
+    * count, so counters rarely collide and point estimates are
+    * near-exact; 80 months ≈ 90 MB whether the table is 1 GB or
+    * 100 TB) — merges sketches driver-side, and
     * emits the top-10 candidates by full-period CMS estimate. A key
     * that is top-32 in no month cannot be a full-period top-10 unless
     * counts are near-uniform (spec'd on this corpus); everything else
