@@ -1,6 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, ExprId, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, PredicateHelper, Rank, RowNumber, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, AttributeReference, Descending, EqualTo, ExprId, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, Literal, NullsLast, PredicateHelper, Rank, RowNumber, SortOrder, SpecifiedWindowFrame, UnboundedFollowing, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
@@ -30,8 +31,11 @@ import org.apache.spark.sql.types.IntegerType
   * the rewritten plan shape asserted in-query.
   *
   * Conservative eligibility — rewrites ONLY when:
-  *  - the Window computes exactly one expression, a row_number() alias
-  *    (anything else still needs the Window);
+  *  - the Window computes exactly one expression: a row_number() or
+  *    rank() alias bounded by a literal k, or a bare partition
+  *    max()/min() pinned by equality (the argmax-keep shape, rewritten
+  *    as k=1 withTies — see the case comment for its null semantics);
+  *    anything else still needs the Window;
   *  - partition AND order specs are non-empty (a global top-k is
   *    already planned as TakeOrderedAndProject; an unordered
   *    row_number has no defined top-k);
@@ -89,6 +93,56 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
             rankAttr = alias.toAttribute.asInstanceOf[AttributeReference],
             withTies = fn.isInstanceOf[Rank])
           residual.reduceOption(And).map(Filter(_, topk)).getOrElse(topk)
+        }
+      // ARGMAX/ARGMIN-keep: `WHERE x = max(x) OVER (PARTITION BY g)`
+      // (q15_top_supplier's shape) is top-1-with-ties by x. The window
+      // must be a bare partition max/min — no ORDER BY, whole-partition
+      // frame — or the aggregate isn't the partition extreme at all.
+      // NullsLast ordering + an IsNotNull(x) guard reproduce the
+      // equality's null semantics exactly: a null x never equals the
+      // max (dropped), and an all-null partition emits nothing (its
+      // rank-1 null rows are cut by the guard). EqualNullSafe (<=>) is
+      // deliberately NOT matched — it KEEPS all-null partitions, which
+      // a k=1 heap plus null guard cannot express. A trailing Project
+      // re-emits the max alias as x itself (equal on every surviving
+      // row), so downstream references to the window column still
+      // resolve.
+      case Seq(alias @ Alias(WindowExpression(
+            AggregateExpression(mm, _, false, None, _),
+            WindowSpecDefinition(_, _,
+              SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing))), _))
+          if w.partitionSpec.nonEmpty && w.orderSpec.isEmpty &&
+            (mm.isInstanceOf[Max] || mm.isInstanceOf[Min]) =>
+        val isMax = mm.isInstanceOf[Max]
+        val x = if (isMax) mm.asInstanceOf[Max].child else mm.asInstanceOf[Min].child
+        if (!x.deterministic) None
+        else {
+          val conjuncts = splitConjunctivePredicates(cond)
+          // both orientations must be TRIED (x is itself often an
+          // attribute, so a one-sided AttributeReference pattern would
+          // capture `x = mx` on the wrong side and never flip)
+          def side(maybeAlias: Expression, other: Expression): Boolean =
+            maybeAlias match {
+              case a: AttributeReference =>
+                a.exprId == alias.exprId && other.semanticEquals(x)
+              case _ => false
+            }
+          def pins(c: Expression): Boolean = c match {
+            case EqualTo(l, r) => side(l, r) || side(r, l)
+            case _ => false
+          }
+          val (pin, residual) = conjuncts.partition(pins)
+          if (pin.isEmpty) None
+          else {
+            val ord = SortOrder(x, if (isMax) Descending else Ascending,
+              NullsLast, Seq.empty)
+            val topk = TopKPerGroup(1, w.partitionSpec, Seq(ord), w.child,
+              withTies = true)
+            val proj = Project(
+              w.child.output :+ Alias(x, alias.name)(exprId = alias.exprId),
+              Filter(IsNotNull(x), topk))
+            Some(residual.reduceOption(And).map(Filter(_, proj)).getOrElse(proj))
+          }
         }
       case _ => None
     }

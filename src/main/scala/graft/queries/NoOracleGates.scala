@@ -90,6 +90,9 @@ object NoOracleGates {
     "q_distinct_hll_inc" ->
       ("SELECT count(DISTINCT o_orderpriority) AS lo, " +
         "count(DISTINCT o_orderpriority) AS hi FROM orders"),
+    "q_distinct_hll_stream" ->
+      ("SELECT count(DISTINCT o_orderpriority) AS lo, " +
+        "count(DISTINCT o_orderpriority) AS hi FROM orders"),
     // Exactly 10: candidate pool = per-month exact top-32, >= 10
     // distinct keys on every gate corpus.
     "q_heavy_hitters_stored" -> "SELECT 10 AS lo, 10 AS hi",
@@ -137,6 +140,8 @@ object NoOracleGates {
     "q_distinct_hll_sketch" ->
       "o_orderpriority STRING,approx_custs BIGINT NOT NULL,n_months BIGINT NOT NULL",
     "q_distinct_hll_inc" ->
+      "o_orderpriority STRING,approx_custs BIGINT NOT NULL,n_months BIGINT NOT NULL",
+    "q_distinct_hll_stream" ->
       "o_orderpriority STRING,approx_custs BIGINT NOT NULL,n_months BIGINT NOT NULL",
     "q_heavy_hitters_stored" -> "custkey BIGINT NOT NULL,est_orders BIGINT NOT NULL",
     "q_percentiles_approx" -> "c_mktsegment STRING,p50_cents BIGINT,p90_cents BIGINT",

@@ -338,6 +338,15 @@ object OracleSql {
         | FROM part) t
         |WHERE rnk <= 3 ORDER BY p_brand, rnk, p_partkey""".stripMargin,
 
+    // argmax-keep: the groupBy-max join is the OTHER standard spelling
+    // of `x = max(x) OVER (PARTITION BY g)` — set-deterministic under
+    // ties, so it hash-pins the k=1 withTies rewrite.
+    "q_argmax_rewrite" ->
+      """WITH m AS (SELECT p_brand, max(p_size) AS mx FROM part GROUP BY 1)
+        |SELECT p.p_brand, p.p_partkey, p.p_size
+        |FROM part p JOIN m ON p.p_brand = m.p_brand AND p.p_size = m.mx
+        |ORDER BY p.p_brand, p.p_partkey""".stripMargin,
+
     "q_delta_mom" ->
       """WITH m AS (
         | SELECT o_orderpriority, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,

@@ -237,6 +237,26 @@ object RelationalQueries {
         .orderBy(col("p_brand"), col("rnk"), col("p_partkey"))
     }
 
+  /** argmax-keep auto-rewrite gate: the `WHERE x = max(x) OVER
+    * (PARTITION BY g)` idiom (q15_top_supplier's shape) written as
+    * plain window SQL over a TIE-HEAVY column (p_size — ~50 distinct
+    * values across thousands of parts, so most brands keep several
+    * max-size rows), flag on, rewritten into the native operator as
+    * top-1-with-ties by size. The output SET is deterministic under
+    * ties (every max row kept), so the DuckDB oracle — a groupBy-max
+    * join, the OTHER standard spelling of argmax — hash-matches
+    * exactly. In-query plan assertions: native node present, no
+    * logical Window. */
+  def qArgmaxRewrite(spark: SparkSession, dir: String): DataFrame =
+    withTopKRewrite(spark) {
+      val w = Window.partitionBy(col("p_brand"))
+      t(spark, dir, "part")
+        .withColumn("max_size", max(col("p_size")).over(w))
+        .where(col("p_size") === col("max_size"))
+        .select(col("p_brand"), col("p_partkey"), col("p_size"))
+        .orderBy(col("p_brand"), col("p_partkey"))
+    }
+
   /** Month-over-month delta of order totals per priority (the reference's
     * rating-progress-over-periods analog). */
   def qDeltaMom(spark: SparkSession, dir: String): DataFrame = {
@@ -643,6 +663,52 @@ object RelationalQueries {
       .groupBy(col("o_orderpriority"))
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").as("approx_custs"),
         count(lit(1)).as("n_months"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** STREAMED maintenance of the stored HLL sketch state — the sketch
+    * family's streaming driver, closing the same build→STREAM→serve
+    * lifecycle the lexical index (`IndexStream`), IVF index
+    * (`ann_ivf_stream`), and PageRank fold (`graph_pagerank_stream`)
+    * already close. The orders table replays as a checkpointed file
+    * stream (4 files → 4 micro-batches at maxFilesPerTrigger=1); each
+    * micro-batch is sketched ALONE (groupBy (priority, month) →
+    * hll_sketch_agg of the BATCH's rows only) and lands as one
+    * [[graft.sinks.VersionedTable]] version through
+    * [[graft.streaming.IndexStream.runVersionedSink]]'s `_batch_id`
+    * replay ledger — a crash replay or a re-run over the same
+    * checkpoint lands nothing twice. Serving unions ALL versions'
+    * sketch rows per priority: HLL union is register-max, associative
+    * and split-independent, so the served estimate is IDENTICAL to the
+    * one-pass twin (q_distinct_hll_sketch) no matter how the stream
+    * batched the rows — SketchLifecycleSpec pins row-for-row equality
+    * and that a drained re-run serves the same result without new
+    * versions. Per-batch cost ∝ the batch; serving scans kilobyte
+    * sketch rows in one partition-discovered pass. */
+  def qDistinctHllStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.{LakeRoot, VersionedTable}
+    val base = LakeRoot.root(spark, dir, "hll_stream_v1")
+    LakeRoot.mkdirs(spark, base)
+    val src = LakeRoot.fixture(spark, LakeRoot.child(base, "src")) { staging =>
+      t(spark, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderdate"), col("o_custkey"))
+        .repartition(4).write.mode("overwrite").parquet(staging)
+    }
+    val sketchRoot = LakeRoot.child(base, "sketches")
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    graft.streaming.IndexStream.runVersionedSink(
+        stream, sketchRoot,
+        b => b.groupBy(col("o_orderpriority"),
+            date_trunc("month", col("o_orderdate")).as("month"))
+          .agg(expr("hll_sketch_agg(o_custkey)").as("sk")),
+        Some(LakeRoot.child(base, "ckpt")))
+      .awaitTermination()
+    VersionedTable.readAll(spark, sketchRoot)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").as("approx_custs"),
+        countDistinct(col("month")).as("n_months"))
       .orderBy(col("o_orderpriority"))
   }
 

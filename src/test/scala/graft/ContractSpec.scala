@@ -36,14 +36,16 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query count matches the SURVEY inventory claim") {
-    // 177 query entries: 173 at the last sync (170 at the end of round
+    // 178 query entries: 173 at the last sync (170 at the end of round
     // 9 + round 10's media survivor terminals and the rank()-with-ties
     // rewrite gate) + the stored-sketch lifecycle pair
     // (q_distinct_hll_inc, q_heavy_hitters_stored), the fuzzy survivor
-    // terminal (text_fuzzy_survivors), and the stored-Bloom
-    // decontamination serve (text_decontam_bloom_inc); update
-    // alongside SURVEY §2 when adding a query.
-    assert(SparkEntry.queries.size === 177, s"got ${SparkEntry.queries.size}")
+    // terminal (text_fuzzy_survivors), the stored-Bloom
+    // decontamination serve (text_decontam_bloom_inc), the streamed
+    // sketch maintenance driver (q_distinct_hll_stream), and the
+    // argmax-keep rewrite gate (q_argmax_rewrite); update alongside
+    // SURVEY §2 when adding a query.
+    assert(SparkEntry.queries.size === 179, s"got ${SparkEntry.queries.size}")
   }
 
   test("no-oracle entries are exactly covered by row-bound + schema gates") {

@@ -91,6 +91,22 @@ class SketchLifecycleSpec extends SparkSpec {
       s"bloom prefilter pruned nothing: $pruned of $full train shingles pass")
   }
 
+  test("streamed sketch maintenance serves the one-pass twin exactly; re-run is a no-op") {
+    val inline = RelationalQueries.qDistinctHllSketch(spark, Sf).collect().toSeq
+    val streamed = RelationalQueries.qDistinctHllStream(spark, Sf).collect().toSeq
+    // HLL union is register-max: associative and split-independent, so
+    // per-batch sketches union to the SAME registers as one pass.
+    assert(streamed === inline)
+    val root = LakeRoot.child(LakeRoot.root(spark, Sf, "hll_stream_v1"), "sketches")
+    val vs = VersionedTable.versions(spark, root)
+    assert(vs.size === 4, s"expected one version per micro-batch, got $vs")
+    // Drained re-run over the same checkpoint: no new batches, no new
+    // versions, same serve.
+    val again = RelationalQueries.qDistinctHllStream(spark, Sf).collect().toSeq
+    assert(again === inline)
+    assert(VersionedTable.versions(spark, root) === vs)
+  }
+
   test("ensurePart crash recovery: a lost part rebuilds alone, the other is reused") {
     // Simulate a crash between the two part commits: build both, then
     // delete the BATCH part's version wholesale (directory + marker).

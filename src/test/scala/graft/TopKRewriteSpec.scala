@@ -185,6 +185,91 @@ class TopKRewriteSpec extends SparkSpec {
     assert(ranks === Seq(1, 2, 2, 2))
   }
 
+  test("argmax-keep rewrites: nulls, all-null groups, min variant, null-safe excluded") {
+    import spark.implicits._
+    // group 0: plain ties at the max; group 1: nulls mixed in (never
+    // equal to the max); group 2: ALL null (x = max(x) keeps nothing).
+    val data = Seq[(Int, java.lang.Integer, Int)](
+      (0, 7, 1), (0, 7, 2), (0, 3, 3),
+      (1, null, 4), (1, 9, 5), (1, 9, 6), (1, 2, 7),
+      (2, null, 8), (2, null, 9))
+    val df = data.toDF("grp", "v", "id").repartition(4)
+    def argmax(d: DataFrame) = d
+      .withColumn("mx", max(col("v")).over(Window.partitionBy(col("grp"))))
+      .where(col("v") === col("mx"))
+      .select(col("grp"), col("v"), col("id"))
+      .orderBy(col("grp"), col("id"))
+    val native = withRewrite(on = true) {
+      val q = argmax(df)
+      val p = plan(q)
+      assert(p.contains("TopKPerGroup") && !p.contains("Window"), p)
+      q.collect().map(_.toSeq).toSeq
+    }
+    val window = withRewrite(on = false)(argmax(df).collect().map(_.toSeq).toSeq)
+    assert(native === window)
+    assert(native.map(_(2)) === Seq(1, 2, 5, 6)) // group 2 gone, nulls dropped
+    withRewrite(on = true) {
+      // argMIN: ascending with NullsLast — null rows still never win
+      val qmin = df
+        .withColumn("mn", min(col("v")).over(Window.partitionBy(col("grp"))))
+        .where(col("v") === col("mn"))
+        .select(col("grp"), col("id")).orderBy(col("grp"), col("id"))
+      assert(plan(qmin).contains("TopKPerGroup") && !plan(qmin).contains("Window"))
+      assert(qmin.collect().map(_.getInt(1)).toSeq === Seq(3, 7))
+      // null-safe equality KEEPS all-null groups — must NOT rewrite
+      val nullsafe = df
+        .withColumn("mx", max(col("v")).over(Window.partitionBy(col("grp"))))
+        .where(col("v") <=> col("mx"))
+      assert(plan(nullsafe).contains("Window"), plan(nullsafe))
+      // ordered window (frame is range-to-current-row, not the
+      // partition max): must NOT rewrite
+      val ordered = df
+        .withColumn("mx", max(col("v"))
+          .over(Window.partitionBy(col("grp")).orderBy(col("id"))))
+        .where(col("v") === col("mx"))
+      assert(plan(ordered).contains("Window"), plan(ordered))
+    }
+  }
+
+  test("argmax rewrite keeps downstream references to the max column working") {
+    import spark.implicits._
+    val df = Seq((0, 5, 1), (0, 5, 2), (0, 1, 3), (1, 4, 4), (1, 2, 5))
+      .toDF("grp", "v", "id")
+    withRewrite(on = true) {
+      // selects the window alias itself + a residual conjunct
+      val q = df
+        .withColumn("mx", max(col("v")).over(Window.partitionBy(col("grp"))))
+        .where(col("v") === col("mx") && col("id") =!= 2)
+        .select(col("grp"), col("mx"), col("id"))
+        .orderBy(col("grp"), col("id"))
+      val p = plan(q)
+      assert(p.contains("TopKPerGroup") && !p.contains("Window"), p)
+      assert(q.collect().map(_.toSeq).toSeq ===
+        Seq(Seq(0, 5, 1), Seq(1, 4, 4)))
+    }
+  }
+
+  test("q_argmax_rewrite driver query: native plan, window-equal, real ties") {
+    assert(spark.conf.getOption(Flag).isEmpty)
+    val df = queries.RelationalQueries.qArgmaxRewrite(spark, Sf)
+    assert(spark.conf.getOption(Flag).isEmpty)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroup"), s"native operator missing:\n$p")
+    assert(!p.contains("Window"), s"Window survived:\n$p")
+    val got = df.collect().map(_.toSeq).toSeq
+    val w = Window.partitionBy(col("p_brand"))
+    val expect = spark.read.parquet(s"$Sf/part.parquet")
+      .withColumn("mx", max(col("p_size")).over(w))
+      .where(col("p_size") === col("mx"))
+      .select(col("p_brand"), col("p_partkey"), col("p_size"))
+      .orderBy(col("p_brand"), col("p_partkey"))
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    assert(got === expect)
+    val perGroup = got.groupBy(_(0)).values.map(_.size)
+    assert(perGroup.exists(_ > 1), "no max ties — the gate is vacuous")
+  }
+
   test("q_rank_rewrite driver query: native plan, window-equal, real ties") {
     assert(spark.conf.getOption(Flag).isEmpty)
     val df = queries.RelationalQueries.qRankRewrite(spark, Sf)
