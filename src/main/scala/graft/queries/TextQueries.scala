@@ -418,7 +418,8 @@ object TextQueries {
     * OR-merge by word index ([[graft.operators.Bloom.bitsetWords]]),
     * so adding a benchmark shingles ONLY that batch and appends ≤
     * nBits/64 rows; history is never rescanned. Serving `bit_or`s the
-    * stored word rows (kilobytes, design-constant collect), compiles
+    * stored word rows (≤ nBits/64 = 1 MiB at the chosen capacity —
+    * design-constant collect, independent of the corpus), compiles
     * the merged bitset into the train-side scan as a codegen'd
     * predicate, and drops ~all clean shingles BEFORE the join shuffle
     * — the exchange then carries contamination + the false-positive ε
@@ -426,23 +427,43 @@ object TextQueries {
     * benchmark-sized eval rows removes the ε, so the result is
     * HASH-EXACT equal to the one-shot twin (no false negatives, spec'd
     * in SketchLifecycleSpec alongside build-once idempotence). */
+  /** Stored-bloom CAPACITY: all parts of one stored filter must share
+    * a geometry (OR-merge is per word index), so the bit width is a
+    * table-creation-time choice sized for the filter's LIFETIME key
+    * population — here 2^23 bits (1 MiB of words) ≈ 0.3% false
+    * positives at ~400k eval fingerprints (the sf1 decade's load) and
+    * headroom decades beyond; at benchmark-suite growth rates the
+    * rebuild-under-a-new-root escape hatch below is theoretical. The
+    * geometry is STAMPED into both the root name and every stored row,
+    * and serving fails loudly on a mismatch — an undersized or re-sized
+    * filter can never be silently probed with the wrong modulus (which
+    * would break the no-false-negative contract, not just the FP
+    * rate). */
+  private[graft] val DecontamBloomBits = 1 << 23
+
   def decontamBloomIncQ(spark: SparkSession, dir: String): DataFrame = {
     import graft.sinks.VersionedTable
-    val root = graft.sinks.LakeRoot.root(spark, dir, "decontam_bloom_v1")
-    val nBits = 1 << 17 // 16 KiB — sized for benchmark-scale key sets
+    val nBits = DecontamBloomBits
+    val root = graft.sinks.LakeRoot.root(spark, dir, s"decontam_bloom_${nBits}_v1")
     val d = docs(spark, dir)
     val sh = shingleHashesNative(spark, col("text"), 8)
     val isEval = pmod(col("doc_id"), lit(29L)) === 0
     val isBatchDoc = pmod(xxhash64(col("doc_id")), lit(4L)) === 0L
     def wordsOf(part: Column) = graft.operators.Bloom.bitsetWords(
-      d.where(isEval && part).select(explode(sh).as("h")), "h", nBits)
+        d.where(isEval && part).select(explode(sh).as("h")), "h", nBits)
+      .withColumn("nbits", lit(nBits))
     val hist = VersionedTable.ensurePart(spark, root, "historical")(
       wordsOf(!isBatchDoc))
     val batch = VersionedTable.ensurePart(spark, root, "batch")(
       wordsOf(isBatchDoc))
+    val stored = VersionedTable.readVersions(spark, root, Seq(hist, batch))
+    val geoms = stored.select(col("nbits")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    require(geoms.sameElements(Array(nBits)),
+      s"stored bloom geometry ${geoms.mkString(",")} != expected $nBits — " +
+        "the filter must be rebuilt under its own root, never re-probed")
     val bitset = graft.operators.Bloom.bitsetFromWords(
-      VersionedTable.readVersions(spark, root, Seq(hist, batch))
-        .groupBy(col("word")).agg(bit_or(col("bits")).as("bits"))
+      stored.groupBy(col("word")).agg(bit_or(col("bits")).as("bits"))
         .collect().map(r => (r.getInt(0), r.getLong(1))), nBits)
     val train = d.where(!isEval).select(col("doc_id"), explode(sh).as("h"))
       .where(graft.operators.Bloom.mightContain(col("h"), bitset))

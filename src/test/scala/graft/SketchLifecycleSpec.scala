@@ -70,7 +70,8 @@ class SketchLifecycleSpec extends SparkSpec {
     // the false positives, so the stored-prefilter serve is EXACT.
     assert(served.toSeq === exact.toSeq)
     // Build-once: two marker-stamped parts, a second serve adds nothing.
-    val root = LakeRoot.root(spark, Sf, "decontam_bloom_v1")
+    val nBits = queries.TextQueries.DecontamBloomBits
+    val root = LakeRoot.root(spark, Sf, s"decontam_bloom_${nBits}_v1")
     val vs = VersionedTable.versions(spark, root)
     assert(vs.size === 2)
     queries.TextQueries.decontamBloomIncQ(spark, Sf).collect()
@@ -80,7 +81,7 @@ class SketchLifecycleSpec extends SparkSpec {
     val bitset = graft.operators.Bloom.bitsetFromWords(
       VersionedTable.readAll(spark, root)
         .groupBy(col("word")).agg(org.apache.spark.sql.functions.bit_or(col("bits")).as("bits"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))), 1 << 17)
+        .collect().map(r => (r.getInt(0), r.getLong(1))), nBits)
     val ex = spark.read.parquet(s"$Sf/documents.parquet")
       .where(pmod(col("doc_id"), lit(29L)) =!= 0)
       .select(explode(graft.expressions.ShingleHashes
