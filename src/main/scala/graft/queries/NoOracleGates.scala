@@ -96,6 +96,11 @@ object NoOracleGates {
     // Exactly 10: candidate pool = per-month exact top-32, >= 10
     // distinct keys on every gate corpus.
     "q_heavy_hitters_stored" -> "SELECT 10 AS lo, 10 AS hi",
+    // Stored KLL serve: one row per priority, exactly like the HLL
+    // serves (the stored split never changes the group set).
+    "q_percentiles_stored" ->
+      ("SELECT count(DISTINCT o_orderpriority) AS lo, " +
+        "count(DISTINCT o_orderpriority) AS hi FROM orders"),
     "q_percentiles_approx" ->
       ("SELECT count(DISTINCT c_mktsegment) AS lo, count(DISTINCT c_mktsegment) AS hi " +
         "FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey"),
@@ -144,6 +149,9 @@ object NoOracleGates {
     "q_distinct_hll_stream" ->
       "o_orderpriority STRING,approx_custs BIGINT NOT NULL,n_months BIGINT NOT NULL",
     "q_heavy_hitters_stored" -> "custkey BIGINT NOT NULL,est_orders BIGINT NOT NULL",
+    "q_percentiles_stored" ->
+      ("o_orderpriority STRING,p50_cents BIGINT,p90_cents BIGINT," +
+        "p99_cents BIGINT,n_months BIGINT NOT NULL"),
     "q_percentiles_approx" -> "c_mktsegment STRING,p50_cents BIGINT,p90_cents BIGINT",
     "q_heavy_hitters_approx" -> "custkey BIGINT,n_orders BIGINT NOT NULL",
     "text_bpe_encode" ->

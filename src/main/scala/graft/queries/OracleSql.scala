@@ -401,6 +401,26 @@ object OracleSql {
         "FROM orders GROUP BY 1 ORDER BY 1"
     },
 
+    // Theta sketches at lgK=15 stay in the EXACT regime at every gate
+    // SF (a year's distinct customers ≤ 15k < 2^15), so the sketch
+    // estimates ARE the true distinct counts and plain
+    // DISTINCT/INTERSECT SQL is a hash-exact oracle; the estimation
+    // regime is tolerance-spec'd separately (SketchAggSpec).
+    "q_distinct_theta_ops" ->
+      """WITH a AS (SELECT DISTINCT o_orderpriority AS p, o_custkey AS k FROM orders
+        |  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'),
+        |b AS (SELECT DISTINCT o_orderpriority AS p, o_custkey AS k FROM orders
+        |  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'),
+        |na AS (SELECT p, COUNT(*) AS n_first FROM a GROUP BY p),
+        |nb AS (SELECT p, COUNT(*) AS n_second FROM b GROUP BY p),
+        |nboth AS (SELECT p, COUNT(*) AS n_both
+        |  FROM (SELECT p, k FROM a INTERSECT SELECT p, k FROM b) GROUP BY p)
+        |SELECT na.p AS o_orderpriority, na.n_first, nb.n_second,
+        | CAST(COALESCE(nboth.n_both, 0) AS BIGINT) AS n_both,
+        | CAST(na.n_first - COALESCE(nboth.n_both, 0) AS BIGINT) AS n_only_first
+        |FROM na JOIN nb ON na.p = nb.p LEFT JOIN nboth ON na.p = nboth.p
+        |ORDER BY 1""".stripMargin,
+
     "q_percentiles" ->
       """WITH j AS (
         | SELECT c_mktsegment, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents

@@ -782,6 +782,97 @@ object RelationalQueries {
     }
   }
 
+  /** Percentiles served from INCREMENTALLY-MAINTAINED stored KLL
+    * quantile sketches — the QUANTILE family's entry in the stored
+    * mergeable-summary club ([[qDistinctHllInc]] HLL distinct,
+    * [[qHeavyHittersStored]] CMS frequency, text_decontam_bloom_inc
+    * Bloom membership). `approx_percentile` answers one-shot quantiles
+    * but exposes no storable sketch — a lake cannot keep per-month
+    * quantile state and serve a period p99 without rescanning facts.
+    * Here per-(priority, month) KLL sketches of order price cents
+    * (Spark 4.1's NATIVE Datasketches surface — `kll_sketch_agg_bigint`
+    * at the default k=200, sketching the exact BIGINT cents stream
+    * directly, no float round-trip) are committed to a
+    * [[graft.sinks.VersionedTable]] in the same two marker-stamped
+    * parts as the HLL lifecycle (historical months 3-in-4 by month
+    * hash / one ingest batch 1-in-4) — the incremental run scans ONLY
+    * the batch's orders. Serving merges the marker-selected kilobyte
+    * sketch rows per priority (`kll_merge_agg_bigint`, associative)
+    * and reads p50/p90/p99 via `kll_sketch_get_quantile_bigint`, so
+    * each served value is an actual stored cents value — exact longs,
+    * error only in WHICH rank is returned (KLL's published ~1.65%
+    * normalized rank error at k=200, SketchAggSpec-pinned against
+    * exact sorted ranks). At 100 TB the serve merges months ×
+    * priorities sketch rows in milliseconds; the exact percentile
+    * rescans and re-sorts a year of facts. */
+  def qPercentilesStored(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.VersionedTable
+    val root = graft.sinks.LakeRoot.root(spark, dir, "kll_cents_v1")
+    val month = date_trunc("month", col("o_orderdate"))
+    val isBatch = pmod(xxhash64(month), lit(4L)) === 0L
+    def sketchesOf(part: DataFrame) = part
+      .withColumn("price_cents",
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .groupBy(col("o_orderpriority"), month.as("month"))
+      .agg(expr("kll_sketch_agg_bigint(price_cents)").as("sk"))
+    val hist = VersionedTable.ensurePart(spark, root, "historical")(
+      sketchesOf(t(spark, dir, "orders").where(!isBatch)))
+    val batch = VersionedTable.ensurePart(spark, root, "batch")(
+      sketchesOf(t(spark, dir, "orders").where(isBatch)))
+    VersionedTable.readVersions(spark, root, Seq(hist, batch))
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("kll_sketch_get_quantile_bigint(kll_merge_agg_bigint(sk), " +
+          "array(0.5d, 0.9d, 0.99d))").as("qs"),
+        count(lit(1)).as("n_months"))
+      .select(col("o_orderpriority"),
+        element_at(col("qs"), 1).as("p50_cents"),
+        element_at(col("qs"), 2).as("p90_cents"),
+        element_at(col("qs"), 3).as("p99_cents"),
+        col("n_months"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Distinct-set INTERSECTION and DIFFERENCE via theta sketches — the
+    * question stored HLL rows cannot answer ("how many customers
+    * ordered in BOTH 1995 and 1996?" — HLL only unions). Per-priority
+    * theta sketches of the two years' customer sets are built with
+    * Spark 4.1's NATIVE Datasketches surface (`theta_sketch_agg` at
+    * lgK=15) and combined with its set-operation scalars:
+    * `theta_sketch_estimate` / `theta_intersection` /
+    * `theta_difference`. While each per-(priority, year) customer set
+    * stays under the nominal 2^15 entries — true at every gate SF,
+    * where a whole year has ≤ 15k distinct customers — the sketches
+    * remain in the EXACT regime (theta == 1.0, retained set == the
+    * hashed key set, order-independent), so every emitted count is
+    * exactly the true distinct count and the driver hash-gates this
+    * query against a DuckDB INTERSECT oracle. Past 2^15 the counts
+    * degrade gracefully to ~0.6% relative error (the estimation regime
+    * is tolerance-spec'd with a deliberately tiny lgK in
+    * SketchAggSpec); production sizes lgK to the memory/error trade
+    * exactly like the CMS width choice in [[qHeavyHittersStored]].
+    * Only kilobyte sketch bytes cross the exchange — the raw
+    * (customer, year) pairs never shuffle, which at 100 TB is the
+    * whole point: the exact INTERSECT needs both years' key sets
+    * co-shuffled; the sketch needs one scan and a 5-row join. */
+  def qDistinctThetaOps(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_custkey"), col("o_orderdate"))
+    def skOf(from: String, until: String) = ord
+      .where(col("o_orderdate") >= lit(from).cast("date") &&
+        col("o_orderdate") < lit(until).cast("date"))
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("theta_sketch_agg(o_custkey, 15)").as("sk"))
+    val a = skOf("1995-01-01", "1996-01-01").withColumnRenamed("sk", "sk_a")
+    val b = skOf("1996-01-01", "1997-01-01").withColumnRenamed("sk", "sk_b")
+    a.join(b, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"),
+        expr("theta_sketch_estimate(sk_a)").as("n_first"),
+        expr("theta_sketch_estimate(sk_b)").as("n_second"),
+        expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))").as("n_both"),
+        expr("theta_sketch_estimate(theta_difference(sk_a, sk_b))").as("n_only_first"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** TPC-H Q6 shape: tight single-scan filter + aggregate — the
     * pushdown showcase (all three predicates reach the parquet scan,
     * ReadSchema is 4 columns wide). */

@@ -45,7 +45,7 @@ class ContractSpec extends SparkSpec {
     // sketch maintenance driver (q_distinct_hll_stream), and the
     // argmax-keep rewrite gate (q_argmax_rewrite); update alongside
     // SURVEY §2 when adding a query.
-    assert(SparkEntry.queries.size === 179, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size === 181, s"got ${SparkEntry.queries.size}")
   }
 
   test("no-oracle entries are exactly covered by row-bound + schema gates") {

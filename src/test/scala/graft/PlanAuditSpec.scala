@@ -298,4 +298,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(specs.forall(_.contains("event_type#")),
       s"unpartitioned window spec found: $specs")
   }
+
+  test("q_percentiles_stored: the serve plan reads stored sketch rows, never the fact table") {
+    // First call builds the lake state; the RETURNED DataFrame is the
+    // serve — its plan must scan only VersionedTable sketch rows (the
+    // whole point of stored summaries: corpus growth lands on the
+    // build pass, a warm serve is calendar-bounded kilobytes).
+    val p = plan(RelationalQueries.qPercentilesStored(spark, Sf))
+    assert(!p.contains("orders.parquet"),
+      s"serve rescans the fact table:\n${p.take(800)}")
+    assert(p.contains("kll_cents_v1"), s"expected stored-sketch scan:\n${p.take(800)}")
+    // TypedImperativeAggregate partial+final: only sketch bytes cross
+    // the exchange.
+    assert(p.contains("ObjectHashAggregate"), s"expected sketch agg:\n${p.take(800)}")
+  }
+
+  test("q_distinct_theta_ops: sketch bytes cross the exchange; the 5-row join never SMJs") {
+    val p = plan(RelationalQueries.qDistinctThetaOps(spark, Sf))
+    // Partial theta aggregation map-side: the raw (priority, custkey)
+    // pairs never shuffle — only per-partition sketch bytes do.
+    assert(p.contains("ObjectHashAggregate"), s"expected sketch agg:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"priority-keyed 5-row join degenerated:\n${p.take(800)}")
+  }
 }
