@@ -109,6 +109,29 @@ object OracleSql {
        | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
        |nodes AS (SELECT DISTINCT src AS id FROM edges)""".stripMargin
 
+  /** TPC-H Q1 — shared verbatim by q1_pricing_summary (one-pass) and
+    * q1_pricing_inc (served from stored additive month partials):
+    * identical oracle == the materialized split+merge is lossless. */
+  private val q1Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS sum_qty,
+       | ${centsR("l_extendedprice")} AS sum_base_cents,
+       | ${centsR("l_extendedprice * (1 - l_discount)")} AS sum_disc_cents,
+       | ${centsR("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge_cents,
+       | CAST(FLOOR(10000.0 * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) AS BIGINT) AS avg_qty_bp,
+       | COUNT(*) AS count_order
+       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** CUBE over (returnflag, linestatus) — shared by q_cube (fact-level)
+    * and q_cube_stored (served from the stored base cuboid). */
+  private val cubeSql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      | COALESCE(l_linestatus, 'ALL') AS linestatus,
+      | COUNT(*) AS n_lines,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS sum_qty
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
   private val topkSql: String =
     """WITH r AS (
       | SELECT c_nationkey, c_custkey,
@@ -269,15 +292,12 @@ object OracleSql {
          |ORDER BY p1."column", p1.metric""".stripMargin
     },
 
-    "q1_pricing_summary" ->
-      s"""SELECT l_returnflag, l_linestatus,
-         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS sum_qty,
-         | ${centsR("l_extendedprice")} AS sum_base_cents,
-         | ${centsR("l_extendedprice * (1 - l_discount)")} AS sum_disc_cents,
-         | ${centsR("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge_cents,
-         | CAST(FLOOR(10000.0 * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) AS BIGINT) AS avg_qty_bp,
-         | COUNT(*) AS count_order
-         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q1_pricing_summary" -> q1Sql,
+    // Exact IVM: q1_pricing_inc re-aggregates stored additive month
+    // partials; sharing Q1's oracle verbatim asserts the stored
+    // split+merge round-trip is bit-invisible (same contract as
+    // graph_pagerank_inc riding pagerankSql).
+    "q1_pricing_inc" -> q1Sql,
 
     "q3_shipping_priority" ->
       s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
@@ -887,13 +907,10 @@ object OracleSql {
         |  RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderpriority, month_idx""".stripMargin,
 
-    "q_cube" ->
-      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
-        | COALESCE(l_linestatus, 'ALL') AS linestatus,
-        | COUNT(*) AS n_lines,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS sum_qty
-        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
-        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_cube" -> cubeSql,
+    // The cube served from the SAME stored base cuboid must reproduce
+    // the fact-level cube exactly — additive measures only.
+    "q_cube_stored" -> cubeSql,
 
     "q_rank_family" ->
       """WITH c AS (

@@ -873,6 +873,94 @@ object RelationalQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Finest-grain EXACT additive partials over lineitem pricing — the
+    * shared materialized view behind [[q1PricingInc]] and
+    * [[qCubeStored]]. Where the sketch club stores APPROXIMATE
+    * mergeable summaries (HLL registers, CMS counters, KLL compactors,
+    * Bloom bits), every measure here is exactly additive — decimal
+    * sums, per-row-rounded long cents, long counts — so partials over
+    * ANY disjoint split of the facts merge to bit-identical totals.
+    * One partial row per (l_returnflag, l_linestatus, shipdate month):
+    * the classic aggregate-lattice base cuboid (Harinarayan et al.,
+    * "Implementing Data Cubes Efficiently", SIGMOD'96) from which every
+    * coarser rollup over these dims is answerable without touching
+    * facts. Committed to a [[graft.sinks.VersionedTable]] in the same
+    * two content-marker-guarded parts as the sketch lifecycles
+    * (historical months 3-in-4 by month hash / one ingest batch
+    * 1-in-4): the incremental run scans ONLY the batch's lineitem
+    * rows; history enters as stored partial rows. At 100 TB the fact
+    * scan happens once per ingest batch (∝ the batch), while any
+    * serve — Q1, the cube, a month trend — reads calendar-bounded
+    * partial rows: ≤ |flags|×|statuses| per month, kilobytes per
+    * decade, whether the fact table is 1 GB or 100 TB. */
+  private def lineitemPartials(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.VersionedTable
+    val root = graft.sinks.LakeRoot.root(spark, dir, "lineitem_partials_v1")
+    val month = date_trunc("month", col("l_shipdate"))
+    val isBatch = pmod(xxhash64(month), lit(4L)) === 0L
+    def partialsOf(part: DataFrame) = part
+      .groupBy(col("l_returnflag"), col("l_linestatus"), month.as("month"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).as("qty_dec"),
+        centsRound(col("l_extendedprice")).as("base_cents"),
+        centsRound(discPrice).as("disc_cents"),
+        centsRound(discPrice * (lit(1) + col("l_tax"))).as("charge_cents"),
+        count(lit(1)).as("n"))
+    val hist = VersionedTable.ensurePart(spark, root, "historical")(
+      partialsOf(t(spark, dir, "lineitem").where(!isBatch)))
+    val batch = VersionedTable.ensurePart(spark, root, "batch")(
+      partialsOf(t(spark, dir, "lineitem").where(isBatch)))
+    VersionedTable.readVersions(spark, root, Seq(hist, batch))
+  }
+
+  /** TPC-H Q1 served from the INCREMENTALLY-MAINTAINED stored partials
+    * of [[lineitemPartials]] — exact incremental view maintenance of
+    * the flagship aggregation, the non-sketch member of the stored-
+    * summary club. Because every Q1 measure routes through exact
+    * arithmetic (decimal quantity sums; money per-row HALF_UP-rounded
+    * to long cents BEFORE summing; long counts) and long/decimal
+    * addition is associative, re-aggregating the stored month partials
+    * reproduces the one-pass answer BIT-EXACTLY — including
+    * avg_qty_bp, derived from the merged (decimal sum, count) pair
+    * with the same floor-basis-points formula — so this query rides
+    * the same DuckDB oracle as q1_pricing_summary and must hash-match
+    * it. The serve plan contains no lineitem scan (PlanAuditSpec):
+    * corpus growth lands on the per-batch build pass; a warm serve
+    * aggregates kilobytes of calendar-bounded partial rows. */
+  def q1PricingInc(spark: SparkSession, dir: String): DataFrame = {
+    val qtyDec = sum(col("qty_dec"))
+    lineitemPartials(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        qtyDec.cast("long").as("sum_qty"),
+        sum(col("base_cents")).as("sum_base_cents"),
+        sum(col("disc_cents")).as("sum_disc_cents"),
+        sum(col("charge_cents")).as("sum_charge_cents"),
+        bpAvg(sum(col("qty_dec")), sum(col("n"))).as("avg_qty_bp"),
+        sum(col("n")).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** The CUBE rollup served from the SAME stored partials as
+    * [[q1PricingInc]] — the aggregate-lattice payoff: one materialized
+    * base cuboid answers EVERY coarser grouping over its dims, so the
+    * lake maintains one partial table, not one per report. The cube's
+    * measures (count, decimal quantity sum) are exactly additive, the
+    * fact rows carry no NULL group keys (so re-grouping partials
+    * produces the same grouping sets the fact-level CUBE does), and
+    * the result hash-matches q_cube's DuckDB oracle verbatim. At
+    * 100 TB the fact-level cube shuffles the full table once per
+    * report; this serve re-aggregates ≤ 6 partial rows per month. */
+  def qCubeStored(spark: SparkSession, dir: String): DataFrame =
+    lineitemPartials(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("n")).as("n_lines"),
+        sum(col("qty_dec")).cast("long").as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_lines"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
   /** TPC-H Q6 shape: tight single-scan filter + aggregate — the
     * pushdown showcase (all three predicates reach the parquet scan,
     * ReadSchema is 4 columns wide). */

@@ -43,9 +43,10 @@ class ContractSpec extends SparkSpec {
     // terminal (text_fuzzy_survivors), the stored-Bloom
     // decontamination serve (text_decontam_bloom_inc), the streamed
     // sketch maintenance driver (q_distinct_hll_stream), and the
-    // argmax-keep rewrite gate (q_argmax_rewrite); update alongside
-    // SURVEY §2 when adding a query.
-    assert(SparkEntry.queries.size === 181, s"got ${SparkEntry.queries.size}")
+    // argmax-keep rewrite gate (q_argmax_rewrite), and the exact
+    // materialized-partials pair (q1_pricing_inc, q_cube_stored);
+    // update alongside SURVEY §2 when adding a query.
+    assert(SparkEntry.queries.size === 183, s"got ${SparkEntry.queries.size}")
   }
 
   test("no-oracle entries are exactly covered by row-bound + schema gates") {

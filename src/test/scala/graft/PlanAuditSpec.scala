@@ -313,6 +313,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), s"expected sketch agg:\n${p.take(800)}")
   }
 
+  test("q1_pricing_inc / q_cube_stored: serves read stored partials, never lineitem") {
+    // Exact-IVM twin of the stored-sketch audits: after the build pass
+    // lands the month partials, BOTH serves (Q1 and the cube) must
+    // plan over the VersionedTable partial rows only — a lineitem scan
+    // in either plan means corpus growth leaks into the warm serve.
+    val p1 = plan(RelationalQueries.q1PricingInc(spark, Sf))
+    assert(!p1.contains("lineitem.parquet"),
+      s"Q1 serve rescans the fact table:\n${p1.take(800)}")
+    assert(p1.contains("lineitem_partials_v1"),
+      s"expected stored-partials scan:\n${p1.take(800)}")
+    val p2 = plan(RelationalQueries.qCubeStored(spark, Sf))
+    assert(!p2.contains("lineitem.parquet"),
+      s"cube serve rescans the fact table:\n${p2.take(800)}")
+    assert(p2.contains("lineitem_partials_v1"),
+      s"expected stored-partials scan:\n${p2.take(800)}")
+    // Expand (cube) over partial rows, then one exchange of grouped
+    // partials — additive measures keep the aggregation hash-based.
+    assert(p2.contains("Expand"), s"expected cube expand:\n${p2.take(800)}")
+  }
+
   test("q_distinct_theta_ops: sketch bytes cross the exchange; the 5-row join never SMJs") {
     val p = plan(RelationalQueries.qDistinctThetaOps(spark, Sf))
     // Partial theta aggregation map-side: the raw (priority, custkey)
