@@ -648,18 +648,13 @@ object RelationalQueries {
     * (q_distinct_hll_sketch) row-for-row, so the split+store+union
     * round-trip is semantically invisible. */
   def qDistinctHllInc(spark: SparkSession, dir: String): DataFrame = {
-    import graft.sinks.VersionedTable
     val root = graft.sinks.LakeRoot.root(spark, dir, "hll_orders_v1")
-    val month = date_trunc("month", col("o_orderdate"))
-    val isBatch = pmod(xxhash64(month), lit(4L)) === 0L
-    def sketchesOf(part: DataFrame) = part
-      .groupBy(col("o_orderpriority"), month.as("month"))
-      .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
-    val hist = VersionedTable.ensurePart(spark, root, "historical")(
-      sketchesOf(t(spark, dir, "orders").where(!isBatch)))
-    val batch = VersionedTable.ensurePart(spark, root, "batch")(
-      sketchesOf(t(spark, dir, "orders").where(isBatch)))
-    VersionedTable.readVersions(spark, root, Seq(hist, batch))
+    graft.sinks.VersionedTable.monthSplitParts(
+        spark, root, t(spark, dir, "orders"), col("o_orderdate")) {
+      (part, month) => part
+        .groupBy(col("o_orderpriority"), month.as("month"))
+        .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+    }
       .groupBy(col("o_orderpriority"))
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").as("approx_custs"),
         count(lit(1)).as("n_months"))
@@ -739,31 +734,26 @@ object RelationalQueries {
     import graft.sinks.VersionedTable
     val cmsRoot = graft.sinks.LakeRoot.root(spark, dir, "cms_orders_v1")
     val candRoot = graft.sinks.LakeRoot.root(spark, dir, "cms_cands_v1")
-    val month = date_trunc("month", col("o_orderdate"))
-    val isBatch = pmod(xxhash64(month), lit(4L)) === 0L
-    def part(batch: Boolean) =
-      t(spark, dir, "orders").where(if (batch) isBatch else !isBatch)
-    def cmsOf(p: DataFrame) = p
-      .groupBy(month.as("month"))
-      .agg(expr("count_min_sketch(o_custkey, 0.0001d, 0.99d, 42)").as("sk"))
+    val orders = t(spark, dir, "orders")
+    val cmsRows = VersionedTable.monthSplitParts(
+        spark, cmsRoot, orders, col("o_orderdate")) {
+      (part, month) => part.groupBy(month.as("month"))
+        .agg(expr("count_min_sketch(o_custkey, 0.0001d, 0.99d, 42)").as("sk"))
+    }
     // Per-month exact top-32 candidates via the native top-k operator
     // (per-partition heaps — the exchange carries ≤ 32 rows per month
     // per input partition, never the full key census).
-    def candsOf(p: DataFrame) = graft.operators.Windows.topKPerGroupNative(
-        p.groupBy(month.as("month"), col("o_custkey"))
-          .agg(count(lit(1)).as("n_orders")),
-        32, Seq(col("month")), Seq(col("n_orders").desc, col("o_custkey")))
-      .select(col("month"), col("o_custkey"), col("n_orders"))
-    val cmsVs = Seq(
-      VersionedTable.ensurePart(spark, cmsRoot, "historical")(cmsOf(part(batch = false))),
-      VersionedTable.ensurePart(spark, cmsRoot, "batch")(cmsOf(part(batch = true))))
-    val candVs = Seq(
-      VersionedTable.ensurePart(spark, candRoot, "historical")(candsOf(part(batch = false))),
-      VersionedTable.ensurePart(spark, candRoot, "batch")(candsOf(part(batch = true))))
+    val candRows = VersionedTable.monthSplitParts(
+        spark, candRoot, orders, col("o_orderdate")) {
+      (part, month) => graft.operators.Windows.topKPerGroupNative(
+          part.groupBy(month.as("month"), col("o_custkey"))
+            .agg(count(lit(1)).as("n_orders")),
+          32, Seq(col("month")), Seq(col("n_orders").desc, col("o_custkey")))
+        .select(col("month"), col("o_custkey"), col("n_orders"))
+    }
     val merged = mergeCms(
-      VersionedTable.readVersions(spark, cmsRoot, cmsVs)
-        .select(col("sk")).collect().map(_.getAs[Array[Byte]](0)))
-    val cands = VersionedTable.readVersions(spark, candRoot, candVs)
+      cmsRows.select(col("sk")).collect().map(_.getAs[Array[Byte]](0)))
+    val cands = candRows
       .select(col("o_custkey")).distinct().as[Long].collect()
     cands.map(k => (k, merged.estimateCount(k)))
       .sortBy { case (k, est) => (-est, k) }.take(10)
@@ -806,20 +796,15 @@ object RelationalQueries {
     * priorities sketch rows in milliseconds; the exact percentile
     * rescans and re-sorts a year of facts. */
   def qPercentilesStored(spark: SparkSession, dir: String): DataFrame = {
-    import graft.sinks.VersionedTable
     val root = graft.sinks.LakeRoot.root(spark, dir, "kll_cents_v1")
-    val month = date_trunc("month", col("o_orderdate"))
-    val isBatch = pmod(xxhash64(month), lit(4L)) === 0L
-    def sketchesOf(part: DataFrame) = part
-      .withColumn("price_cents",
-        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
-      .groupBy(col("o_orderpriority"), month.as("month"))
-      .agg(expr("kll_sketch_agg_bigint(price_cents)").as("sk"))
-    val hist = VersionedTable.ensurePart(spark, root, "historical")(
-      sketchesOf(t(spark, dir, "orders").where(!isBatch)))
-    val batch = VersionedTable.ensurePart(spark, root, "batch")(
-      sketchesOf(t(spark, dir, "orders").where(isBatch)))
-    VersionedTable.readVersions(spark, root, Seq(hist, batch))
+    graft.sinks.VersionedTable.monthSplitParts(
+        spark, root, t(spark, dir, "orders"), col("o_orderdate")) {
+      (part, month) => part
+        .withColumn("price_cents",
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .groupBy(col("o_orderpriority"), month.as("month"))
+        .agg(expr("kll_sketch_agg_bigint(price_cents)").as("sk"))
+    }
       .groupBy(col("o_orderpriority"))
       .agg(expr("kll_sketch_get_quantile_bigint(kll_merge_agg_bigint(sk), " +
           "array(0.5d, 0.9d, 0.99d))").as("qs"),
@@ -894,23 +879,18 @@ object RelationalQueries {
     * partial rows: ≤ |flags|×|statuses| per month, kilobytes per
     * decade, whether the fact table is 1 GB or 100 TB. */
   private def lineitemPartials(spark: SparkSession, dir: String): DataFrame = {
-    import graft.sinks.VersionedTable
     val root = graft.sinks.LakeRoot.root(spark, dir, "lineitem_partials_v1")
-    val month = date_trunc("month", col("l_shipdate"))
-    val isBatch = pmod(xxhash64(month), lit(4L)) === 0L
-    def partialsOf(part: DataFrame) = part
-      .groupBy(col("l_returnflag"), col("l_linestatus"), month.as("month"))
-      .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).as("qty_dec"),
-        centsRound(col("l_extendedprice")).as("base_cents"),
-        centsRound(discPrice).as("disc_cents"),
-        centsRound(discPrice * (lit(1) + col("l_tax"))).as("charge_cents"),
-        count(lit(1)).as("n"))
-    val hist = VersionedTable.ensurePart(spark, root, "historical")(
-      partialsOf(t(spark, dir, "lineitem").where(!isBatch)))
-    val batch = VersionedTable.ensurePart(spark, root, "batch")(
-      partialsOf(t(spark, dir, "lineitem").where(isBatch)))
-    VersionedTable.readVersions(spark, root, Seq(hist, batch))
+    graft.sinks.VersionedTable.monthSplitParts(
+        spark, root, t(spark, dir, "lineitem"), col("l_shipdate")) {
+      (part, month) => part
+        .groupBy(col("l_returnflag"), col("l_linestatus"), month.as("month"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("qty_dec"),
+          centsRound(col("l_extendedprice")).as("base_cents"),
+          centsRound(discPrice).as("disc_cents"),
+          centsRound(discPrice * (lit(1) + col("l_tax"))).as("charge_cents"),
+          count(lit(1)).as("n"))
+    }
   }
 
   /** TPC-H Q1 served from the INCREMENTALLY-MAINTAINED stored partials

@@ -1,7 +1,7 @@
 package graft.sinks
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Snapshot-versioned parquet table — the reproducibility primitive a
@@ -242,6 +242,27 @@ object VersionedTable {
       commit(build, root, markers = Seq(s"_split_${part}_0"))
       versionsWithMarker(spark, root, s"split_$part").min
     }
+  }
+
+  /** The standard two-part content split every stored-summary
+    * lifecycle shares (HLL / CMS+candidates / KLL sketches, the exact
+    * Q1 month partials): facts whose shipment/order month hashes
+    * 3-in-4 build the "historical" part, the remaining 1-in-4 months
+    * the "batch" part (one simulated ingest batch), each committed
+    * build-once under its content marker via [[ensurePart]], then
+    * served as ONE marker-selected [[readVersions]] scan. Keeping the
+    * split contract — ratio, hash expression, marker names — in one
+    * place means a future change (different batch fraction, a third
+    * part) cannot leave one family's stored state partitioned
+    * differently from the others. `build` receives the part's fact
+    * rows plus the derived month column it should group by. */
+  def monthSplitParts(spark: SparkSession, root: String, facts: DataFrame,
+      date: Column)(build: (DataFrame, Column) => DataFrame): DataFrame = {
+    val month = date_trunc("month", date)
+    val isBatch = pmod(xxhash64(month), lit(4L)) === 0L
+    val hist = ensurePart(spark, root, "historical")(build(facts.where(!isBatch), month))
+    val batch = ensurePart(spark, root, "batch")(build(facts.where(isBatch), month))
+    readVersions(spark, root, Seq(hist, batch))
   }
 
   /** An explicit set of versions in ONE partition-discovered scan —
