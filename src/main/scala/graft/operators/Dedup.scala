@@ -383,8 +383,19 @@ object Dedup {
     * builtin codegen'd expression in Spark and a builtin in DuckDB
     * with the identical classic definition, so the driver oracle is
     * hash-exact. At 100 TB the block key bounds the join like the
-    * shingle hash does for Jaccard; the O(prefixLen^2) distance runs
-    * only on blocked candidates. */
+    * shingle hash does for Jaccard; the distance runs only on blocked
+    * candidates, and it runs THRESHOLDED: Spark's 3-arg
+    * `levenshtein(l, r, maxDist)` computes the banded O(prefixLen *
+    * maxDist) diagonal instead of the full O(prefixLen^2) matrix and
+    * bails out early (returning -1) as soon as a candidate provably
+    * exceeds the bound. Candidates that fail the filter are exactly
+    * the expensive majority in a dense block (every cross-source
+    * collision costs a distance evaluation but emits nothing), so the
+    * early exit prices the join by its OUTPUT, not its candidate
+    * count. For rows that pass, the thresholded value equals the
+    * plain distance (spec'd in DedupSpec), so the emitted pair set
+    * and `dist` column are bit-identical to the unthresholded form
+    * and the DuckDB oracle is unchanged. */
   def fuzzyPrefixPairs(docs: DataFrame, blockLen: Int = 8, prefixLen: Int = 32,
                        maxDist: Int = 8,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -394,8 +405,10 @@ object Dedup {
     val a = base.select(col(idCol).as("id1"), col("blk"), col("pfx").as("pfx1"))
     val b = base.select(col(idCol).as("id2"), col("blk").as("blk2"), col("pfx").as("pfx2"))
     a.join(b, col("blk") === col("blk2") && col("id1") < col("id2"))
-      .withColumn("dist", levenshtein(col("pfx1"), col("pfx2")).cast("long"))
-      .where(col("dist") <= maxDist)
+      // levenshtein(_, _, k) = dist when dist <= k, -1 otherwise: the
+      // >= 0 filter is therefore EXACTLY the old dist <= maxDist.
+      .withColumn("dist", levenshtein(col("pfx1"), col("pfx2"), maxDist).cast("long"))
+      .where(col("dist") >= 0)
       .select(col("id1"), col("id2"), col("dist"))
   }
 

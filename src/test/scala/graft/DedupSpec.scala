@@ -37,6 +37,33 @@ class DedupSpec extends SparkSpec {
     assert(mh === truth) // J>=0.6 at 16x4 bands: detection prob ~0.9+; exact here
   }
 
+  test("thresholded fuzzy pairs equal the unthresholded distance semantics") {
+    // fuzzyPrefixPairs computes levenshtein(pfx1, pfx2, maxDist) — the
+    // banded early-exit form whose contract is: the plain distance when
+    // it is <= maxDist, -1 otherwise. Pin that contract against a
+    // from-first-principles twin (full distance, then filter) on the
+    // real corpus, which contains both passing and failing candidates
+    // (the failing ones are exactly the rows the banded form prices
+    // cheaply at scale).
+    val corpus = spark.read.parquet(s"$Sf/documents.parquet")
+    val base = corpus.select(col("doc_id"),
+      substring(col("text"), 1, 8).as("blk"),
+      substring(col("text"), 1, 32).as("pfx"))
+    val a = base.select(col("doc_id").as("id1"), col("blk"), col("pfx").as("pfx1"))
+    val b = base.select(col("doc_id").as("id2"), col("blk").as("blk2"), col("pfx").as("pfx2"))
+    val cands = a.join(b, col("blk") === col("blk2") && col("id1") < col("id2"))
+    val nCands = cands.count()
+    val plain = cands
+      .withColumn("dist", levenshtein(col("pfx1"), col("pfx2")).cast("long"))
+      .where(col("dist") <= 8)
+      .select("id1", "id2", "dist").as[(Long, Long, Long)].collect().toSet
+    val thresholded = Dedup.fuzzyPrefixPairs(corpus)
+      .select("id1", "id2", "dist").as[(Long, Long, Long)].collect().toSet
+    assert(thresholded === plain)
+    assert(plain.nonEmpty, "corpus should contain passing fuzzy pairs")
+    assert(nCands > plain.size, "corpus should also exercise failing candidates")
+  }
+
   test("incremental minhash against stored band signatures matches the batch run") {
     val corpus = spark.read.parquet(s"$Sf/documents.parquet")
     val old = corpus.where(col("doc_id") % 5 =!= 0)
