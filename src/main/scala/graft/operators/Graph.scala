@@ -378,4 +378,57 @@ object Graph {
     pinnedRdd(adj).foreach(_.unpersist(false))
     labels
   }
+
+  /** Multi-source BFS: the exact hop distance from every node to its
+    * NEAREST seed, bounded at `maxDepth` (nodes farther than that —
+    * including unreachable ones — are omitted, which is the semantics
+    * a bounded recursive-CTE oracle computes too). Synchronous
+    * frontier expansion, so level = minimum distance by construction;
+    * no arithmetic at all, hence trivially hash-exact.
+    *
+    * Scale shape, same discipline as [[pageRank]]: the edge list is
+    * hash-partitioned on `src` once and persisted; each round moves
+    * only the FRONTIER (at most nodes-sized, typically far smaller)
+    * to the stationary edges via a shuffle-hash join, then anti-joins
+    * the discovered set against the nodes-sized visited union. The
+    * per-round cost is therefore ∝ the frontier's out-edge boundary —
+    * the same blast-radius bound the incremental PageRank lives on —
+    * and the loop EXITS EARLY the round the frontier drains (a
+    * driver-side emptiness probe on an already-pinned table, not a
+    * recompute). Each frontier is eagerly pinned once and serves
+    * three masters (next round's probe, every later round's
+    * anti-join, the final union) without recomputation; total pinned
+    * state across all rounds is one row per reached node.
+    *
+    * @param edges directed edge list (src, dst); symmetrize upstream
+    *              for undirected semantics. Repeats are deduplicated
+    *              here, riding the src repartition.
+    * @param seeds one `node` column; deduplicated here.
+    * @return (node, dist) with dist in [0, maxDepth].
+    */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+    val ed = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = seeds.select(col("node")).distinct().pin(true)
+    val levels = scala.collection.mutable.ArrayBuffer(
+      frontier.select(col("node"), lit(0L).as("dist")))
+    var d = 0L
+    while (d < maxDepth && !frontier.isEmpty) {
+      d += 1
+      val seen = levels.map(_.select(col("node"))).reduce(_ unionAll _)
+      frontier = ed
+        .join(frontier.select(col("node").as("fn")).hint("shuffle_hash"),
+          col("src") === col("fn"))
+        .select(col("dst").as("node")).distinct()
+        .join(seen, Seq("node"), "left_anti")
+        .pin(true)
+      levels += frontier.select(col("node"), lit(d).as("dist"))
+    }
+    ed.unpersist()
+    // Flat union of the pinned per-level tables; the last may be empty
+    // (drained frontier) — harmless in a union.
+    levels.reduce(_ unionByName _)
+  }
 }

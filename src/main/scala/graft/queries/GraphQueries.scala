@@ -393,4 +393,33 @@ object GraphQueries {
       .select(col("node"), col("label").as("community"), col("community_size"))
       .orderBy(col("node"))
   }
+
+  /** Hop distance from every purchase-graph node to its nearest
+    * nation-0 customer ([[Graph.bfsDistances]], depth <= 6) — the
+    * reachability/proximity primitive the graph family still lacked
+    * (PageRank answers "how central", BFS answers "how far"): which
+    * suppliers are one order away from a market, which customers
+    * share no supply chain with it at all (omitted rows). Multi-source
+    * from the whole seed set in ONE traversal — 1 query, not
+    * |seeds| — and every emitted distance is the exact minimum over
+    * all seeds because synchronous frontier level IS distance.
+    *
+    * Hash-exact oracle: a bounded recursive CTE over the same edge
+    * derivation (UNION-deduplicated (node, d) walk, MIN(d) per node —
+    * bounded depth makes the recursion finite on a cyclic graph).
+    *
+    * Scale: edges partition once and stay put; each round moves only
+    * the frontier; cost ∝ the frontier's edge boundary, with early
+    * exit the round the frontier drains (this bipartite purchase
+    * graph saturates in ~4 hops; the depth cap is the contract, the
+    * early exit is the cost). */
+  def qGraphBfs(spark: SparkSession, dir: String): DataFrame = {
+    val seeds = t(spark, dir, "customer")
+      .where(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).as("node"))
+    Graph.bfsDistances(purchaseEdges(spark, dir), seeds, maxDepth = 6)
+      .select(col("node"), col("dist"),
+        (col("node") % 2).cast("int").as("is_supplier"))
+      .orderBy(col("node"))
+  }
 }

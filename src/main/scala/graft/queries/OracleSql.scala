@@ -342,6 +342,23 @@ object OracleSql {
         | CAST(FLOOR(10000.0 * CAST(SUM(nat_cents) AS BIGINT) / CAST(SUM(r_cents) AS BIGINT)) AS BIGINT) AS share_bp
         |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Exact integer association rules: co-occurrence, support, and
+    // lift in basis points with floor division on both engines.
+    "q_basket_affinity" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS k, p_brand AS b
+        |            FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |tot AS (SELECT b, COUNT(*) AS cnt FROM ob GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT k) AS n_baskets FROM ob),
+        |pairs AS (SELECT x.b AS b1, y.b AS b2, COUNT(*) AS co
+        |          FROM ob x JOIN ob y ON x.k = y.k AND x.b < y.b GROUP BY 1, 2)
+        |SELECT b1, b2, CAST(co AS BIGINT) AS co_orders,
+        | CAST((10000 * co) // n_baskets AS BIGINT) AS support_bp,
+        | CAST((10000 * co * n_baskets) // (t1.cnt * t2.cnt) AS BIGINT) AS lift_bp
+        |FROM pairs, n
+        |JOIN tot t1 ON t1.b = b1
+        |JOIN tot t2 ON t2.b = b2
+        |ORDER BY b1, b2""".stripMargin,
+
     "q_topk_per_group" -> topkSql,
     // the native whole-operator must agree bit-for-bit with the window
     // SQL — one shared definition so the oracles can never drift
@@ -1745,6 +1762,25 @@ object OracleSql {
          |FROM l4 JOIN (SELECT label, COUNT(*) AS cnt FROM l4 GROUP BY 1) s USING (label)
          |ORDER BY node""".stripMargin
     },
+
+    // Bounded multi-source BFS as a recursive CTE: the UNION (not
+    // UNION ALL) deduplicates (node, d) pairs so the walk terminates
+    // on this cyclic graph, the d < 6 guard bounds the recursion to
+    // the query's depth contract, and MIN(d) per node is exactly the
+    // synchronous frontier level Spark emits.
+    "graph_bfs" ->
+      """WITH RECURSIVE base AS (
+        | SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT c AS src, s AS dst FROM base UNION ALL SELECT s, c FROM base),
+        |seeds AS (SELECT c_custkey * 2 AS node FROM customer WHERE c_nationkey = 0),
+        |bfs(node, d) AS (
+        | SELECT node, 0 FROM seeds
+        | UNION
+        | SELECT e.dst, bfs.d + 1 FROM bfs JOIN edges e ON e.src = bfs.node
+        | WHERE bfs.d < 6)
+        |SELECT node, CAST(MIN(d) AS BIGINT) AS dist, CAST(node % 2 AS INT) AS is_supplier
+        |FROM bfs GROUP BY node ORDER BY node""".stripMargin,
 
     "graph_pagerank" -> pagerankSql,
 

@@ -139,6 +139,47 @@ object RelationalQueries {
       .orderBy(col("o_year"))
   }
 
+  /** Market-basket affinity over order baskets: for every unordered
+    * brand pair, how many orders contain both (co-occurrence), what
+    * fraction of all baskets that is (support), and how that compares
+    * to independence (lift) — the association-rule primitive behind
+    * "customers who bought X also bought Y". All measures are exact
+    * integer basis points (floor division on both engines), so the
+    * result is hash-checkable; a float lift would depend on partial-
+    * sum order. Overflow bound: `10000 * co * n_baskets` must stay
+    * under 2^63 — holds through ~10^14 basket-pair products; past
+    * that a deployment widens the lift arithmetic to decimal.
+    *
+    * Scale shape: the basket table rides ONE shuffle on the order key
+    * (distinct (order, brand) — the brand dim is broadcast onto the
+    * lineitem scan); the pair self-join is co-partitioned on that
+    * same key, so Spark reuses the exchange instead of re-shuffling,
+    * and its fan-out is bounded by the per-order brand count (≤ order
+    * size, ≤ |brands|) — never all-pairs across baskets. Brand totals
+    * (|brands| rows) and the basket count (1 row) re-enter as
+    * broadcasts. No stage depends on corpus-wide order. */
+  def qBasketAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val brands = t(spark, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val baskets = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_partkey"))
+      .join(broadcast(brands), col("l_partkey") === col("p_partkey"))
+      .select(col("k"), col("p_brand").as("b"))
+      .distinct()
+    val tot = baskets.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+    val nBaskets = baskets.select(countDistinct(col("k")).as("n_baskets"))
+    baskets.select(col("k"), col("b").as("b1"))
+      .join(baskets.select(col("k"), col("b").as("b2")), "k")
+      .where(col("b1") < col("b2"))
+      .groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("co"))
+      .join(broadcast(nBaskets))
+      .join(broadcast(tot.select(col("b").as("b1"), col("cnt").as("c1"))), "b1")
+      .join(broadcast(tot.select(col("b").as("b2"), col("cnt").as("c2"))), "b2")
+      .select(col("b1"), col("b2"), col("co").as("co_orders"),
+        expr("(10000L * co) div n_baskets").as("support_bp"),
+        expr("(10000L * co * n_baskets) div (c1 * c2)").as("lift_bp"))
+      .orderBy(col("b1"), col("b2"))
+  }
+
   /** Leaderboard: top 3 customers by account balance per nation
     * (rank-players-by-rating-per-federation analog). Partitioned window,
     * no global sort. */

@@ -67,6 +67,31 @@ class GraphSpec extends SparkSpec {
     assert(got(3L) === got.values.max)
   }
 
+  test("bfsDistances: multi-source minimum, depth cap, early drain, unreachable omitted") {
+    // Chain 1-2-3-4-5 plus isolated pair 10-11; undirected via
+    // symmetrization. Seeds {1, 5}: distances are min over both ends.
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    val edges = und.toDF("src", "dst")
+      .unionAll(und.map(_.swap).toDF("src", "dst"))
+    val seeds = Seq(1L, 5L).toDF("node")
+    val got = Graph.bfsDistances(edges, seeds, maxDepth = 6)
+      .as[(Long, Long)].collect().toMap
+    // 3 is 2 hops from both seeds; 10/11 unreachable -> absent.
+    assert(got === Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
+
+    // Depth cap: from seed 1 only, node 5 is 4 hops away; cap at 2
+    // omits it — the bounded-recursion contract, not an error.
+    val capped = Graph.bfsDistances(edges, Seq(1L).toDF("node"), maxDepth = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(capped === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+
+    // A seed that is also reachable from another seed keeps dist 0,
+    // and duplicate seed rows collapse.
+    val dup = Graph.bfsDistances(edges, Seq(1L, 1L, 2L).toDF("node"), maxDepth = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(dup(1L) === 0L && dup(2L) === 0L && dup(3L) === 1L)
+  }
+
   test("CUSUM window identity equals the literal max(0, s+d) recursion") {
     // The query computes s_i = cum_i - min(0, min_{j<=i} cum_j); the
     // textbook recursion is s_i = max(0, s_{i-1} + d_i). Pin the
