@@ -150,21 +150,34 @@ object RelationalQueries {
     * under 2^63 — holds through ~10^14 basket-pair products; past
     * that a deployment widens the lift arithmetic to decimal.
     *
-    * Scale shape: the basket table rides ONE shuffle on the order key
-    * (distinct (order, brand) — the brand dim is broadcast onto the
-    * lineitem scan); the pair self-join is co-partitioned on that
-    * same key, so Spark reuses the exchange instead of re-shuffling,
-    * and its fan-out is bounded by the per-order brand count (≤ order
-    * size, ≤ |brands|) — never all-pairs across baskets. Brand totals
-    * (|brands| rows) and the basket count (1 row) re-enter as
-    * broadcasts. No stage depends on corpus-wide order. */
+    * Scale shape: ONE fact-width shuffle total — the explicit
+    * repartition on the order key, inside a PINNED basket table.
+    * HashPartitioning(k) colocates every row of a basket, so the
+    * (k, b) dedup rides it with no further exchange; the dedup is
+    * then [[graft.operators.Pin]]ned because FOUR consumers read it
+    * (both pair-join sides, brand totals, the basket count) and
+    * column pruning would otherwise specialize each consumer's
+    * subplan into its own fact scan + shuffle (canonically distinct,
+    * so AQE stage reuse cannot dedup them — plan-audited: every
+    * consumer reads the pinned blocks; the one exchange left outside
+    * the pin is the scalar basket count re-hashing the pinned
+    * table's single long column). The pair self-join fans
+    * out bounded by the per-order brand count (≤ order size,
+    * ≤ |brands|) — never all-pairs across baskets. Everything after
+    * is narrow: the pair count partial-aggregates into a
+    * (|brands|²)-sized exchange, and brand totals (|brands| rows)
+    * plus the 1-row basket count re-enter as broadcasts. No stage
+    * depends on corpus-wide order. */
   def qBasketAffinity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pin.PinOps
     val brands = t(spark, dir, "part").select(col("p_partkey"), col("p_brand"))
     val baskets = t(spark, dir, "lineitem")
       .select(col("l_orderkey").as("k"), col("l_partkey"))
       .join(broadcast(brands), col("l_partkey") === col("p_partkey"))
       .select(col("k"), col("p_brand").as("b"))
-      .distinct()
+      .repartition(col("k"))
+      .dropDuplicates("k", "b")
+      .pin(false)
     val tot = baskets.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
     val nBaskets = baskets.select(countDistinct(col("k")).as("n_baskets"))
     baskets.select(col("k"), col("b").as("b1"))

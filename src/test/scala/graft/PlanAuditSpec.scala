@@ -170,6 +170,40 @@ class PlanAuditSpec extends SparkSpec {
       s"fact-carrying single-partition exchange crept in:\n${p.take(1200)}")
   }
 
+  test("q_basket_affinity: one fact shuffle, self-join reuses it, no cartesian on facts") {
+    // Exchange REUSE is a runtime (AQE) property, so execute THIS
+    // DataFrame and read its final plan (the shared helper's count()
+    // builds a separate query execution).
+    val df = RelationalQueries.qBasketAffinity(spark, Sf)
+    df.collect()
+    // The AQE plan string appends the pre-runtime "Initial Plan"
+    // section (where reuse hasn't been resolved yet) — audit the
+    // final plan only.
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // The single fact-width shuffle lives inside the PINNED basket
+    // table (computed once); every consumer — both pair-join sides,
+    // brand totals, the basket count — must read the pinned blocks
+    // (ExistingRDD scans), with NO order-key exchange in the outer
+    // plan (column pruning would otherwise give each consumer its
+    // own fact scan + shuffle).
+    val lines = p.linesIterator.toSeq
+    val kExchanges = lines.filter(l =>
+      "Exchange hashpartitioning\\(k#\\d+L".r.findFirstIn(l).isDefined)
+    // One narrow exception remains: the scalar basket count re-dedups
+    // the pinned table's single k column (localCheckpoint does not
+    // carry partitioning metadata into the consumers' plans). That
+    // exchange's input is the DEDUPED basket table projected to one
+    // long — not the raw fact.
+    assert(kExchanges.length <= 1,
+      s"fact-width order-key exchanges escaped the pin:\n${p.take(1500)}")
+    assert(lines.count(_.contains("Scan ExistingRDD")) >= 4,
+      s"all four basket consumers must read the pinned table:\n${p.take(1500)}")
+    // The scalar basket count and brand totals re-enter as broadcasts;
+    // the only nested-loop join allowed is the 1-row scalar attach.
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("text_stratified_split: stratum rank rides the global rank, no per-source window") {
     val p = plan(TextQueries.stratifiedSplitQ(spark, Sf))
     // the per-stratum rank must come from the pinned global two-level
