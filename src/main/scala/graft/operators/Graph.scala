@@ -45,6 +45,17 @@ object Graph {
       case _ => None
     }
 
+  /** The shared iteration prologue: dedup the edge list riding a src
+    * repartition (HashPartitioning(src) satisfies the (src, dst)
+    * clustering, so the dedup adds no exchange) and persist — the
+    * partitioning survives into every round's join. One definition so
+    * the shuffle shape cannot drift between the iterative operators. */
+  private def srcPartitionedDistinctEdges(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
   /** Synchronous PageRank over a directed edge list.
     *
     * @param edges DataFrame with `src` and `dst` long columns; rows
@@ -60,10 +71,7 @@ object Graph {
     *         node, damping 0.85 as `150000 + (85 * contribs) div 100`.
     */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
-    val ed = edges.select(col("src"), col("dst"))
-      .repartition(col("src"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ed = srcPartitionedDistinctEdges(edges)
     // Out-degrees aggregate WITHIN the src partitioning (no exchange),
     // and the zero-exchange join back keeps the edge partitioning.
     val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
@@ -141,10 +149,7 @@ object Graph {
     * join shapes), so state built here and ranks computed there anchor
     * the same oracle. */
   def pageRankStates(edges: DataFrame, iters: Int): DataFrame = {
-    val ed = edges.select(col("src"), col("dst"))
-      .repartition(col("src"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ed = srcPartitionedDistinctEdges(edges)
     val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val e = ed.join(deg.hint("shuffle_hash"), "src")
     val round0 = deg.select(lit(0).as("round"), col("src").as("node"),
@@ -197,10 +202,7 @@ object Graph {
     * @return patched state, same schema as [[pageRankStates]] */
   def pageRankIncrement(state: DataFrame, fullEdges: DataFrame,
                         deltaEdges: DataFrame, iters: Int): DataFrame = {
-    val ed = fullEdges.select(col("src"), col("dst"))
-      .repartition(col("src"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ed = srcPartitionedDistinctEdges(fullEdges)
     val dEff = deltaEdges.select(col("src"), col("dst")).distinct()
       .pin(true)
     val st = state.pin(false)
@@ -407,11 +409,9 @@ object Graph {
     * @return (node, dist) with dist in [0, maxDepth].
     */
   def bfsDistances(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
-    val ed = edges.select(col("src"), col("dst"))
-      .repartition(col("src"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ed = srcPartitionedDistinctEdges(edges)
     var frontier = seeds.select(col("node")).distinct().pin(true)
+    val frontiers = scala.collection.mutable.ArrayBuffer(frontier)
     val levels = scala.collection.mutable.ArrayBuffer(
       frontier.select(col("node"), lit(0L).as("dist")))
     var d = 0L
@@ -424,11 +424,19 @@ object Graph {
         .select(col("dst").as("node")).distinct()
         .join(seen, Seq("node"), "left_anti")
         .pin(true)
+      frontiers += frontier
       levels += frontier.select(col("node"), lit(d).as("dist"))
     }
     ed.unpersist()
-    // Flat union of the pinned per-level tables; the last may be empty
-    // (drained frontier) — harmless in a union.
-    levels.reduce(_ unionByName _)
+    // Flat union of the pinned per-level tables (the last may be empty
+    // — a drained frontier is harmless in a union), re-pinned EAGERLY
+    // as ONE result so every per-level pin can be released before
+    // returning: at most the live levels are pinned DURING the call
+    // and only the (reached-nodes-sized) result survives it — the
+    // same leave-nothing-behind discipline as the other iterative
+    // operators here.
+    val out = levels.reduce(_ unionByName _).pin(true)
+    frontiers.foreach(f => pinnedRdd(f).foreach(_.unpersist(false)))
+    out
   }
 }

@@ -411,8 +411,9 @@ object GraphQueries {
     * Scale: edges partition once and stay put; each round moves only
     * the frontier; cost ∝ the frontier's edge boundary, with early
     * exit the round the frontier drains (this bipartite purchase
-    * graph saturates in ~4 hops; the depth cap is the contract, the
-    * early exit is the cost). */
+    * graph saturates at 2 hops at every gate scale, so the loop
+    * exits during round 3 of the permitted 6; the depth cap is the
+    * contract, the early exit is the cost). */
   def qGraphBfs(spark: SparkSession, dir: String): DataFrame = {
     val seeds = t(spark, dir, "customer")
       .where(col("c_nationkey") === 0)

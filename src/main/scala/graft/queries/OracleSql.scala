@@ -343,7 +343,9 @@ object OracleSql {
         |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Exact integer association rules: co-occurrence, support, and
-    // lift in basis points with floor division on both engines.
+    // lift in basis points with floor division on both engines. The
+    // lift numerator runs wide (Spark DECIMAL(38,0) / DuckDB HUGEINT)
+    // so 10000*co*n_baskets cannot overflow BIGINT at large scale.
     "q_basket_affinity" ->
       """WITH ob AS (SELECT DISTINCT l_orderkey AS k, p_brand AS b
         |            FROM lineitem JOIN part ON l_partkey = p_partkey),
@@ -353,7 +355,7 @@ object OracleSql {
         |          FROM ob x JOIN ob y ON x.k = y.k AND x.b < y.b GROUP BY 1, 2)
         |SELECT b1, b2, CAST(co AS BIGINT) AS co_orders,
         | CAST((10000 * co) // n_baskets AS BIGINT) AS support_bp,
-        | CAST((10000 * co * n_baskets) // (t1.cnt * t2.cnt) AS BIGINT) AS lift_bp
+        | CAST((CAST(10000 AS HUGEINT) * co * n_baskets) // (CAST(t1.cnt AS HUGEINT) * t2.cnt) AS BIGINT) AS lift_bp
         |FROM pairs, n
         |JOIN tot t1 ON t1.b = b1
         |JOIN tot t2 ON t2.b = b2

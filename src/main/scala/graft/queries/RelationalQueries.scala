@@ -150,46 +150,51 @@ object RelationalQueries {
     * under 2^63 — holds through ~10^14 basket-pair products; past
     * that a deployment widens the lift arithmetic to decimal.
     *
-    * Scale shape: ONE fact-width shuffle total — the explicit
-    * repartition on the order key, inside a PINNED basket table.
-    * HashPartitioning(k) colocates every row of a basket, so the
-    * (k, b) dedup rides it with no further exchange; the dedup is
-    * then [[graft.operators.Pin]]ned because FOUR consumers read it
-    * (both pair-join sides, brand totals, the basket count) and
-    * column pruning would otherwise specialize each consumer's
-    * subplan into its own fact scan + shuffle (canonically distinct,
-    * so AQE stage reuse cannot dedup them — plan-audited: every
-    * consumer reads the pinned blocks; the one exchange left outside
-    * the pin is the scalar basket count re-hashing the pinned
-    * table's single long column). The pair self-join fans
-    * out bounded by the per-order brand count (≤ order size,
-    * ≤ |brands|) — never all-pairs across baskets. Everything after
-    * is narrow: the pair count partial-aggregates into a
-    * (|brands|²)-sized exchange, and brand totals (|brands| rows)
-    * plus the 1-row basket count re-enter as broadcasts. No stage
-    * depends on corpus-wide order. */
+    * Scale shape: ONE fact-width shuffle total, structurally at any
+    * scale — the [[coSupplierEdges]] pattern: per-order brand SETS
+    * via collect_set (partial-aggregates map-side, bounded by order
+    * size), pairs expanded MAP-SIDE from each sorted set with
+    * higher-order functions — where a distinct + self-join
+    * formulation pays extra fact-width exchanges (and its exchange
+    * reuse dies to column pruning) and a cross-basket join is never
+    * even expressible. The sets table is [[graft.operators.Pin]]ned
+    * because three consumers read it (pairs, brand totals, basket
+    * count) and column pruning would otherwise re-derive the fact
+    * scan per consumer. Everything downstream is narrow: the pair
+    * count exchanges ≤ |brands|² partial rows, brand totals
+    * (|brands| rows) and the 1-row basket count re-enter as
+    * broadcasts. Lift arithmetic runs in DECIMAL(38,0) (DuckDB:
+    * HUGEINT) so `10000·co·n_baskets` cannot overflow at any
+    * realistic scale — ~10^28 at sf100k vs the 10^38 headroom —
+    * with floor semantics (`div`, both engines) keeping the result
+    * an exact BIGINT. No stage depends on corpus-wide order. */
   def qBasketAffinity(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Pin.PinOps
     val brands = t(spark, dir, "part").select(col("p_partkey"), col("p_brand"))
-    val baskets = t(spark, dir, "lineitem")
+    val sets = t(spark, dir, "lineitem")
       .select(col("l_orderkey").as("k"), col("l_partkey"))
       .join(broadcast(brands), col("l_partkey") === col("p_partkey"))
-      .select(col("k"), col("p_brand").as("b"))
-      .repartition(col("k"))
-      .dropDuplicates("k", "b")
+      .groupBy(col("k"))
+      .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
       .pin(false)
-    val tot = baskets.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
-    val nBaskets = baskets.select(countDistinct(col("k")).as("n_baskets"))
-    baskets.select(col("k"), col("b").as("b1"))
-      .join(baskets.select(col("k"), col("b").as("b2")), "k")
-      .where(col("b1") < col("b2"))
+    // Unordered pairs map-side from each sorted set: x at position i
+    // pairs with every later y, so b1 < b2 holds by construction.
+    val pairs = sets.select(explode(expr(
+        "flatten(transform(bs, (x, i) -> transform(slice(bs, i + 2, size(bs)), y -> struct(x AS b1, y AS b2))))"))
+        .as("p"))
+      .select(col("p.b1"), col("p.b2"))
       .groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("co"))
+    val tot = sets.select(explode(col("bs")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+    val nBaskets = sets.select(count(lit(1)).as("n_baskets"))
+    pairs
       .join(broadcast(nBaskets))
       .join(broadcast(tot.select(col("b").as("b1"), col("cnt").as("c1"))), "b1")
       .join(broadcast(tot.select(col("b").as("b2"), col("cnt").as("c2"))), "b2")
       .select(col("b1"), col("b2"), col("co").as("co_orders"),
         expr("(10000L * co) div n_baskets").as("support_bp"),
-        expr("(10000L * co * n_baskets) div (c1 * c2)").as("lift_bp"))
+        expr("(CAST(10000 AS DECIMAL(38,0)) * co * n_baskets) div (CAST(c1 AS DECIMAL(38,0)) * c2)")
+          .as("lift_bp"))
       .orderBy(col("b1"), col("b2"))
   }
 

@@ -74,8 +74,12 @@ class GraphSpec extends SparkSpec {
     val edges = und.toDF("src", "dst")
       .unionAll(und.map(_.swap).toDF("src", "dst"))
     val seeds = Seq(1L, 5L).toDF("node")
-    val got = Graph.bfsDistances(edges, seeds, maxDepth = 6)
-      .as[(Long, Long)].collect().toMap
+    val rows = Graph.bfsDistances(edges, seeds, maxDepth = 6)
+      .as[(Long, Long)].collect()
+    val got = rows.toMap
+    // Every node appears at exactly ONE level (toMap would silently
+    // swallow a node emitted at two distances).
+    assert(rows.length === got.size, s"duplicate node emissions: ${rows.toSeq}")
     // 3 is 2 hops from both seeds; 10/11 unreachable -> absent.
     assert(got === Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
 

@@ -180,24 +180,21 @@ class PlanAuditSpec extends SparkSpec {
     // section (where reuse hasn't been resolved yet) — audit the
     // final plan only.
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    // The single fact-width shuffle lives inside the PINNED basket
-    // table (computed once); every consumer — both pair-join sides,
-    // brand totals, the basket count — must read the pinned blocks
-    // (ExistingRDD scans), with NO order-key exchange in the outer
-    // plan (column pruning would otherwise give each consumer its
-    // own fact scan + shuffle).
+    // The single fact-width shuffle (the collect_set aggregation on
+    // the order key) lives inside the PINNED sets table, computed
+    // once; every consumer — map-side pair expansion, brand totals,
+    // the basket count — must read the pinned blocks (ExistingRDD
+    // scans) with NO order-key exchange anywhere in the outer plan:
+    // pairs come from higher-order functions over each set, not a
+    // self-join, so no operator downstream ever needs k clustering.
     val lines = p.linesIterator.toSeq
-    val kExchanges = lines.filter(l =>
-      "Exchange hashpartitioning\\(k#\\d+L".r.findFirstIn(l).isDefined)
-    // One narrow exception remains: the scalar basket count re-dedups
-    // the pinned table's single k column (localCheckpoint does not
-    // carry partitioning metadata into the consumers' plans). That
-    // exchange's input is the DEDUPED basket table projected to one
-    // long — not the raw fact.
-    assert(kExchanges.length <= 1,
-      s"fact-width order-key exchanges escaped the pin:\n${p.take(1500)}")
-    assert(lines.count(_.contains("Scan ExistingRDD")) >= 4,
-      s"all four basket consumers must read the pinned table:\n${p.take(1500)}")
+    assert(!lines.exists(l =>
+      "Exchange hashpartitioning\\(k#\\d+L".r.findFirstIn(l).isDefined),
+      s"an order-key exchange escaped the pinned sets table:\n${p.take(1500)}")
+    assert(lines.count(_.contains("Scan ExistingRDD")) >= 3,
+      s"all three basket consumers must read the pinned table:\n${p.take(1500)}")
+    assert(p.contains("Generate explode"),
+      "pairs must expand map-side from the per-order sets")
     // The scalar basket count and brand totals re-enter as broadcasts;
     // the only nested-loop join allowed is the 1-row scalar attach.
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
