@@ -439,4 +439,99 @@ object Graph {
     frontiers.foreach(f => pinnedRdd(f).foreach(_.unpersist(false)))
     out
   }
+
+  /** EXACT incremental maintenance of [[bfsDistances]] under EDGE
+    * ADDITIONS — the BFS member of the stored-state IVM family
+    * ([[pageRankIncrement]] for ranks, the incremental CC fold for
+    * components). Additions can only SHORTEN hop distances, so the
+    * stored table folds forward by monotone relaxation and the result
+    * is EXACTLY the from-scratch BFS over (old ∪ delta) — not a
+    * warm-start approximation. (Deletions are out of contract: they
+    * can lengthen distances, which this fold never does.)
+    *
+    * Why bounded relaxation is exact: order improved nodes by their
+    * new distance. The minimal one, w, has a new-shortest-path
+    * predecessor p with a SMALLER new distance — hence p is
+    * unimproved, d_new(p) = d_old(p) — and the edge (p, w) cannot be
+    * an old edge (that would bound d_old(w) ≤ d_old(p) + 1 =
+    * d_new(w), contradicting improvement), so w is adjacent to a
+    * DELTA edge from a stored-correct node: exactly the seeding
+    * round. Every other improved node's shortest path reaches it
+    * from some improved node through ≤ maxDepth further hops (its
+    * whole suffix is improved nodes, and emitted distances are
+    * ≤ maxDepth), and each relaxation round advances improvements
+    * one hop — so seeding + maxDepth rounds reach the fixpoint, and
+    * the loop exits earlier the round improvements drain.
+    *
+    * Scale shape: the full edge list partitions once and stays put;
+    * the seeding probes only the DELTA edges against the stored
+    * distances, and each round probes the stationary edges with the
+    * (typically tiny) improved set — cost ∝ the improvement's blast
+    * radius, never the graph. The stored table is re-patched per
+    * round via a nodes-sized min-merge, pinned eagerly with round
+    * r-1 released as r lands.
+    *
+    * @param stored     (node, dist) as [[bfsDistances]] emitted for
+    *                   the OLD graph (same seeds, same maxDepth).
+    * @param fullEdges  the NEW graph's full directed edge list
+    *                   (old ∪ delta, symmetrized upstream).
+    * @param deltaEdges the added edges (symmetrized upstream); rows
+    *                   already present in the old graph are harmless
+    *                   (they relax to existing distances).
+    * @return (node, dist) — bit-identical to a from-scratch
+    *         [[bfsDistances]] over fullEdges. */
+  def bfsIncrement(stored: DataFrame, fullEdges: DataFrame,
+                   deltaEdges: DataFrame, maxDepth: Int): DataFrame = {
+    val ed = srcPartitionedDistinctEdges(fullEdges)
+    val dEff = deltaEdges.select(col("src"), col("dst")).distinct().pin(true)
+    var dist = stored.select(col("node"), col("dist")).pin(false)
+    var prevPin: Option[org.apache.spark.rdd.RDD[_]] = None
+    // Seeding: relax every delta edge once from the stored distances.
+    var improved = dEff
+      .join(dist.select(col("node").as("fn"), col("dist").as("fd")).hint("shuffle_hash"),
+        col("src") === col("fn"))
+      .select(col("dst").as("node"), (col("fd") + 1L).as("nd"))
+      .groupBy(col("node")).agg(min(col("nd")).as("nd"))
+      .where(col("nd") <= maxDepth)
+      .join(dist.withColumnRenamed("dist", "od"), Seq("node"), "left")
+      .where(col("od").isNull || col("nd") < col("od"))
+      .select(col("node"), col("nd"))
+      .pin(true)
+    var improvedPin = pinnedRdd(improved)
+    var rounds = 0
+    while (rounds < maxDepth && !improved.isEmpty) {
+      rounds += 1
+      val next = dist
+        .join(improved.withColumnRenamed("nd", "imp"), Seq("node"), "full_outer")
+        .select(col("node"), least(col("dist"), col("imp")).as("dist"))
+        .pin(true)
+      prevPin.foreach(_.unpersist(false))
+      prevPin = pinnedRdd(next)
+      dist = next
+      val cand = ed
+        .join(improved.select(col("node").as("fn"), col("nd").as("fd")).hint("shuffle_hash"),
+          col("src") === col("fn"))
+        .select(col("dst").as("node"), (col("fd") + 1L).as("nd"))
+        .groupBy(col("node")).agg(min(col("nd")).as("nd"))
+        .where(col("nd") <= maxDepth)
+      val nextImproved = cand
+        .join(dist.withColumnRenamed("dist", "od"), Seq("node"), "left")
+        .where(col("od").isNull || col("nd") < col("od"))
+        .select(col("node"), col("nd"))
+        .pin(true)
+      improvedPin.foreach(_.unpersist(false))
+      improvedPin = pinnedRdd(nextImproved)
+      improved = nextImproved
+    }
+    // A final merge in case the loop exited at the round cap with a
+    // (provably distance-correct, see above) last improvement set.
+    val out = dist
+      .join(improved.withColumnRenamed("nd", "imp"), Seq("node"), "full_outer")
+      .select(col("node"), least(col("dist"), col("imp")).as("dist"))
+      .pin(true)
+    prevPin.foreach(_.unpersist(false))
+    improvedPin.foreach(_.unpersist(false))
+    ed.unpersist()
+    out
+  }
 }

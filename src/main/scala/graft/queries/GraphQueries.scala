@@ -423,4 +423,50 @@ object GraphQueries {
         (col("node") % 2).cast("int").as("is_supplier"))
       .orderBy(col("node"))
   }
+
+  /** INCREMENTALLY-MAINTAINED BFS distances — the reachability member
+    * of the stored-state IVM family, same lifecycle as [[qPageRankInc]]:
+    * distances over the HISTORICAL purchase graph (orders with
+    * o_orderkey % 16 != 0) are committed once through
+    * [[graft.sinks.VersionedTable]], and the delta batch's genuinely
+    * new edges are folded in by [[Graph.bfsIncrement]] — EXACT
+    * monotone relaxation (edge additions only shorten hop distances),
+    * cost ∝ the improvement's blast radius, never the graph. The
+    * ORACLE is the from-scratch bounded recursive CTE over the FULL
+    * graph (graph_bfs's SQL verbatim), so the driver's hash check
+    * proves the fold is lossless, and the output shape matches
+    * [[qGraphBfs]] row for row. Build-once guards and serve-time
+    * version selection key on content markers (the bm25_inc
+    * contract — race-safe under renumbering). */
+  def qGraphBfsInc(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.VersionedTable
+    val root = graft.sinks.LakeRoot.root(spark, dir, "bfs_dist_v1")
+    val isDelta = col("o_orderkey") % 16 === 0
+    val seeds = t(spark, dir, "customer")
+      .where(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).as("node"))
+    def ensure(part: String, build: => DataFrame): Long = {
+      val have = VersionedTable.versionsWithMarker(spark, root, s"split_$part")
+      if (have.nonEmpty) have.min
+      else {
+        VersionedTable.commit(build, root, markers = Seq(s"_split_${part}_0"))
+        VersionedTable.versionsWithMarker(spark, root, s"split_$part").min
+      }
+    }
+    val vHist = ensure("historical",
+      Graph.bfsDistances(symPairs(spark, dir, !isDelta), seeds, maxDepth = 6))
+    val vFull = ensure("batch", {
+      val hist = symPairs(spark, dir, !isDelta)
+      // Only edges the old graph does not already have can shorten
+      // anything.
+      val dEff = symPairs(spark, dir, isDelta)
+        .join(hist, Seq("src", "dst"), "left_anti")
+      Graph.bfsIncrement(VersionedTable.read(spark, root, Some(vHist)),
+        purchaseEdges(spark, dir), dEff, maxDepth = 6)
+    })
+    VersionedTable.read(spark, root, Some(vFull))
+      .select(col("node"), col("dist"),
+        (col("node") % 2).cast("int").as("is_supplier"))
+      .orderBy(col("node"))
+  }
 }

@@ -145,6 +145,20 @@ object OracleSql {
     * shared verbatim by graph_pagerank (from-scratch) and
     * graph_pagerank_inc (stored-state incremental fold): identical
     * oracle == the fold is provably lossless. */
+  private val bfsSql: String =
+    """WITH RECURSIVE base AS (
+      | SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS (SELECT c AS src, s AS dst FROM base UNION ALL SELECT s, c FROM base),
+      |seeds AS (SELECT c_custkey * 2 AS node FROM customer WHERE c_nationkey = 0),
+      |bfs(node, d) AS (
+      | SELECT node, 0 FROM seeds
+      | UNION
+      | SELECT e.dst, bfs.d + 1 FROM bfs JOIN edges e ON e.src = bfs.node
+      | WHERE bfs.d < 6)
+      |SELECT node, CAST(MIN(d) AS BIGINT) AS dist, CAST(node % 2 AS INT) AS is_supplier
+      |FROM bfs GROUP BY node ORDER BY node""".stripMargin
+
   private val pagerankSql: String = {
     val iters = 5
     val rounds = (1 to iters).map { i =>
@@ -1770,19 +1784,11 @@ object OracleSql {
     // on this cyclic graph, the d < 6 guard bounds the recursion to
     // the query's depth contract, and MIN(d) per node is exactly the
     // synchronous frontier level Spark emits.
-    "graph_bfs" ->
-      """WITH RECURSIVE base AS (
-        | SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
-        | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |edges AS (SELECT c AS src, s AS dst FROM base UNION ALL SELECT s, c FROM base),
-        |seeds AS (SELECT c_custkey * 2 AS node FROM customer WHERE c_nationkey = 0),
-        |bfs(node, d) AS (
-        | SELECT node, 0 FROM seeds
-        | UNION
-        | SELECT e.dst, bfs.d + 1 FROM bfs JOIN edges e ON e.src = bfs.node
-        | WHERE bfs.d < 6)
-        |SELECT node, CAST(MIN(d) AS BIGINT) AS dist, CAST(node % 2 AS INT) AS is_supplier
-        |FROM bfs GROUP BY node ORDER BY node""".stripMargin,
+    "graph_bfs" -> bfsSql,
+    // the incremental fold must agree bit-for-bit with the
+    // from-scratch full-graph walk — one shared definition so the
+    // oracles can never drift
+    "graph_bfs_inc" -> bfsSql,
 
     "graph_pagerank" -> pagerankSql,
 

@@ -45,10 +45,11 @@ class ContractSpec extends SparkSpec {
     // sketch maintenance driver (q_distinct_hll_stream), and the
     // argmax-keep rewrite gate (q_argmax_rewrite), and the exact
     // materialized-partials pair (q1_pricing_inc, q_cube_stored);
-    // + round 10 late: bounded multi-source BFS (graph_bfs) and exact
-    // integer market-basket affinity (q_basket_affinity);
+    // + round 10 late: bounded multi-source BFS (graph_bfs), its
+    // stored-state IVM fold (graph_bfs_inc), and exact integer
+    // market-basket affinity (q_basket_affinity);
     // update alongside SURVEY §2 when adding a query.
-    assert(SparkEntry.queries.size === 185, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size === 186, s"got ${SparkEntry.queries.size}")
   }
 
   test("no-oracle entries are exactly covered by row-bound + schema gates") {

@@ -60,6 +60,50 @@ class GraphIncSpec extends SparkSpec {
     assert(moved > 0)
   }
 
+  test("bfsIncrement equals from-scratch BFS: real split + insertion/shortcut/cap cases") {
+    import spark.implicits._
+    def dists(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("node")).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    // Real-corpus split, the driver query's exact shape.
+    val isDelta = col("o_orderkey") % 16 === 0
+    val hist = symPairs(!isDelta)
+    val full = symPairs(lit(true))
+    val dEff = symPairs(isDelta).join(hist, Seq("src", "dst"), "left_anti")
+    assert(dEff.count() > 0, "delta adds no new edges — split degenerate")
+    val seeds = spark.read.parquet(s"$Sf/customer.parquet")
+      .where(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).as("node"))
+    val stored = Graph.bfsDistances(hist, seeds, maxDepth = 6)
+    val inc = Graph.bfsIncrement(stored, full, dEff, maxDepth = 6)
+    assert(dists(inc) === dists(Graph.bfsDistances(full, seeds, maxDepth = 6)))
+
+    // Handcrafted adversarial cases on a chain 1-2-3-4-5-6-7-8-9 with
+    // seed 1 and cap 4 (so 6..9 start OUTSIDE the stored table):
+    def sym(es: Seq[(Long, Long)]) =
+      es.toDF("src", "dst").unionAll(es.map(_.swap).toDF("src", "dst"))
+    val chain = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (7L, 8L), (8L, 9L)))
+    val seed1 = Seq(1L).toDF("node")
+    val storedChain = Graph.bfsDistances(chain, seed1, maxDepth = 4)
+    // Shortcut 1-6: 6 enters at dist 1 (insertion past the old cap),
+    // 5 IMPROVES through the back edge (7 -> 2, 8 -> 3), and 9 enters
+    // at dist 4 — improvements must propagate through OLD edges from
+    // newly-inserted nodes, the exact blast-radius path.
+    val delta = sym(Seq((1L, 6L)))
+    val folded = Graph.bfsIncrement(storedChain,
+      chain.unionAll(delta), delta, maxDepth = 4)
+    val expect = Graph.bfsDistances(chain.unionAll(delta), seed1, maxDepth = 4)
+    assert(dists(folded) === dists(expect))
+    assert(dists(folded).toMap === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      5L -> 2L, 6L -> 1L, 7L -> 2L, 8L -> 3L, 9L -> 4L))
+
+    // A delta that shortens nothing folds to the stored table verbatim.
+    val noop = sym(Seq((2L, 3L))) // already present
+    assert(dists(Graph.bfsIncrement(storedChain, chain, noop, maxDepth = 4))
+      === dists(storedChain))
+  }
+
   test("driver query equals graph_pagerank; stored lifecycle is build-once") {
     val got = GraphQueries.qPageRankInc(spark, Sf).collect().map(_.toSeq).toSeq
     val expect = GraphQueries.qPageRank(spark, Sf).collect().map(_.toSeq).toSeq
