@@ -159,6 +159,25 @@ object OracleSql {
       |SELECT node, CAST(MIN(d) AS BIGINT) AS dist, CAST(node % 2 AS INT) AS is_supplier
       |FROM bfs GROUP BY node ORDER BY node""".stripMargin
 
+  // Exact integer association rules: co-occurrence, support, and
+  // lift in basis points with floor division on both engines. The
+  // lift numerator runs wide (Spark DECIMAL(38,0) / DuckDB HUGEINT)
+  // so 10000*co*n_baskets cannot overflow BIGINT at large scale.
+  private val basketSql: String =
+    """WITH ob AS (SELECT DISTINCT l_orderkey AS k, p_brand AS b
+      |            FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |tot AS (SELECT b, COUNT(*) AS cnt FROM ob GROUP BY 1),
+      |n AS (SELECT COUNT(DISTINCT k) AS n_baskets FROM ob),
+      |pairs AS (SELECT x.b AS b1, y.b AS b2, COUNT(*) AS co
+      |          FROM ob x JOIN ob y ON x.k = y.k AND x.b < y.b GROUP BY 1, 2)
+      |SELECT b1, b2, CAST(co AS BIGINT) AS co_orders,
+      | CAST((10000 * co) // n_baskets AS BIGINT) AS support_bp,
+      | CAST((CAST(10000 AS HUGEINT) * co * n_baskets) // (CAST(t1.cnt AS HUGEINT) * t2.cnt) AS BIGINT) AS lift_bp
+      |FROM pairs, n
+      |JOIN tot t1 ON t1.b = b1
+      |JOIN tot t2 ON t2.b = b2
+      |ORDER BY b1, b2""".stripMargin
+
   private val pagerankSql: String = {
     val iters = 5
     val rounds = (1 to iters).map { i =>
@@ -360,20 +379,11 @@ object OracleSql {
     // lift in basis points with floor division on both engines. The
     // lift numerator runs wide (Spark DECIMAL(38,0) / DuckDB HUGEINT)
     // so 10000*co*n_baskets cannot overflow BIGINT at large scale.
-    "q_basket_affinity" ->
-      """WITH ob AS (SELECT DISTINCT l_orderkey AS k, p_brand AS b
-        |            FROM lineitem JOIN part ON l_partkey = p_partkey),
-        |tot AS (SELECT b, COUNT(*) AS cnt FROM ob GROUP BY 1),
-        |n AS (SELECT COUNT(DISTINCT k) AS n_baskets FROM ob),
-        |pairs AS (SELECT x.b AS b1, y.b AS b2, COUNT(*) AS co
-        |          FROM ob x JOIN ob y ON x.k = y.k AND x.b < y.b GROUP BY 1, 2)
-        |SELECT b1, b2, CAST(co AS BIGINT) AS co_orders,
-        | CAST((10000 * co) // n_baskets AS BIGINT) AS support_bp,
-        | CAST((CAST(10000 AS HUGEINT) * co * n_baskets) // (CAST(t1.cnt AS HUGEINT) * t2.cnt) AS BIGINT) AS lift_bp
-        |FROM pairs, n
-        |JOIN tot t1 ON t1.b = b1
-        |JOIN tot t2 ON t2.b = b2
-        |ORDER BY b1, b2""".stripMargin,
+    "q_basket_affinity" -> basketSql,
+    // the stored-partials serve must agree bit-for-bit with the
+    // one-pass query — one shared definition so the oracles can never
+    // drift
+    "q_basket_inc" -> basketSql,
 
     "q_topk_per_group" -> topkSql,
     // the native whole-operator must agree bit-for-bit with the window

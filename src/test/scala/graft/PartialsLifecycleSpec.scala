@@ -26,6 +26,18 @@ class PartialsLifecycleSpec extends SparkSpec {
     assert(stored === inline)
   }
 
+  test("stored-partials basket serve equals the one-pass affinity bit-for-bit") {
+    val inline = RelationalQueries.qBasketAffinity(spark, Sf).collect().toSeq
+    val stored = RelationalQueries.qBasketInc(spark, Sf).collect().toSeq
+    assert(stored === inline)
+    // Build-once: a second serve commits nothing new.
+    val root = LakeRoot.root(spark, Sf, "basket_partials_v1")
+    val vs = VersionedTable.versions(spark, root)
+    assert(vs.size === 2, s"expected historical+batch, got $vs")
+    RelationalQueries.qBasketInc(spark, Sf).collect()
+    assert(VersionedTable.versions(spark, root) === vs)
+  }
+
   test("partials build once; both serves share the same two marked versions") {
     RelationalQueries.q1PricingInc(spark, Sf).collect()
     RelationalQueries.qCubeStored(spark, Sf).collect()
