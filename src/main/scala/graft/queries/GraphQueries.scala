@@ -212,8 +212,64 @@ object GraphQueries {
     * ([[Graph.pageRankIncrement]]); serving is one pruned read of the
     * newest state version. The stream never recomputes history. */
   def qPageRankStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.VersionedTable
+    val ranksAll = streamedGraphState(spark, dir, "pagerank_stream_v1")(
+      firstEdges => Graph.pageRankStates(firstEdges, iters = 5))(
+      (prev, fullEdges, dEff) =>
+        Graph.pageRankIncrement(prev, fullEdges, dEff, iters = 5))
+    val ranks = ranksAll
+      .where(col("round") === 5).select(col("node"), col("pr"))
+    val top = ranks.orderBy(col("pr").desc, col("node")).limit(25)
+    val w = Window.orderBy(col("pr").desc, col("node"))
+    top.withColumn("rnk", row_number().over(w))
+      .select(col("rnk").cast("int").as("rnk"), col("node"),
+        (col("node") % 2).cast("int").as("is_supplier"), col("pr"))
+      .orderBy(col("rnk"))
+  }
+
+  /** STREAMED maintenance of the stored BFS distances — the second
+    * operator on the SAME streamed-fold harness as [[qPageRankStream]]
+    * (one ledger implementation, N operators): per micro-batch, the
+    * genuinely new purchase edges land in the edges root, then the
+    * monotone-relaxation fold ([[Graph.bfsIncrement]]) lands the
+    * patched distances in the state root under the same dual-root
+    * `_batch_id` marker protocol (state marker = commit point; a
+    * crash between the two commits reuses the landed delta). The
+    * final state is bit-identical to from-scratch BFS over the full
+    * graph, so the query rides graph_bfs's recursive-CTE oracle
+    * VERBATIM — the driver hash proves the whole streamed fold chain
+    * lossless. Per-batch costs are the harness's (delta-sized
+    * derivation and Bloom-pruned anti-join, fold ∝ the improvement's
+    * blast radius, in-loop edges-root fold+compaction past the
+    * version budget); serving is one pruned read of the newest state
+    * version. */
+  def qGraphBfsStream(spark: SparkSession, dir: String): DataFrame = {
+    val seeds = t(spark, dir, "customer")
+      .where(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).as("node"))
+    streamedGraphState(spark, dir, "bfs_stream_v1")(
+      firstEdges => Graph.bfsDistances(firstEdges, seeds, maxDepth = 6))(
+      (prev, fullEdges, dEff) =>
+        Graph.bfsIncrement(prev, fullEdges, dEff, maxDepth = 6))
+      .select(col("node"), col("dist"),
+        (col("node") % 2).cast("int").as("is_supplier"))
+      .orderBy(col("node"))
+  }
+
+  /** The operator-generic streamed-fold harness behind
+    * [[qPageRankStream]] and [[qGraphBfsStream]]: replays the orders
+    * table as a real Structured Streaming file stream, derives each
+    * micro-batch's effective edge delta, and maintains lake-stored
+    * operator state under the dual-root `_batch_id` marker ledger
+    * documented on [[qPageRankStream]]. `buildState` builds the state
+    * from the FIRST batch's edges; `foldState(prev, fullEdges, dEff)`
+    * folds a later batch's delta into the previous state given the
+    * full stored edge set. Returns the newest committed state. */
+  private def streamedGraphState(spark: SparkSession, dir: String, rootName: String)(
+      buildState: DataFrame => DataFrame)(
+      foldState: (DataFrame, DataFrame, DataFrame) => DataFrame): DataFrame = {
     import graft.sinks.{LakeRoot, VersionedTable}
-    val base = LakeRoot.root(spark, dir, "pagerank_stream_v1")
+    val base = LakeRoot.root(spark, dir, rootName)
     LakeRoot.mkdirs(spark, base)
     // Replayable source fixture: the orders slice as 3 parquet files,
     // staged + renamed (Hadoop FS, scheme-preserving) so a concurrent
@@ -276,11 +332,10 @@ object GraphQueries {
           val prevState = VersionedTable.versionsWithMarker(s, stateRoot, "batch_id")
             .lastOption.map(v => VersionedTable.read(s, stateRoot, Some(v)))
           val state = (prevState, dEff.isEmpty) match {
-            case (None, _) => Graph.pageRankStates(dEff, iters = 5)
+            case (None, _) => buildState(dEff)
             case (Some(p), true) => p // nothing new: re-land unchanged
             case (Some(p), false) =>
-              Graph.pageRankIncrement(p,
-                VersionedTable.readAll(s, edgesRoot), dEff, iters = 5)
+              foldState(p, VersionedTable.readAll(s, edgesRoot), dEff)
           }
           VersionedTable.commit(state, stateRoot, markers = Seq(marker))
           // Retention, strictly after the commit point: bound the edge
@@ -299,14 +354,7 @@ object GraphQueries {
       .start()
     q.awaitTermination()
     val vServe = VersionedTable.versionsWithMarker(spark, stateRoot, "batch_id").last
-    val ranks = VersionedTable.read(spark, stateRoot, Some(vServe))
-      .where(col("round") === 5).select(col("node"), col("pr"))
-    val top = ranks.orderBy(col("pr").desc, col("node")).limit(25)
-    val w = Window.orderBy(col("pr").desc, col("node"))
-    top.withColumn("rnk", row_number().over(w))
-      .select(col("rnk").cast("int").as("rnk"), col("node"),
-        (col("node") % 2).cast("int").as("is_supplier"), col("pr"))
-      .orderBy(col("rnk"))
+    VersionedTable.read(spark, stateRoot, Some(vServe))
   }
 
   /** Triangle counts over the mutual-top-5 co-supplier graph, top 50.

@@ -1799,6 +1799,7 @@ object OracleSql {
     // from-scratch full-graph walk — one shared definition so the
     // oracles can never drift
     "graph_bfs_inc" -> bfsSql,
+    "graph_bfs_stream" -> bfsSql,
 
     "graph_pagerank" -> pagerankSql,
 

@@ -46,11 +46,12 @@ class ContractSpec extends SparkSpec {
     // argmax-keep rewrite gate (q_argmax_rewrite), and the exact
     // materialized-partials pair (q1_pricing_inc, q_cube_stored);
     // + round 10 late: bounded multi-source BFS (graph_bfs), its
-    // stored-state IVM fold (graph_bfs_inc), exact integer
-    // market-basket affinity (q_basket_affinity), and its stored
-    // additive-partials serve (q_basket_inc);
+    // stored-state IVM fold (graph_bfs_inc) and streamed maintenance
+    // (graph_bfs_stream, on the operator-generic harness), exact
+    // integer market-basket affinity (q_basket_affinity), and its
+    // stored additive-partials serve (q_basket_inc);
     // update alongside SURVEY §2 when adding a query.
-    assert(SparkEntry.queries.size === 187, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size === 188, s"got ${SparkEntry.queries.size}")
   }
 
   test("no-oracle entries are exactly covered by row-bound + schema gates") {

@@ -144,6 +144,23 @@ class GraphIncSpec extends SparkSpec {
     assert(VersionedTable.versions(spark, state) === beforeS)
   }
 
+  test("streamed BFS fold equals the from-scratch full-graph walk") {
+    // The second operator on the shared streamed-fold harness: the
+    // final streamed state must equal qGraphBfs row for row (they
+    // share the driver oracle verbatim; this pins it in-process too).
+    val streamed = GraphQueries.qGraphBfsStream(spark, Sf).collect().toSeq
+    val scratch = GraphQueries.qGraphBfs(spark, Sf).collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === scratch)
+    // Replay: a second run (same checkpoint, all batches landed)
+    // commits nothing new and serves the same rows.
+    val root = graft.sinks.LakeRoot.root(spark, Sf, "bfs_stream_v1")
+    val stateRoot = graft.sinks.LakeRoot.child(root, "state")
+    val vs = VersionedTable.versions(spark, stateRoot)
+    assert(GraphQueries.qGraphBfsStream(spark, Sf).collect().toSeq === scratch)
+    assert(VersionedTable.versions(spark, stateRoot) === vs)
+  }
+
   test("crash between edges and state commit: recovery REUSES the landed delta") {
     import graft.sinks.LakeRoot
     // Runs after the streamed-fold test, so the shared stream lake is
