@@ -485,6 +485,10 @@ object Graph {
     val ed = srcPartitionedDistinctEdges(fullEdges)
     val dEff = deltaEdges.select(col("src"), col("dst")).distinct().pin(true)
     var dist = stored.select(col("node"), col("dist")).pin(false)
+    // Released in the epilogue: dEff feeds only the seeding join, the
+    // initial stored pin only survives until the first merge (or the
+    // final one, if no round improves anything).
+    val seedPins = Seq(pinnedRdd(dEff), pinnedRdd(dist)).flatten
     var prevPin: Option[org.apache.spark.rdd.RDD[_]] = None
     // Seeding: relax every delta edge once from the stored distances.
     var improved = dEff
@@ -531,6 +535,7 @@ object Graph {
       .pin(true)
     prevPin.foreach(_.unpersist(false))
     improvedPin.foreach(_.unpersist(false))
+    seedPins.foreach(_.unpersist(false))
     ed.unpersist()
     out
   }

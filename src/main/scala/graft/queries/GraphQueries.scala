@@ -134,14 +134,8 @@ object GraphQueries {
     import graft.sinks.VersionedTable
     val root = pagerankStateRoot(spark, dir)
     val isDelta = col("o_orderkey") % 16 === 0
-    def ensure(part: String, build: => DataFrame): Long = {
-      val have = VersionedTable.versionsWithMarker(spark, root, s"split_$part")
-      if (have.nonEmpty) have.min
-      else {
-        VersionedTable.commit(build, root, markers = Seq(s"_split_${part}_0"))
-        VersionedTable.versionsWithMarker(spark, root, s"split_$part").min
-      }
-    }
+    def ensure(part: String, build: => DataFrame): Long =
+      VersionedTable.ensurePart(spark, root, part)(build)
     val vHist = ensure("historical",
       Graph.pageRankStates(symPairs(spark, dir, !isDelta), iters = 5))
     val vFull = ensure("batch", {
@@ -212,7 +206,6 @@ object GraphQueries {
     * ([[Graph.pageRankIncrement]]); serving is one pruned read of the
     * newest state version. The stream never recomputes history. */
   def qPageRankStream(spark: SparkSession, dir: String): DataFrame = {
-    import graft.sinks.VersionedTable
     val ranksAll = streamedGraphState(spark, dir, "pagerank_stream_v1")(
       firstEdges => Graph.pageRankStates(firstEdges, iters = 5))(
       (prev, fullEdges, dEff) =>
@@ -493,14 +486,8 @@ object GraphQueries {
     val seeds = t(spark, dir, "customer")
       .where(col("c_nationkey") === 0)
       .select((col("c_custkey") * 2).as("node"))
-    def ensure(part: String, build: => DataFrame): Long = {
-      val have = VersionedTable.versionsWithMarker(spark, root, s"split_$part")
-      if (have.nonEmpty) have.min
-      else {
-        VersionedTable.commit(build, root, markers = Seq(s"_split_${part}_0"))
-        VersionedTable.versionsWithMarker(spark, root, s"split_$part").min
-      }
-    }
+    def ensure(part: String, build: => DataFrame): Long =
+      VersionedTable.ensurePart(spark, root, part)(build)
     val vHist = ensure("historical",
       Graph.bfsDistances(symPairs(spark, dir, !isDelta), seeds, maxDepth = 6))
     val vFull = ensure("batch", {
