@@ -527,16 +527,16 @@ object Graph {
       improvedPin = pinnedRdd(nextImproved)
       improved = nextImproved
     }
-    // A final merge in case the loop exited at the round cap with a
-    // (provably distance-correct, see above) last improvement set.
-    val out = dist
-      .join(improved.withColumnRenamed("nd", "imp"), Seq("node"), "full_outer")
-      .select(col("node"), least(col("dist"), col("imp")).as("dist"))
-      .pin(true)
-    prevPin.foreach(_.unpersist(false))
-    improvedPin.foreach(_.unpersist(false))
-    seedPins.foreach(_.unpersist(false))
+    // The loop can only exit with an EMPTY improvement set: round-r
+    // improvements satisfy nd >= r + 1 (seeding >= 1, each round
+    // adds 1), so round maxDepth's candidates all fail the
+    // nd <= maxDepth filter — `dist` IS the fixpoint. Transfer its
+    // pin to the caller and release every other pin this call made.
+    val outPin = pinnedRdd(dist)
+    (seedPins ++ prevPin ++ improvedPin)
+      .filterNot(r => outPin.exists(_ eq r))
+      .foreach(_.unpersist(false))
     ed.unpersist()
-    out
+    dist
   }
 }

@@ -237,9 +237,7 @@ object GraphQueries {
     * version budget); serving is one pruned read of the newest state
     * version. */
   def qGraphBfsStream(spark: SparkSession, dir: String): DataFrame = {
-    val seeds = t(spark, dir, "customer")
-      .where(col("c_nationkey") === 0)
-      .select((col("c_custkey") * 2).as("node"))
+    val seeds = bfsSeeds(spark, dir)
     streamedGraphState(spark, dir, "bfs_stream_v1")(
       firstEdges => Graph.bfsDistances(firstEdges, seeds, maxDepth = 6))(
       (prev, fullEdges, dEff) =>
@@ -455,10 +453,18 @@ object GraphQueries {
     * graph saturates at 2 hops at every gate scale, so the loop
     * exits during round 3 of the permitted 6; the depth cap is the
     * contract, the early exit is the cost). */
-  def qGraphBfs(spark: SparkSession, dir: String): DataFrame = {
-    val seeds = t(spark, dir, "customer")
+  /** The BFS seed set — nation-0 customers in the purchase-graph node
+    * encoding. ONE definition shared by graph_bfs / graph_bfs_inc /
+    * graph_bfs_stream (which share one oracle: a drifting copy would
+    * fail the other two's hash gates for a non-obvious reason); must
+    * stay in lockstep with the seeds CTE in OracleSql.bfsSql. */
+  private def bfsSeeds(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
       .where(col("c_nationkey") === 0)
       .select((col("c_custkey") * 2).as("node"))
+
+  def qGraphBfs(spark: SparkSession, dir: String): DataFrame = {
+    val seeds = bfsSeeds(spark, dir)
     Graph.bfsDistances(purchaseEdges(spark, dir), seeds, maxDepth = 6)
       .select(col("node"), col("dist"),
         (col("node") % 2).cast("int").as("is_supplier"))
@@ -483,9 +489,7 @@ object GraphQueries {
     import graft.sinks.VersionedTable
     val root = graft.sinks.LakeRoot.root(spark, dir, "bfs_dist_v1")
     val isDelta = col("o_orderkey") % 16 === 0
-    val seeds = t(spark, dir, "customer")
-      .where(col("c_nationkey") === 0)
-      .select((col("c_custkey") * 2).as("node"))
+    val seeds = bfsSeeds(spark, dir)
     def ensure(part: String, build: => DataFrame): Long =
       VersionedTable.ensurePart(spark, root, part)(build)
     val vHist = ensure("historical",

@@ -139,35 +139,6 @@ object RelationalQueries {
       .orderBy(col("o_year"))
   }
 
-  /** Market-basket affinity over order baskets: for every unordered
-    * brand pair, how many orders contain both (co-occurrence), what
-    * fraction of all baskets that is (support), and how that compares
-    * to independence (lift) — the association-rule primitive behind
-    * "customers who bought X also bought Y". All measures are exact
-    * integer basis points (floor division on both engines), so the
-    * result is hash-checkable; a float lift would depend on partial-
-    * sum order. Overflow bound: `10000 * co * n_baskets` must stay
-    * under 2^63 — holds through ~10^14 basket-pair products; past
-    * that a deployment widens the lift arithmetic to decimal.
-    *
-    * Scale shape: ONE fact-width shuffle total, structurally at any
-    * scale — the [[coSupplierEdges]] pattern: per-order brand SETS
-    * via collect_set (partial-aggregates map-side, bounded by order
-    * size), pairs expanded MAP-SIDE from each sorted set with
-    * higher-order functions — where a distinct + self-join
-    * formulation pays extra fact-width exchanges (and its exchange
-    * reuse dies to column pruning) and a cross-basket join is never
-    * even expressible. The sets table is [[graft.operators.Pin]]ned
-    * because three consumers read it (pairs, brand totals, basket
-    * count) and column pruning would otherwise re-derive the fact
-    * scan per consumer. Everything downstream is narrow: the pair
-    * count exchanges ≤ |brands|² partial rows, brand totals
-    * (|brands| rows) and the 1-row basket count re-enter as
-    * broadcasts. Lift arithmetic runs in DECIMAL(38,0) (DuckDB:
-    * HUGEINT) so `10000·co·n_baskets` cannot overflow at any
-    * realistic scale — ~10^28 at sf100k vs the 10^38 headroom —
-    * with floor semantics (`div`, both engines) keeping the result
-    * an exact BIGINT. No stage depends on corpus-wide order. */
   /** Unordered pairs map-side from a sorted set column `bs`: x at
     * position i pairs with every later y, so b1 < b2 holds by
     * construction. Shared by the one-pass and stored-partials basket
@@ -190,6 +161,31 @@ object RelationalQueries {
           .as("lift_bp"))
       .orderBy(col("b1"), col("b2"))
 
+  /** Market-basket affinity over order baskets: for every unordered
+    * brand pair, how many orders contain both (co-occurrence), what
+    * fraction of all baskets that is (support), and how that compares
+    * to independence (lift) — the association-rule primitive behind
+    * "customers who bought X also bought Y". All measures are exact
+    * integer basis points (floor division on both engines), so the
+    * result is hash-checkable; a float lift would depend on partial-
+    * sum order. Lift arithmetic runs in DECIMAL(38,0) (DuckDB:
+    * HUGEINT) so `10000·co·n_baskets` cannot overflow at any
+    * realistic scale — ~10^28 at sf100k vs the 10^38 headroom.
+    *
+    * Scale shape: ONE fact-width shuffle total, structurally at any
+    * scale — the [[coSupplierEdges]] pattern: per-order brand SETS
+    * via collect_set (partial-aggregates map-side, bounded by order
+    * size), pairs expanded MAP-SIDE from each sorted set with
+    * higher-order functions — where a distinct + self-join
+    * formulation pays extra fact-width exchanges (and its exchange
+    * reuse dies to column pruning) and a cross-basket join is never
+    * even expressible. The sets table is [[graft.operators.Pin]]ned
+    * because three consumers read it (pairs, brand totals, basket
+    * count) and column pruning would otherwise re-derive the fact
+    * scan per consumer. Everything downstream is narrow: the pair
+    * count exchanges ≤ |brands|² partial rows, brand totals
+    * (|brands| rows) and the 1-row basket count re-enter as
+    * broadcasts. No stage depends on corpus-wide order. */
   def qBasketAffinity(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Pin.PinOps
     val brands = t(spark, dir, "part").select(col("p_partkey"), col("p_brand"))
