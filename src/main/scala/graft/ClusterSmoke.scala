@@ -36,9 +36,10 @@ object ClusterSmoke {
   val SmokeSet: Seq[String] = Seq(
     "graph_pagerank", "graph_pagerank_weighted", "graph_triangles",
     "graph_label_prop", "graph_pagerank_inc", "graph_pagerank_stream",
+    "graph_bfs", "graph_bfs_inc", "graph_bfs_stream",
     "ann_ivf_stored", "ann_ivf_stream", "ann_pq_stored",
     "text_bm25_inc", "dedup_survivors_minhash_inc", "dedup_corpus",
-    "vec_pca", "text_stream_decontam",
+    "vec_pca", "text_stream_decontam", "q_basket_inc",
     "ev_stream_sessions", "ev_stream_merge", "ev_stream_dedup",
     "ev_stream_join", "ev_stream_hopping")
 
