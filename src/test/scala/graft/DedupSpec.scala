@@ -64,6 +64,39 @@ class DedupSpec extends SparkSpec {
     assert(nCands > plain.size, "corpus should also exercise failing candidates")
   }
 
+  test("charbag bound never exceeds the true edit distance (prefilter soundness)") {
+    // The bag prefilter may only kill candidates the banded levenshtein
+    // would reject: bag_dist_lb(bag(a), bag(b)) <= levenshtein(a, b)
+    // must hold for EVERY pair, including clamp-saturated (repeated
+    // chars) and class-collision (c % 16) cases.
+    import graft.expressions.CharBagOps
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(7)
+    val alphabets = Seq("ab", "abcdefgh", "abcdefghijklmnopqrstuvwxyz0123456789 ")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def rs(alpha: String): String =
+      Seq.fill(rnd.nextInt(40))(alpha(rnd.nextInt(alpha.length))).mkString
+    var checked = 0
+    for (alpha <- alphabets; _ <- 1 to 400) {
+      val (x, y) = (rs(alpha), rs(alpha))
+      val lb = CharBagOps.bagDistLb(
+        CharBagOps.charBag64(UTF8String.fromString(x)),
+        CharBagOps.charBag64(UTF8String.fromString(y)))
+      val d = lev(x, y)
+      assert(lb <= d, s"bag bound $lb exceeds edit distance $d for '$x' vs '$y'")
+      checked += 1
+    }
+    assert(checked === 1200)
+  }
+
   test("incremental minhash against stored band signatures matches the batch run") {
     val corpus = spark.read.parquet(s"$Sf/documents.parquet")
     val old = corpus.where(col("doc_id") % 5 =!= 0)

@@ -364,6 +364,49 @@ class PlanAuditSpec extends SparkSpec {
     assert(p2.contains("Expand"), s"expected cube expand:\n${p2.take(800)}")
   }
 
+  test("q_heavy_hitters_stored: CMS merge stays in-plan (no driver-side sketch fold)") {
+    val p = plan(RelationalQueries.qHeavyHittersStored(spark, Sf))
+    // The month sketches merge through the cms_merge TypedImperative
+    // aggregate: partial ObjectHashAggregate map-side, final merge on
+    // an executor — the serve plan itself carries the merge, so serve
+    // cost per process is flat in the calendar length.
+    assert(p.contains("ObjectHashAggregate"),
+      s"expected in-plan cms_merge aggregate:\n${p.take(1000)}")
+    assert(p.contains("cms_merge"),
+      s"expected cms_merge in the aggregate expressions:\n${p.take(1000)}")
+    // The merged 1-row sketch attaches by broadcast; top-10 is a
+    // TakeOrdered, not a global sort.
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast attach of the merged sketch:\n${p.take(1000)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrdered top-10:\n${p.take(1000)}")
+  }
+
+  test("text_fuzzy_pairs: length band sits in the join, below the levenshtein projection") {
+    val df = graft.operators.Dedup.fuzzyPrefixPairs(
+      graft.sources.TableLoader.load(spark, Sf, "documents"))
+    df.count()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // The O(1) prefilters (length band, charbag bound) and the banded
+    // lev_within kernel all live in the join condition — and the cheap
+    // kills must come FIRST: Spark evaluates conjuncts in order, so
+    // the integer tests price out rejectable candidates before the
+    // DP band ever runs.
+    val joinLine = p.linesIterator.find(_.contains("HashJoin")).getOrElse(
+      fail(s"no hash join in fuzzy pairs plan:\n${p.take(1000)}"))
+    val bandAt = joinLine.indexOf("abs(")
+    val bagAt = joinLine.indexOf("bag_dist_lb")
+    val levAt = joinLine.indexOf("lev_within")
+    assert(bandAt >= 0,
+      s"length-band prefilter missing from the join condition:\n$joinLine")
+    assert(bagAt >= 0,
+      s"charbag prefilter missing from the join condition:\n$joinLine")
+    assert(levAt >= 0,
+      s"banded lev_within missing from the join condition:\n$joinLine")
+    assert(bandAt < bagAt && bagAt < levAt,
+      s"prefilters must be evaluated cheap-first before lev_within:\n$joinLine")
+  }
+
   test("q_distinct_theta_ops: sketch bytes cross the exchange; the 5-row join never SMJs") {
     val p = plan(RelationalQueries.qDistinctThetaOps(spark, Sf))
     // Partial theta aggregation map-side: the raw (priority, custkey)
