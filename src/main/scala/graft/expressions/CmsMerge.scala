@@ -1,0 +1,157 @@
+package graft.expressions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Distributed merge of serialized [[CountMinSketch]] bytes — the
+  * aggregate Spark's builtin surface is missing (HLL has
+  * `hll_union_agg`, KLL has `kll_merge_agg_bigint`; CMS has only the
+  * build-side `count_min_sketch`). CMS merge is cell-wise counter
+  * addition: associative and commutative, so partial aggregation is
+  * EXACT — map-side partials merge whatever sketch rows each partition
+  * holds, the final reduce merges one partial per partition on an
+  * executor, and the plan never ships the full calendar of sketches to
+  * one process. Input sketches must share (depth, width, seed);
+  * [[CountMinSketch.mergeInPlace]] throws `IncompatibleMergeException`
+  * otherwise, which is the correct loud failure for mixed-shape state.
+  */
+case class CmsMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CountMinSketch] {
+
+  override def createAggregationBuffer(): CountMinSketch = null
+
+  override def update(buf: CountMinSketch, input: InternalRow): CountMinSketch = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val sk = CountMinSketch.readFrom(
+        new ByteArrayInputStream(v.asInstanceOf[Array[Byte]]))
+      if (buf == null) sk else { buf.mergeInPlace(sk); buf }
+    }
+  }
+
+  override def merge(a: CountMinSketch, b: CountMinSketch): CountMinSketch =
+    if (a == null) b
+    else if (b == null) a
+    else { a.mergeInPlace(b); a }
+
+  override def eval(buf: CountMinSketch): Any =
+    if (buf == null) null else CmsMergeAgg.toBytes(buf)
+
+  override def serialize(buf: CountMinSketch): Array[Byte] =
+    if (buf == null) Array.emptyByteArray else CmsMergeAgg.toBytes(buf)
+
+  override def deserialize(bytes: Array[Byte]): CountMinSketch =
+    if (bytes.isEmpty) null
+    else CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cms_merge expects binary count-min sketch bytes, got $other")
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "cms_merge"
+
+  override def withNewMutableAggBufferOffset(n: Int): CmsMergeAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): CmsMergeAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CmsMergeAgg =
+    copy(child = newChildren.head)
+}
+
+object CmsMergeAgg {
+  private[expressions] def toBytes(sk: CountMinSketch): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    sk.writeTo(out)
+    out.toByteArray
+  }
+
+  @volatile private var registered = Set.empty[SparkSession]
+
+  /** Register `cms_merge`/`cms_estimate` in the session registry
+    * (idempotent) — registry-based exposure keeps us off Spark 4's
+    * private Column internals, same pattern as [[FloatVecDot]]. */
+  def register(spark: SparkSession): Unit = synchronized {
+    if (!registered.contains(spark)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "cms_merge",
+        { exprs: Seq[Expression] =>
+          CmsMergeAgg(exprs.head).toAggregateExpression() },
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "cms_estimate",
+        { exprs: Seq[Expression] => CmsEstimate(exprs(0), exprs(1)) },
+        "built-in")
+      registered += spark
+    }
+  }
+
+  def mergeCol(spark: SparkSession, sk: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_udf("cms_merge", sk)
+  }
+
+  def estimateCol(spark: SparkSession, sk: Column, key: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_udf("cms_estimate", sk, key)
+  }
+}
+
+/** Point-estimate lookup against serialized CMS bytes:
+  * `cms_estimate(sk, key)` = the sketch's (one-sided, never-under)
+  * count estimate for `key`. Deserialization is memoized per expression
+  * instance (tasks get their own serialized copies, so the cache is
+  * task-local and thread-confined): the common shape — a single merged
+  * sketch broadcast against a bounded candidate list — deserializes
+  * once per task and answers each row with `estimateCount` only. The
+  * equality probe costs a memcmp of the sketch bytes per row, which is
+  * an order cheaper than re-parsing the counter table. Not codegen'd:
+  * it runs on candidate lists (bounded by calendar × k), never on fact
+  * scans.
+  */
+case class CmsEstimate(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  @transient private var cachedBytes: Array[Byte] = _
+  @transient private var cachedSketch: CountMinSketch = _
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cms_estimate expects (binary, bigint), got ($l, $r)")
+    }
+
+  override protected def nullSafeEval(sk: Any, key: Any): Any = {
+    val bytes = sk.asInstanceOf[Array[Byte]]
+    if (!(bytes eq cachedBytes) && !java.util.Arrays.equals(bytes, cachedBytes)) {
+      cachedSketch = CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
+      cachedBytes = bytes
+    }
+    cachedSketch.estimateCount(key.asInstanceOf[Long])
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_estimate"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsEstimate =
+    copy(left = newLeft, right = newRight)
+}

@@ -75,8 +75,17 @@ object NoOracleGates {
       ("SELECT (SELECT COALESCE(SUM(CASE WHEN c > 1 THEN c ELSE 0 END), 0) " +
         "FROM (SELECT count(*) AS c FROM documents GROUP BY text) t) AS lo, " +
         s"$DocCount AS hi"),
-    "mm_phash_survivors" -> s"SELECT 2 AS lo, $DocCount AS hi",
-    "mm_audio_fp_survivors" -> s"SELECT 2 AS lo, $DocCount AS hi",
+    // EXACT: one row per media in a near-dup component, and on this
+    // generator EVERY media is in one — each doc_id % 40 group has
+    // >= 2 members at every gate SF (N/40 >= 2 for N >= 80), the
+    // brightness shift is dHash/fingerprint-invariant by construction,
+    // and the two damaged pixels (resp. damaged windows) flip at most
+    // 4 signature bits < the pairing maxDist of 6, so every same-group
+    // sibling pair is recovered (MultimodalSpec pins recovery and
+    // cross-group separation; merging components never changes the
+    // one-row-per-member count).
+    "mm_phash_survivors" -> s"SELECT $DocCount AS lo, $DocCount AS hi",
+    "mm_audio_fp_survivors" -> s"SELECT $DocCount AS lo, $DocCount AS hi",
     // Sketch aggregates grouped on low-cardinality keys: one row per
     // group, group sets exactly derivable.
     "q_distinct_approx" ->
@@ -148,7 +157,10 @@ object NoOracleGates {
       "o_orderpriority STRING,approx_custs BIGINT NOT NULL,n_months BIGINT NOT NULL",
     "q_distinct_hll_stream" ->
       "o_orderpriority STRING,approx_custs BIGINT NOT NULL,n_months BIGINT NOT NULL",
-    "q_heavy_hitters_stored" -> "custkey BIGINT NOT NULL,est_orders BIGINT NOT NULL",
+    // Nullable since the r11 in-plan serve: the columns flow from the
+    // parquet candidate scan + cms_estimate instead of a driver-built
+    // local Seq (which stamped synthetic NOT NULLs).
+    "q_heavy_hitters_stored" -> "custkey BIGINT,est_orders BIGINT",
     "q_percentiles_stored" ->
       ("o_orderpriority STRING,p50_cents BIGINT,p90_cents BIGINT," +
         "p99_cents BIGINT,n_months BIGINT NOT NULL"),

@@ -388,6 +388,63 @@ object RelationalQueries {
         .orderBy(col("p_brand"), col("p_partkey"))
     }
 
+  /** min-GROUP-BY + join-back auto-rewrite gate (round 11): the THIRD
+    * everyday argmax spelling — TPC-H q2/q17's
+    * `t JOIN (SELECT g, min(x) FROM t GROUP BY g) ON g AND x = min` —
+    * written as plain self-join SQL over lineitem (cheapest line(s)
+    * per part; price ties all kept, deterministic output set), flag
+    * on, rewritten by [[graft.plans.TopKRewrite]] into native
+    * top-1-with-ties by price. The rewrite REMOVES the second fact
+    * scan plus the aggregate and join (one read of lineitem instead
+    * of two, no join shuffle at all) — the biggest plan win of the
+    * three rewrite shapes. In-query assertions: native node present,
+    * NO Join and NO Aggregate left in the optimized plan. Oracle: the
+    * join-back SQL itself, so the driver hash proves the rewrite
+    * bit-for-bit invisible. */
+  def qMinmaxRewrite(spark: SparkSession, dir: String): DataFrame =
+    withJoinBackRewrite(spark) {
+      // SQL text — the spelling users actually write for this shape
+      // (the DataFrame self-join form trips Spark's ambiguous-self-join
+      // resolution instead of exercising the rule's canonical
+      // Join(relation, Aggregate) input).
+      t(spark, dir, "lineitem").createOrReplaceTempView("lineitem_minmax")
+      spark.sql("""
+        SELECT f.l_partkey, f.l_orderkey, f.l_linenumber,
+          CAST(CAST(f.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            AS price_cents
+        FROM lineitem_minmax f
+        JOIN (SELECT l_partkey, MIN(l_extendedprice) AS min_price
+              FROM lineitem_minmax GROUP BY l_partkey) m
+          ON f.l_partkey = m.l_partkey AND f.l_extendedprice = m.min_price
+        ORDER BY f.l_partkey, f.l_orderkey, f.l_linenumber""")
+    }
+
+  /** [[withTopKRewrite]]'s join-back sibling: same flag dance, but the
+    * fired-rule evidence is the JOIN and AGGREGATE disappearing (the
+    * window helpers assert no Window; this shape never had one). */
+  private def withJoinBackRewrite(spark: SparkSession)(df: => DataFrame): DataFrame = {
+    graft.plans.TopKPerGroupStrategy.ensureRegistered(spark)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.TopKRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.TopKRewrite
+    val flag = "spark.graft.topk.autoRewrite"
+    val prev = spark.conf.getOption(flag)
+    spark.conf.set(flag, "true")
+    try {
+      val optimized = df.queryExecution.optimizedPlan
+      require(optimized.exists(_.isInstanceOf[graft.plans.TopKPerGroup]),
+        s"join-back rewrite did not fire:\n$optimized")
+      require(!optimized.exists(p =>
+        p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join] ||
+          p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+        s"rewritten plan still joins or aggregates:\n$optimized")
+      org.apache.spark.sql.graftbridge.GraftSqlBridge.ofRows(spark, optimized)
+    } finally prev match {
+      case Some(v) => spark.conf.set(flag, v)
+      case None => spark.conf.unset(flag)
+    }
+  }
+
   /** Month-over-month delta of order totals per priority (the reference's
     * rating-progress-over-periods analog). */
   def qDeltaMom(spark: SparkSession, dir: String): DataFrame = {
@@ -849,19 +906,24 @@ object RelationalQueries {
     * counters == single-pass counters, SketchLifecycleSpec asserts
     * bit-equality) and per-month exact top-32 candidate keys (the
     * standard CMS heavy-hitter recipe: the sketch answers point
-    * queries, candidates bound which points to ask). Serving collects
-    * both — bounded by the CALENDAR, not the corpus: candidate rows
-    * are kilobytes (months × 32 keys) and sketch bytes are ~1.1 MB
-    * per month (width 2/eps = 20000 ≥ the per-month distinct-key
-    * count, so counters rarely collide and point estimates are
-    * near-exact; 80 months ≈ 90 MB whether the table is 1 GB or
-    * 100 TB) — merges sketches driver-side, and
-    * emits the top-10 candidates by full-period CMS estimate. A key
-    * that is top-32 in no month cannot be a full-period top-10 unless
-    * counts are near-uniform (spec'd on this corpus); everything else
-    * never rescans history. */
+    * queries, candidates bound which points to ask). Serving stays
+    * FULLY IN-PLAN — bounded by the CALENDAR, not the corpus:
+    * candidate rows are kilobytes (months × 32 keys) and sketch bytes
+    * are ~1.1 MB per month (width 2/eps = 20000 ≥ the per-month
+    * distinct-key count, so counters rarely collide and point
+    * estimates are near-exact). The month sketches merge through the
+    * native `cms_merge` aggregate ([[graft.expressions.CmsMergeAgg]]:
+    * CMS merge is cell-wise counter addition, so map-side partials are
+    * EXACT and the driver never touches a sketch — at 80 months that's
+    * ~90 MB of executor-side merging whether the fact table is 1 GB or
+    * 100 TB, and the calendar can grow without growing any single
+    * process's share). The 1-row merged sketch broadcasts against the
+    * distinct candidates, `cms_estimate` answers each point query from
+    * a task-memoized deserialization, and TakeOrdered emits the top-10
+    * by full-period estimate. A key that is top-32 in no month cannot
+    * be a full-period top-10 unless counts are near-uniform (spec'd on
+    * this corpus); nothing ever rescans history. */
   def qHeavyHittersStored(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     import graft.sinks.VersionedTable
     val cmsRoot = graft.sinks.LakeRoot.root(spark, dir, "cms_orders_v1")
     val candRoot = graft.sinks.LakeRoot.root(spark, dir, "cms_cands_v1")
@@ -882,25 +944,15 @@ object RelationalQueries {
           32, Seq(col("month")), Seq(col("n_orders").desc, col("o_custkey")))
         .select(col("month"), col("o_custkey"), col("n_orders"))
     }
-    val merged = mergeCms(
-      cmsRows.select(col("sk")).collect().map(_.getAs[Array[Byte]](0)))
-    val cands = candRows
-      .select(col("o_custkey")).distinct().as[Long].collect()
-    cands.map(k => (k, merged.estimateCount(k)))
-      .sortBy { case (k, est) => (-est, k) }.take(10)
-      .toSeq.toDF("custkey", "est_orders")
+    import graft.expressions.CmsMergeAgg
+    val merged = cmsRows.agg(CmsMergeAgg.mergeCol(spark, col("sk")).as("sk"))
+    candRows.select(col("o_custkey")).distinct()
+      .crossJoin(broadcast(merged))
+      .select(col("o_custkey").as("custkey"),
+        CmsMergeAgg.estimateCol(spark, col("sk"), col("o_custkey"))
+          .as("est_orders"))
       .orderBy(col("est_orders").desc, col("custkey"))
-  }
-
-  private def mergeCms(
-      sketches: Array[Array[Byte]]): org.apache.spark.util.sketch.CountMinSketch = {
-    require(sketches.nonEmpty, "no stored CMS sketches")
-    val first = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      new java.io.ByteArrayInputStream(sketches.head))
-    sketches.tail.foldLeft(first) { (acc, bytes) =>
-      acc.mergeInPlace(org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(bytes)))
-    }
+      .limit(10)
   }
 
   /** Percentiles served from INCREMENTALLY-MAINTAINED stored KLL

@@ -61,6 +61,39 @@ class SketchLifecycleSpec extends SparkSpec {
     assert(java.util.Arrays.equals(out.toByteArray, onePass))
   }
 
+  test("distributed cms_merge equals the driver-side fold bit-for-bit") {
+    RelationalQueries.qHeavyHittersStored(spark, Sf).collect() // ensure built
+    val cmsRoot = LakeRoot.root(spark, Sf, "cms_orders_v1")
+    val stored = VersionedTable.readAll(spark, cmsRoot)
+    // The serve plan's aggregate: map-side partial merges across
+    // partitions, final merge on an executor, driver sees bytes only.
+    val distributed = stored
+      .agg(graft.expressions.CmsMergeAgg.mergeCol(spark, col("sk")).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val driverFold = stored.select(col("sk")).collect()
+      .map(r => CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))))
+      .reduce((a, b) => a.mergeInPlace(b))
+    val out = new java.io.ByteArrayOutputStream()
+    driverFold.writeTo(out)
+    // Cell-wise addition is associative/commutative: any partial split
+    // across partitions serializes to the SAME bytes.
+    assert(java.util.Arrays.equals(distributed, out.toByteArray))
+    // And the point-estimate expression reads them back exactly.
+    val probe = stored.sparkSession.read
+      .parquet(s"$Sf/orders.parquet").select(col("o_custkey")).limit(5)
+    val viaExpr = probe.crossJoin(
+        broadcast(stored.agg(
+          graft.expressions.CmsMergeAgg.mergeCol(spark, col("sk")).as("sk"))))
+      .select(col("o_custkey"),
+        graft.expressions.CmsMergeAgg.estimateCol(
+          spark, col("sk"), col("o_custkey")).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    viaExpr.foreach { case (k, est) =>
+      assert(est === driverFold.estimateCount(k))
+    }
+  }
+
   test("stored-bloom decontamination equals the exact one-shot twin and prunes the probe") {
     val exact = queries.TextQueries.decontaminateQ(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
