@@ -1,8 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, AttributeReference, Descending, EqualTo, ExprId, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, Literal, NullsLast, PredicateHelper, Rank, RowNumber, SortOrder, SpecifiedWindowFrame, UnboundedFollowing, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, Attribute, AttributeReference, Descending, EqualTo, ExprId, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, NullsLast, PredicateHelper, Rank, RowNumber, SortOrder, SpecifiedWindowFrame, UnboundedFollowing, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Max, Min}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, Window}
+import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
 
@@ -147,6 +148,136 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
 
+  /** The third everyday argmax spelling: `min(x)/max(x) GROUP BY g`
+    * JOINED BACK to the fact on (g, x) — TPC-H q2/q17's shape:
+    *
+    *   t JOIN (SELECT g, max(x) AS mx FROM t GROUP BY g) m
+    *     ON t.g = m.g AND t.x = m.mx
+    *
+    * is per-group top-1-with-ties by x: the join-back keeps exactly
+    * the rows whose x equals the group extreme, once each (the agg
+    * side is one row per group), and the inner EqualTo's null
+    * semantics — null x never joins, all-null groups produce a null
+    * extreme that never joins — are reproduced by NullsLast ordering
+    * plus an IsNotNull(x) guard, exactly as in the window argmax case.
+    * The rewrite removes the aggregation-side SCAN entirely (the fact
+    * is read once, not twice) along with both shuffles' worth of
+    * aggregate + join.
+    *
+    * Conservative eligibility:
+    *  - Inner join whose non-agg side and the Aggregate's child scan
+    *    the SAME source: both sides stripped of attribute-passthrough
+    *    Projects must be `sameResult` (so a filtered/projected variant
+    *    on either side blocks the rewrite — differing inputs mean the
+    *    join is not a self-argmax); the positional output
+    *    correspondence of the stripped bases maps agg-side attributes
+    *    to their fact-side twins (self-scan dedup re-aliases exprIds,
+    *    so ids can never be compared across sides directly);
+    *  - the Aggregate computes its group keys (plain attributes,
+    *    pass-through or aliased) plus EXACTLY ONE extreme:
+    *    a non-distinct, unfiltered min(x)/max(x) of a plain attribute;
+    *  - the join condition's conjuncts pin EVERY group key
+    *    (fact-side twin = agg-side key, either orientation) and pin
+    *    the extreme (fact-side x twin = extreme alias); remaining
+    *    conjuncts stay behind as a residual Filter with agg-side
+    *    references substituted by their fact-side twins (equal on
+    *    every surviving row, so the substitution is semantics-
+    *    preserving);
+    *  - a trailing Project re-emits every agg-side output under its
+    *    original exprId from fact-side twins, so downstream
+    *    references resolve unchanged and the output schema (fact ++
+    *    agg or agg ++ fact, matching the original side order) is
+    *    preserved. */
+  private def rewriteJoinBack(fact: LogicalPlan, agg: Aggregate,
+                              cond: Expression, aggFirst: Boolean): Option[LogicalPlan] = {
+    @scala.annotation.tailrec
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) => strip(c)
+      case other => other
+    }
+    val factBase = strip(fact)
+    val aggBase = strip(agg.child)
+    if (!factBase.sameResult(aggBase)) return None
+    if (factBase.output.length != aggBase.output.length) return None
+    val toFact: Map[ExprId, Attribute] =
+      aggBase.output.map(_.exprId).zip(factBase.output).toMap
+    // Group keys: plain attributes only.
+    val groupAttrs = agg.groupingExpressions.collect { case a: AttributeReference => a }
+    if (groupAttrs.length != agg.groupingExpressions.length || groupAttrs.isEmpty)
+      return None
+    if (groupAttrs.exists(g => !toFact.contains(g.exprId))) return None
+    // Aggregate outputs: group pass-throughs/aliases + ONE extreme.
+    val (groupOut, extremeOut) = agg.aggregateExpressions.partition {
+      case a: AttributeReference => groupAttrs.exists(_.exprId == a.exprId)
+      case Alias(a: AttributeReference, _) => groupAttrs.exists(_.exprId == a.exprId)
+      case _ => false
+    }
+    extremeOut match {
+      case Seq(extreme @ Alias(AggregateExpression(mm, _, false, None, _), _))
+          if mm.isInstanceOf[Max] || mm.isInstanceOf[Min] =>
+        val isMax = mm.isInstanceOf[Max]
+        val xAgg = (if (isMax) mm.asInstanceOf[Max].child
+          else mm.asInstanceOf[Min].child) match {
+          case a: AttributeReference => a
+          case _ => return None
+        }
+        val xFact = toFact.getOrElse(xAgg.exprId, return None)
+        // Agg OUTPUT attr id -> underlying group key id (pass-through
+        // keeps the key's id; an alias introduces its own).
+        val aggOutToKey: Map[ExprId, ExprId] = groupOut.map {
+          case a: AttributeReference => a.exprId -> a.exprId
+          case al @ Alias(a: AttributeReference, _) => al.exprId -> a.exprId
+        }.toMap
+        val conjuncts = splitConjunctivePredicates(cond)
+        def keyPinOf(c: Expression): Option[ExprId] = c match {
+          case EqualTo(l: AttributeReference, r: AttributeReference) =>
+            def oriented(factSide: AttributeReference, aggSide: AttributeReference) =
+              aggOutToKey.get(aggSide.exprId).filter(kid =>
+                toFact.get(kid).exists(_.exprId == factSide.exprId))
+            oriented(l, r).orElse(oriented(r, l))
+          case _ => None
+        }
+        def isExtremePin(c: Expression): Boolean = c match {
+          case EqualTo(l: AttributeReference, r: AttributeReference) =>
+            (l.exprId == xFact.exprId && r.exprId == extreme.exprId) ||
+              (r.exprId == xFact.exprId && l.exprId == extreme.exprId)
+          case _ => false
+        }
+        val keyPins = conjuncts.flatMap(keyPinOf).toSet
+        val hasExtremePin = conjuncts.exists(isExtremePin)
+        if (!hasExtremePin || !groupAttrs.forall(g => keyPins.contains(g.exprId)))
+          return None
+        val residual = conjuncts.filterNot(c =>
+          keyPinOf(c).isDefined || isExtremePin(c))
+        // Residuals may reference agg-side outputs: substitute their
+        // fact-side twins (equal on every surviving row).
+        val substituted = residual.map(_.transform {
+          case a: AttributeReference if a.exprId == extreme.exprId => xFact
+          case a: AttributeReference if aggOutToKey.contains(a.exprId) =>
+            toFact(aggOutToKey(a.exprId))
+        })
+        val factGroupAttrs = groupAttrs.map(g => toFact(g.exprId))
+        val ord = SortOrder(xFact,
+          if (isMax) Descending else Ascending, NullsLast, Seq.empty)
+        val topk = TopKPerGroup(1, factGroupAttrs, Seq(ord), fact, withTies = true)
+        val guarded = Filter(IsNotNull(xFact), topk)
+        val filtered = substituted.reduceOption(And)
+          .map(Filter(_, guarded)).getOrElse(guarded)
+        val aggSide: Seq[NamedExpression] = agg.aggregateExpressions.map {
+          case al: Alias if al.exprId == extreme.exprId =>
+            Alias(xFact, al.name)(exprId = al.exprId)
+          case a: AttributeReference =>
+            Alias(toFact(a.exprId), a.name)(exprId = a.exprId)
+          case al @ Alias(a: AttributeReference, name) =>
+            Alias(toFact(a.exprId), name)(exprId = al.exprId)
+        }
+        val factSide: Seq[NamedExpression] = fact.output
+        val projList = if (aggFirst) aggSide ++ factSide else factSide ++ aggSide
+        Some(Project(projList, filtered))
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (conf.getConfString("spark.graft.topk.autoRewrite", "false") != "true") plan
     else plan.transformUp {
@@ -155,5 +286,9 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case f @ Filter(cond, Project(projList, w: Window))
           if projList.forall(_.isInstanceOf[AttributeReference]) =>
         rewriteOne(cond, w).map(Project(projList, _)).getOrElse(f)
+      case j @ Join(fact, agg: Aggregate, Inner, Some(cond), _) =>
+        rewriteJoinBack(fact, agg, cond, aggFirst = false).getOrElse(j)
+      case j @ Join(agg: Aggregate, fact, Inner, Some(cond), _) =>
+        rewriteJoinBack(fact, agg, cond, aggFirst = true).getOrElse(j)
     }
 }

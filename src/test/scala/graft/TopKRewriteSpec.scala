@@ -249,6 +249,134 @@ class TopKRewriteSpec extends SparkSpec {
     }
   }
 
+  test("join-back rewrite: min and max variants equal the un-rewritten join, ties kept") {
+    spark.read.parquet(s"$Sf/part.parquet").createOrReplaceTempView("part_jb")
+    for (fn <- Seq("MIN", "MAX")) {
+      val sql = s"""
+        SELECT f.p_brand, f.p_partkey, f.p_size
+        FROM part_jb f
+        JOIN (SELECT p_brand, $fn(p_size) AS ex FROM part_jb GROUP BY p_brand) m
+          ON f.p_brand = m.p_brand AND f.p_size = m.ex
+        ORDER BY f.p_brand, f.p_partkey"""
+      val expect = withRewrite(on = false) {
+        spark.sql(sql).collect().map(_.toSeq).toSeq
+      }
+      withRewrite(on = true) {
+        val df = spark.sql(sql)
+        val opt = df.queryExecution.optimizedPlan
+        assert(opt.exists(_.isInstanceOf[graft.plans.TopKPerGroup]),
+          s"$fn join-back did not rewrite:\n$opt")
+        assert(!opt.exists(p =>
+          p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join] ||
+            p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+          s"$fn rewritten plan still joins/aggregates:\n$opt")
+        val got = df.collect().map(_.toSeq).toSeq
+        assert(got === expect)
+        assert(got.groupBy(_(0)).values.exists(_.size > 1),
+          "no extreme ties — the tie contract is unexercised")
+      }
+    }
+  }
+
+  test("join-back rewrite: residual conjuncts survive; agg-side output references resolve") {
+    // The residual must reference BOTH sides to stay in the join
+    // condition (a fact-only conjunct gets pushed below the join by
+    // the main optimizer batches, turning the fact side into a
+    // FILTERED variant — which correctly blocks the rewrite, because
+    // the extreme would then be computed over filtered rows; the
+    // non-rewrite test covers that). Substitution rewrites m.ex to the
+    // fact-side p_size, equal on every surviving row.
+    spark.read.parquet(s"$Sf/part.parquet").createOrReplaceTempView("part_jb")
+    val sql = """
+      SELECT f.p_partkey, f.p_brand, m.ex
+      FROM part_jb f
+      JOIN (SELECT p_brand, MAX(p_size) AS ex FROM part_jb GROUP BY p_brand) m
+        ON f.p_brand = m.p_brand AND f.p_size = m.ex
+          AND f.p_partkey % 2 = m.ex % 2
+      ORDER BY f.p_partkey"""
+    val expect = withRewrite(on = false) { spark.sql(sql).collect().map(_.toSeq).toSeq }
+    withRewrite(on = true) {
+      val df = spark.sql(sql)
+      val opt = df.queryExecution.optimizedPlan
+      assert(opt.exists(_.isInstanceOf[graft.plans.TopKPerGroup]),
+        s"residual-conjunct join-back did not rewrite:\n$opt")
+      // m.ex is projected — the trailing Project must re-emit it from
+      // the fact side under the original exprId.
+      assert(df.collect().map(_.toSeq).toSeq === expect)
+      assert(expect.nonEmpty)
+    }
+  }
+
+  test("join-back non-rewrite: a fact-only residual means a filtered fact — left alone") {
+    spark.read.parquet(s"$Sf/part.parquet").createOrReplaceTempView("part_jb")
+    withRewrite(on = true) {
+      val opt = spark.sql("""
+        SELECT f.p_partkey FROM part_jb f
+        JOIN (SELECT p_brand, MAX(p_size) AS ex FROM part_jb GROUP BY p_brand) m
+          ON f.p_brand = m.p_brand AND f.p_size = m.ex AND f.p_partkey % 2 = 0
+        """).queryExecution.optimizedPlan
+      // Pushdown moves the conjunct into the fact branch; the sides no
+      // longer scan the same thing, and the extreme must stay computed
+      // over the UNFILTERED side — the rule must decline.
+      assert(!opt.exists(_.isInstanceOf[graft.plans.TopKPerGroup]),
+        s"rewrote a filtered-fact join-back (semantics change!):\n$opt")
+    }
+  }
+
+  test("join-back non-rewrites: unpinned key, differing inputs, avg, outer join") {
+    spark.read.parquet(s"$Sf/part.parquet").createOrReplaceTempView("part_jb")
+    def joins(sql: String): Boolean = withRewrite(on = true) {
+      val opt = spark.sql(sql).queryExecution.optimizedPlan
+      opt.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]) &&
+        !opt.exists(_.isInstanceOf[graft.plans.TopKPerGroup])
+    }
+    // Group key not pinned in the condition: NOT a per-group argmax.
+    assert(joins("""
+      SELECT f.p_partkey FROM part_jb f
+      JOIN (SELECT p_brand, MAX(p_size) AS ex FROM part_jb GROUP BY p_brand) m
+        ON f.p_size = m.ex"""))
+    // Differing inputs (agg over a filtered variant): not a self-argmax.
+    assert(joins("""
+      SELECT f.p_partkey FROM part_jb f
+      JOIN (SELECT p_brand, MAX(p_size) AS ex FROM part_jb
+            WHERE p_size > 10 GROUP BY p_brand) m
+        ON f.p_brand = m.p_brand AND f.p_size = m.ex"""))
+    // AVG is not an extreme a heap can keep.
+    assert(joins("""
+      SELECT f.p_partkey FROM part_jb f
+      JOIN (SELECT p_brand, AVG(p_size) AS ex FROM part_jb GROUP BY p_brand) m
+        ON f.p_brand = m.p_brand AND f.p_size = m.ex"""))
+    // LEFT JOIN keeps non-extreme rows: out of contract.
+    assert(joins("""
+      SELECT f.p_partkey FROM part_jb f
+      LEFT JOIN (SELECT p_brand, MAX(p_size) AS ex FROM part_jb GROUP BY p_brand) m
+        ON f.p_brand = m.p_brand AND f.p_size = m.ex
+      WHERE m.ex IS NOT NULL"""))
+  }
+
+  test("q_minmax_rewrite driver query: native plan, join-equal, real ties, flag restored") {
+    assert(spark.conf.getOption(Flag).isEmpty)
+    val df = queries.RelationalQueries.qMinmaxRewrite(spark, Sf)
+    assert(spark.conf.getOption(Flag).isEmpty)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroup"), s"native operator missing:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashJoin"),
+      s"a join survived:\n$p")
+    val got = df.collect().map(_.toSeq).toSeq
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+    val m = li.groupBy(col("l_partkey").as("mk"))
+      .agg(min(col("l_extendedprice")).as("min_price"))
+    val expect = li.join(m, col("l_partkey") === col("mk") &&
+        col("l_extendedprice") === col("min_price"))
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("price_cents"))
+      .orderBy(col("l_partkey"), col("l_orderkey"), col("l_linenumber"))
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    assert(got === expect)
+  }
+
   test("q_argmax_rewrite driver query: native plan, window-equal, real ties") {
     assert(spark.conf.getOption(Flag).isEmpty)
     val df = queries.RelationalQueries.qArgmaxRewrite(spark, Sf)
