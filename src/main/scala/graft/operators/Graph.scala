@@ -539,4 +539,148 @@ object Graph {
     ed.unpersist()
     dist
   }
+
+  /** Weighted-edge iteration prologue, the [[srcPartitionedDistinctEdges]]
+    * sibling: collapse parallel edges to their MIN weight riding a src
+    * repartition (HashPartitioning(src) satisfies the (src, dst)
+    * clustering, so the aggregate adds no exchange) and persist — only
+    * the cheapest parallel edge can ever lie on a shortest path, so the
+    * collapse is semantics-preserving and shrinks every round's probe. */
+  private def srcPartitionedMinWeightEdges(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"), col("w"))
+      .repartition(col("src"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** COST-BOUNDED weighted shortest paths by synchronous delta
+    * relaxation (Bellman–Ford restricted to last-round-improved
+    * sources) — the weighted sibling of [[bfsDistances]]. Semantics:
+    * for every node reachable from the seed set at total edge weight
+    * <= maxCost, the EXACT minimum path weight (integer weights >= 1;
+    * parallel edges collapse to their min). The cost budget — not a
+    * hop bound — is the contract because it composes with monotone
+    * relaxation: any path of weight <= maxCost has <= maxCost edges
+    * (weights >= 1) and every prefix under the cap, so <= maxCost + 1
+    * relaxation rounds provably reach the fixpoint, the per-candidate
+    * `nd <= maxCost` filter makes round budgets self-limiting, and the
+    * SAME cap bounds the oracle's recursive CTE (the UNION-deduplicated
+    * (node, d) walk space is nodes x maxCost, not the path count).
+    *
+    * Scale shape: identical to BFS — edges hash-partition once and
+    * stay put; each round probes the stationary edges with the
+    * (shrinking) improved set via shuffle-hash, one partial-agg'd min
+    * per relaxation, distances merged by a nodes-sized least-merge
+    * with round r-1's pin released as r lands, early exit the round
+    * improvements drain.
+    *
+    * @param edges   (src, dst, w) with integer w >= 1; repeats collapse
+    *                to min weight here; symmetrize upstream.
+    * @param seeds   one `node` column; deduplicated here.
+    * @param maxCost inclusive total-weight budget.
+    * @return (node, dist) with dist in [0, maxCost]. */
+  def ssspDistances(edges: DataFrame, seeds: DataFrame, maxCost: Long): DataFrame = {
+    val ed = srcPartitionedMinWeightEdges(edges)
+    val dist0 = seeds.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("dist")).pin(true)
+    val out = relaxToFixpoint(ed, dist0, dist0, maxCost)
+    ed.unpersist()
+    out
+  }
+
+  /** EXACT incremental maintenance of [[ssspDistances]] under EDGE
+    * ADDITIONS AND WEIGHT DECREASES — the weighted member of the
+    * stored-state IVM family, sharing [[bfsIncrement]]'s
+    * minimal-improved-node proof with `+ w` in place of `+ 1`: order
+    * improved nodes by new distance; the minimal one, v, has a
+    * new-cheapest-path predecessor p at strictly smaller new distance
+    * (w >= 1), hence p is unimproved and stored-correct — and the edge
+    * (p, v) at its NEW weight cannot have existed in the old graph
+    * (that would bound the old distance by the new one, contradicting
+    * improvement), so (p, v, w) is a DELTA row and seeding relaxes it.
+    * Every other improved node's cheapest path reaches it through a
+    * suffix of improved nodes with <= maxCost further weight (hence
+    * <= maxCost further edges), one relaxation round per edge. Weight
+    * INCREASES and deletions are out of contract (they can lengthen
+    * distances, which monotone relaxation never does) — upstream this
+    * is guaranteed by deriving weights from count-monotone facts.
+    *
+    * @param stored     (node, dist) as [[ssspDistances]] emitted for
+    *                   the OLD graph (same seeds, same maxCost).
+    * @param fullEdges  the NEW graph's full weighted edge list.
+    * @param deltaEdges the (src, dst, w) rows of the new list absent
+    *                   from the old one (new pairs or cheapened
+    *                   weights); stale rows are harmless.
+    * @return (node, dist) — bit-identical to a from-scratch
+    *         [[ssspDistances]] over fullEdges. */
+  def ssspIncrement(stored: DataFrame, fullEdges: DataFrame,
+                    deltaEdges: DataFrame, maxCost: Long): DataFrame = {
+    val ed = srcPartitionedMinWeightEdges(fullEdges)
+    val dEff = deltaEdges.select(col("src"), col("dst"), col("w")).distinct().pin(true)
+    val dist0 = stored.select(col("node"), col("dist")).pin(false)
+    // Seeding: relax every delta edge once from the stored distances.
+    val improved0 = dEff
+      .join(dist0.select(col("node").as("fn"), col("dist").as("fd")).hint("shuffle_hash"),
+        col("src") === col("fn"))
+      .select(col("dst").as("node"), (col("fd") + col("w")).as("nd"))
+      .where(col("nd") <= maxCost)
+      .groupBy(col("node")).agg(min(col("nd")).as("nd"))
+      .join(dist0.withColumnRenamed("dist", "od"), Seq("node"), "left")
+      .where(col("od").isNull || col("nd") < col("od"))
+      .select(col("node"), col("nd").as("dist"))
+      .pin(true)
+    val out = relaxToFixpoint(ed, dist0, improved0, maxCost)
+    val outPin = pinnedRdd(out)
+    (pinnedRdd(dEff) ++ pinnedRdd(improved0))
+      .filterNot(r => outPin.exists(_ eq r))
+      .foreach(_.unpersist(false))
+    ed.unpersist()
+    out
+  }
+
+  /** The shared weighted relaxation loop: merge the improvement set
+    * into the distance table (nodes-sized least-merge), relax the
+    * stationary edges from it, keep only candidates strictly better
+    * than the merged table, repeat. `maxCost + 1` rounds are always
+    * enough (see [[ssspDistances]]); the loop exits the round
+    * improvements drain, releasing every superseded pin as it goes and
+    * transferring only the fixpoint's pin to the caller. `dist0` and
+    * `improved0` may be the SAME pinned table (the from-scratch
+    * seeding) — the epilogue releases by identity, never twice. */
+  private def relaxToFixpoint(ed: DataFrame, dist0: DataFrame,
+                              improved0: DataFrame, maxCost: Long): DataFrame = {
+    var dist = dist0
+    var improved = improved0
+    val seedPins = (pinnedRdd(dist0) ++ pinnedRdd(improved0)).toSeq
+    var distPin: Option[org.apache.spark.rdd.RDD[_]] = None
+    var improvedPin: Option[org.apache.spark.rdd.RDD[_]] = None
+    var rounds = 0L
+    while (rounds <= maxCost && !improved.isEmpty) {
+      rounds += 1
+      val merged = dist
+        .join(improved.withColumnRenamed("dist", "imp"), Seq("node"), "full_outer")
+        .select(col("node"), least(col("dist"), col("imp")).as("dist"))
+        .pin(true)
+      distPin.foreach(_.unpersist(false))
+      distPin = pinnedRdd(merged)
+      dist = merged
+      val nextImproved = ed
+        .join(improved.select(col("node").as("fn"), col("dist").as("fd")).hint("shuffle_hash"),
+          col("src") === col("fn"))
+        .select(col("dst").as("node"), (col("fd") + col("w")).as("nd"))
+        .where(col("nd") <= maxCost)
+        .groupBy(col("node")).agg(min(col("nd")).as("nd"))
+        .join(dist.withColumnRenamed("dist", "od"), Seq("node"), "left")
+        .where(col("od").isNull || col("nd") < col("od"))
+        .select(col("node"), col("nd").as("dist"))
+        .pin(true)
+      improvedPin.foreach(r => if (!seedPins.exists(_ eq r)) r.unpersist(false))
+      improvedPin = pinnedRdd(nextImproved)
+      improved = nextImproved
+    }
+    val outPin = pinnedRdd(dist)
+    (seedPins ++ improvedPin)
+      .filterNot(r => outPin.exists(_ eq r))
+      .foreach(_.unpersist(false))
+    dist
+  }
 }

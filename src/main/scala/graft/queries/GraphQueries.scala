@@ -433,6 +433,16 @@ object GraphQueries {
       .orderBy(col("node"))
   }
 
+  /** The BFS seed set — nation-0 customers in the purchase-graph node
+    * encoding. ONE definition shared by graph_bfs / graph_bfs_inc /
+    * graph_bfs_stream (which share one oracle: a drifting copy would
+    * fail the other two's hash gates for a non-obvious reason); must
+    * stay in lockstep with the seeds CTE in OracleSql.bfsSql. */
+  private def bfsSeeds(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .where(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).as("node"))
+
   /** Hop distance from every purchase-graph node to its nearest
     * nation-0 customer ([[Graph.bfsDistances]], depth <= 6) — the
     * reachability/proximity primitive the graph family still lacked
@@ -453,16 +463,6 @@ object GraphQueries {
     * graph saturates at 2 hops at every gate scale, so the loop
     * exits during round 3 of the permitted 6; the depth cap is the
     * contract, the early exit is the cost). */
-  /** The BFS seed set — nation-0 customers in the purchase-graph node
-    * encoding. ONE definition shared by graph_bfs / graph_bfs_inc /
-    * graph_bfs_stream (which share one oracle: a drifting copy would
-    * fail the other two's hash gates for a non-obvious reason); must
-    * stay in lockstep with the seeds CTE in OracleSql.bfsSql. */
-  private def bfsSeeds(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "customer")
-      .where(col("c_nationkey") === 0)
-      .select((col("c_custkey") * 2).as("node"))
-
   def qGraphBfs(spark: SparkSession, dir: String): DataFrame = {
     val seeds = bfsSeeds(spark, dir)
     Graph.bfsDistances(purchaseEdges(spark, dir), seeds, maxDepth = 6)
@@ -502,6 +502,98 @@ object GraphQueries {
         .join(hist, Seq("src", "dst"), "left_anti")
       Graph.bfsIncrement(VersionedTable.read(spark, root, Some(vHist)),
         purchaseEdges(spark, dir), dEff, maxDepth = 6)
+    })
+    VersionedTable.read(spark, root, Some(vFull))
+      .select(col("node"), col("dist"),
+        (col("node") % 2).cast("int").as("is_supplier"))
+      .orderBy(col("node"))
+  }
+
+  /** Symmetrized WEIGHTED purchase pairs for a subset of orders — the
+    * [[symPairs]] sibling the SSSP family rides. Weight = trade-volume
+    * grade of the (customer, supplier) link: pairs trading >= 3
+    * lineitems cost 1, exactly 2 cost 2, a single lineitem costs 3 —
+    * "heavier-traded links are cheaper routes". Weights are integer,
+    * in [1, 3], and MONOTONE NON-INCREASING under order additions
+    * (multiplicity only grows), which is exactly the contract
+    * [[Graph.ssspIncrement]]'s monotone relaxation needs. One shuffle:
+    * the (pair) aggregation that counts multiplicity (orders broadcast
+    * onto the lineitem scan), symmetrized afterwards. */
+  private def symWeightedPairs(spark: SparkSession, dir: String,
+                               ordersFilter: org.apache.spark.sql.Column): DataFrame = {
+    val raw = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(broadcast(t(spark, dir, "orders").where(ordersFilter)
+        .select(col("o_orderkey"), col("o_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("c"), col("s"),
+        when(col("cnt") >= 3, 1L).when(col("cnt") === 2, 2L).otherwise(3L).as("w"))
+    raw.select(col("c").as("src"), col("s").as("dst"), col("w"))
+      .unionAll(raw.select(col("s").as("src"), col("c").as("dst"), col("w")))
+  }
+
+  /** The full weighted edge list, memoized per (session, dir): both
+    * SSSP variants consume this one table. */
+  private def weightedPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PlanCache.memo(spark, s"graph:purchase-wedges:$dir") {
+      symWeightedPairs(spark, dir, lit(true))
+    }
+
+  /** Cheapest weighted route from the nation-0 customer market to
+    * every purchase-graph node within a total cost budget of 8
+    * ([[Graph.ssspDistances]]) — BFS's weighted sibling, answering
+    * "how cheaply" where BFS answers "how far": with trade volume as
+    * inverse cost, two well-traded intermediaries can beat one thin
+    * direct link, and the emitted distance is the exact minimum over
+    * ALL such routes under the budget. Cost-bounded (not hop-bounded)
+    * because the budget composes with monotone relaxation AND keeps
+    * the oracle's recursive walk space finite: the UNION-deduplicated
+    * (node, d) CTE holds at most nodes x (budget + 1) rows no matter
+    * how many paths exist, so the same cap that bounds the operator's
+    * rounds bounds the oracle's recursion — one contract, hash-exact.
+    *
+    * Scale: [[Graph.ssspDistances]]'s shape — edges partition once,
+    * rounds cost the improvement boundary, early exit on drain. */
+  def qGraphSssp(spark: SparkSession, dir: String): DataFrame =
+    Graph.ssspDistances(weightedPurchaseEdges(spark, dir),
+        bfsSeeds(spark, dir), maxCost = 8)
+      .select(col("node"), col("dist"),
+        (col("node") % 2).cast("int").as("is_supplier"))
+      .orderBy(col("node"))
+
+  /** INCREMENTALLY-MAINTAINED weighted shortest paths — the SSSP
+    * member of the stored-state IVM family, same lifecycle as
+    * [[qGraphBfsInc]]: distances over the HISTORICAL weighted graph
+    * (orders with o_orderkey % 16 != 0) are committed once through
+    * [[graft.sinks.VersionedTable]], and the batch's effective delta —
+    * weighted edge rows of the NEW graph absent from the old one,
+    * which by the weight grade's count-monotonicity are exactly the
+    * NEW pairs plus the CHEAPENED ones — folds in by
+    * [[Graph.ssspIncrement]]'s exact monotone relaxation. The ORACLE
+    * is graph_sssp's from-scratch bounded recursive CTE over the FULL
+    * graph verbatim, so the driver's hash check proves the fold
+    * lossless, including across weight decreases (a cheapened edge is
+    * indistinguishable from an added parallel cheaper edge to the
+    * relaxation). */
+  def qGraphSsspInc(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.VersionedTable
+    val root = graft.sinks.LakeRoot.root(spark, dir, "sssp_dist_v1")
+    val isDelta = col("o_orderkey") % 16 === 0
+    val seeds = bfsSeeds(spark, dir)
+    def ensure(part: String, build: => DataFrame): Long =
+      VersionedTable.ensurePart(spark, root, part)(build)
+    val vHist = ensure("historical",
+      Graph.ssspDistances(symWeightedPairs(spark, dir, !isDelta), seeds, maxCost = 8))
+    val vFull = ensure("batch", {
+      val histW = symWeightedPairs(spark, dir, !isDelta)
+      // Rows of the new weighted list the old graph lacks: new pairs
+      // and pairs whose weight the batch cheapened — only these can
+      // shorten anything.
+      val dEff = weightedPurchaseEdges(spark, dir)
+        .join(histW, Seq("src", "dst", "w"), "left_anti")
+      Graph.ssspIncrement(VersionedTable.read(spark, root, Some(vHist)),
+        weightedPurchaseEdges(spark, dir), dEff, maxCost = 8)
     })
     VersionedTable.read(spark, root, Some(vFull))
       .select(col("node"), col("dist"),

@@ -159,6 +159,29 @@ object OracleSql {
       |SELECT node, CAST(MIN(d) AS BIGINT) AS dist, CAST(node % 2 AS INT) AS is_supplier
       |FROM bfs GROUP BY node ORDER BY node""".stripMargin
 
+  /** Cost-bounded weighted shortest paths over the trade-volume-graded
+    * purchase graph — shared verbatim by graph_sssp (from-scratch) and
+    * graph_sssp_inc (stored-state monotone-relaxation fold): identical
+    * oracle == the fold is provably lossless. The `d + w <= 8` cap
+    * bounds the recursion (weights >= 1, so depth <= 8) and the
+    * UNION-deduplicated (node, d) space (nodes x 9 rows max). */
+  private val ssspSql: String =
+    """WITH RECURSIVE base AS (
+      | SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s, COUNT(*) AS cnt
+      | FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+      |wbase AS (SELECT c, s,
+      | CASE WHEN cnt >= 3 THEN 1 WHEN cnt = 2 THEN 2 ELSE 3 END AS w FROM base),
+      |edges AS (SELECT c AS src, s AS dst, w FROM wbase
+      |          UNION ALL SELECT s, c, w FROM wbase),
+      |seeds AS (SELECT c_custkey * 2 AS node FROM customer WHERE c_nationkey = 0),
+      |sssp(node, d) AS (
+      | SELECT node, 0 FROM seeds
+      | UNION
+      | SELECT e.dst, sssp.d + e.w FROM sssp JOIN edges e ON e.src = sssp.node
+      | WHERE sssp.d + e.w <= 8)
+      |SELECT node, CAST(MIN(d) AS BIGINT) AS dist, CAST(node % 2 AS INT) AS is_supplier
+      |FROM sssp GROUP BY node ORDER BY node""".stripMargin
+
   // Exact integer association rules: co-occurrence, support, and
   // lift in basis points with floor division on both engines. The
   // lift numerator runs wide (Spark DECIMAL(38,0) / DuckDB HUGEINT)
@@ -409,6 +432,19 @@ object OracleSql {
         |SELECT p.p_brand, p.p_partkey, p.p_size
         |FROM part p JOIN m ON p.p_brand = m.p_brand AND p.p_size = m.mx
         |ORDER BY p.p_brand, p.p_partkey""".stripMargin,
+
+    // min-GROUP-BY + join-back: the oracle IS the join-back SQL the
+    // Spark side writes (and the rule removes) — hash equality proves
+    // the scan-once top-1-with-ties rewrite bit-for-bit invisible,
+    // price ties included.
+    "q_minmax_rewrite" ->
+      """WITH m AS (SELECT l_partkey, MIN(l_extendedprice) AS min_price
+        |           FROM lineitem GROUP BY 1)
+        |SELECT f.l_partkey, f.l_orderkey, f.l_linenumber,
+        | CAST(CAST(f.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+        |FROM lineitem f
+        |JOIN m ON f.l_partkey = m.l_partkey AND f.l_extendedprice = m.min_price
+        |ORDER BY f.l_partkey, f.l_orderkey, f.l_linenumber""".stripMargin,
 
     "q_delta_mom" ->
       """WITH m AS (
@@ -1799,6 +1835,8 @@ object OracleSql {
     // from-scratch full-graph walk — one shared definition so the
     // oracles can never drift
     "graph_bfs_inc" -> bfsSql,
+    "graph_sssp" -> ssspSql,
+    "graph_sssp_inc" -> ssspSql,
     "graph_bfs_stream" -> bfsSql,
 
     "graph_pagerank" -> pagerankSql,

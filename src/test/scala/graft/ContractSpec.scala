@@ -36,22 +36,20 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query count matches the SURVEY inventory claim") {
-    // 178 query entries: 173 at the last sync (170 at the end of round
-    // 9 + round 10's media survivor terminals and the rank()-with-ties
-    // rewrite gate) + the stored-sketch lifecycle pair
-    // (q_distinct_hll_inc, q_heavy_hitters_stored), the fuzzy survivor
-    // terminal (text_fuzzy_survivors), the stored-Bloom
-    // decontamination serve (text_decontam_bloom_inc), the streamed
-    // sketch maintenance driver (q_distinct_hll_stream), and the
-    // argmax-keep rewrite gate (q_argmax_rewrite), and the exact
-    // materialized-partials pair (q1_pricing_inc, q_cube_stored);
-    // + round 10 late: bounded multi-source BFS (graph_bfs), its
-    // stored-state IVM fold (graph_bfs_inc) and streamed maintenance
-    // (graph_bfs_stream, on the operator-generic harness), exact
-    // integer market-basket affinity (q_basket_affinity), and its
-    // stored additive-partials serve (q_basket_inc);
-    // update alongside SURVEY §2 when adding a query.
-    assert(SparkEntry.queries.size === 188, s"got ${SparkEntry.queries.size}")
+    // SURVEY §2 is the coverage contract: every driver query entry has
+    // exactly one checked `[q]`/`[q+o]` line there (r11 closed the
+    // last off-by-one — ev_streaming_parity now has its own line), so
+    // the pin is read FROM the document instead of a hand-updated
+    // number that can drift from it.
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val claimed = survey.linesIterator
+      .count(l => l.startsWith("- [x]") &&
+        ("""\[(q|q\+o)\]""".r.findFirstIn(l).isDefined))
+    assert(SparkEntry.queries.size === claimed,
+      s"SparkEntry has ${SparkEntry.queries.size} queries but SURVEY §2 " +
+        s"checks $claimed [q]/[q+o] items — add/remove the §2 line")
+    assert(SparkEntry.queries.size === 191, s"got ${SparkEntry.queries.size}")
   }
 
   test("no-oracle entries are exactly covered by row-bound + schema gates") {

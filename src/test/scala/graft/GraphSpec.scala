@@ -96,6 +96,68 @@ class GraphSpec extends SparkSpec {
     assert(dup(1L) === 0L && dup(2L) === 0L && dup(3L) === 1L)
   }
 
+  test("ssspDistances: cheap multi-hop beats expensive direct, cap, parallel-min, drain") {
+    // 1 -3-> 5 direct, but 1 -1-> 2 -1-> 5 is cheaper; a parallel
+    // (1, 5) edge pair must collapse to its min weight; 10-11 isolated.
+    val und = Seq((1L, 5L, 3L), (1L, 5L, 4L), (1L, 2L, 1L), (2L, 5L, 1L),
+      (5L, 6L, 2L), (10L, 11L, 1L))
+    val edges = und.toDF("src", "dst", "w")
+      .unionAll(und.map { case (a, b, w) => (b, a, w) }.toDF("src", "dst", "w"))
+    val got = Graph.ssspDistances(edges, Seq(1L).toDF("node"), maxCost = 8)
+      .as[(Long, Long)].collect().toMap
+    // 5 via 2 costs 2 (< direct 3 and < parallel 4); 6 rides it at 4.
+    assert(got === Map(1L -> 0L, 2L -> 1L, 5L -> 2L, 6L -> 4L))
+
+    // Cost budget: cap 3 admits 6 at exactly 4? No — 4 > 3, omitted;
+    // 5 at 2 stays. The budget is inclusive.
+    val capped = Graph.ssspDistances(edges, Seq(1L).toDF("node"), maxCost = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(capped === Map(1L -> 0L, 2L -> 1L, 5L -> 2L))
+    val exact = Graph.ssspDistances(edges, Seq(1L).toDF("node"), maxCost = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(exact(6L) === 4L)
+
+    // Multi-source: min over both seeds; a budget-many chain of unit
+    // edges needs every permitted round (the rounds <= maxCost + 1
+    // bound is tight at the all-ones chain).
+    val chain = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (4L, 5L, 1L))
+      .toDF("src", "dst", "w")
+    val far = Graph.ssspDistances(chain, Seq(1L).toDF("node"), maxCost = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(far === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+  }
+
+  test("ssspIncrement equals from-scratch under additions AND weight decreases") {
+    // Old graph: 1 -3-> 5, 5 -3-> 6 (plus symmetric); stored at cap 8.
+    val old = Seq((1L, 5L, 3L), (5L, 6L, 3L))
+    def sym(s: Seq[(Long, Long, Long)]) =
+      s.toDF("src", "dst", "w").unionAll(
+        s.map { case (a, b, w) => (b, a, w) }.toDF("src", "dst", "w"))
+    val seeds = Seq(1L).toDF("node")
+    val stored = Graph.ssspDistances(sym(old), seeds, maxCost = 8)
+    // Delta: NEW pair (1, 2, 1) + (2, 5, 1), and (1, 5) CHEAPENS 3 -> 2
+    // (the count-monotone weight-grade shape). New node 7 hangs off 6.
+    val newEdges = Seq((1L, 5L, 2L), (5L, 6L, 3L), (1L, 2L, 1L),
+      (2L, 5L, 1L), (6L, 7L, 1L))
+    val full = sym(newEdges)
+    val delta = sym(Seq((1L, 5L, 2L), (1L, 2L, 1L), (2L, 5L, 1L), (6L, 7L, 1L)))
+    val folded = Graph.ssspIncrement(stored, full, delta, maxCost = 8)
+      .as[(Long, Long)].collect().toMap
+    val scratch = Graph.ssspDistances(full, seeds, maxCost = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(folded === scratch)
+    // And the fold genuinely shortened things: 5 was 3, now 2 via 2;
+    // 6 rides to 5; 7 appears at 6.
+    assert(folded === Map(1L -> 0L, 2L -> 1L, 5L -> 2L, 6L -> 5L, 7L -> 6L))
+
+    // Empty effective delta: the fold is an exact no-op.
+    val noop = Graph.ssspIncrement(stored, sym(old),
+        sym(Seq.empty[(Long, Long, Long)]), maxCost = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(noop === Graph.ssspDistances(sym(old), seeds, maxCost = 8)
+      .as[(Long, Long)].collect().toMap)
+  }
+
   test("CUSUM window identity equals the literal max(0, s+d) recursion") {
     // The query computes s_i = cum_i - min(0, min_{j<=i} cum_j); the
     // textbook recursion is s_i = max(0, s_{i-1} + d_i). Pin the
