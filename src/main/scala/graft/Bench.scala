@@ -36,7 +36,35 @@ object Bench {
     }
     // If the machine never went quiet, the run proceeds but the artifact
     // says so: a contaminated number must not masquerade as a regression.
-    val contaminated = load1() > quietLoad
+    // ONE reading feeds both the stamp and the verdict (r10's artifact
+    // read load1() twice and the second read raced past the bound, so
+    // contaminated=false shipped next to loadavg_start=1.60).
+    val loadPre = load1()
+    // The pre-wait gate only sees load BEFORE the run; a burst that
+    // starts mid-run would still ship as a quiet number. Raw loadavg is
+    // useless mid-run (our own executors saturate it by design), so a
+    // sampler thread tracks the MAX competing-core estimate across the
+    // whole run: (system cpu - this JVM's cpu) * ncpu, which subtracts
+    // our own work and surfaces only other processes. Stamped into the
+    // artifact and OR'd into the contamination verdict.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val ncpu = Runtime.getRuntime.availableProcessors
+    @volatile var maxCompeting = 0.0
+    @volatile var sampling = true
+    val sampler = new Thread(() => {
+      while (sampling) {
+        val sysLoad = osBean.getCpuLoad
+        val selfLoad = osBean.getProcessCpuLoad
+        if (sysLoad >= 0 && selfLoad >= 0) {
+          val competing = math.max(0.0, (sysLoad - selfLoad) * ncpu)
+          if (competing > maxCompeting) maxCompeting = competing
+        }
+        Thread.sleep(2000)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -101,6 +129,10 @@ object Bench {
       times(name) = ((System.nanoTime() - t0) / 1e9) :: times(name)
     }
     val loadEnd = loadavg()
+    sampling = false
+    // The verdict now covers the WHOLE run: quiet at entry AND no
+    // competing process above the bound at any sampled moment inside it.
+    val contaminated = loadPre > quietLoad || maxCompeting > quietLoad
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -124,7 +156,7 @@ object Bench {
       "\"" + name + "\":[" + f(xs.min) + "," + f(median(xs)) + "," + f(xs.max) + "]"
     }.mkString("{", ",", "}")
     val detailLine =
-      s"""{"metric":"detail","unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","trials":$trials,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"quiet_load_bound":$quietLoad,"quiet_wait_sec":$waitedSec,"retried":${suspects.size},"contaminated":$contaminated}"""
+      s"""{"metric":"detail","unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","trials":$trials,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"loadavg_pre":${f(loadPre)},"max_competing_cores":${f(maxCompeting)},"quiet_load_bound":$quietLoad,"quiet_wait_sec":$waitedSec,"retried":${suspects.size},"contaminated":$contaminated}"""
     // The output-tail capture holds the LAST 2000 characters only, and the
     // build tool's closing status line consumes ~76 of them. A full
     // per-query map (80+ entries, ~24 chars each) can never fit, so the
@@ -147,7 +179,7 @@ object Bench {
     // is reproducible within ~10% where the median sum swung 2-3x with
     // background load); the median sum stays alongside as value_median.
     val line =
-      s"""{"metric":"total","value":${f(totalMin)},"value_median":${f(total)},"unit":"sec","queries":$hq,"n_queries":${results.size},"sf":"$sfDir","trials":$trials,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"quiet_load_bound":$quietLoad,"quiet_wait_sec":$waitedSec,"retried":${suspects.size},"contaminated":$contaminated,"detail":"BENCH_SIDECAR.json"}"""
+      s"""{"metric":"total","value":${f(totalMin)},"value_median":${f(total)},"unit":"sec","queries":$hq,"n_queries":${results.size},"sf":"$sfDir","trials":$trials,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"loadavg_pre":${f(loadPre)},"max_competing_cores":${f(maxCompeting)},"quiet_load_bound":$quietLoad,"quiet_wait_sec":$waitedSec,"retried":${suspects.size},"contaminated":$contaminated,"detail":"BENCH_SIDECAR.json"}"""
     // Sidecar: all three lines, for any consumer that prefers a file to
     // stdout scraping (full per-query medians, spreads, canonical total).
     try java.nio.file.Files.writeString(
