@@ -1005,15 +1005,18 @@ object RelationalQueries {
     * ordered in BOTH 1995 and 1996?" — HLL only unions). Per-priority
     * theta sketches of the two years' customer sets are built with
     * Spark 4.1's NATIVE Datasketches surface (`theta_sketch_agg` at
-    * lgK=15) and combined with its set-operation scalars:
+    * lgK=17) and combined with its set-operation scalars:
     * `theta_sketch_estimate` / `theta_intersection` /
     * `theta_difference`. While each per-(priority, year) customer set
-    * stays under the nominal 2^15 entries — true at every gate SF,
-    * where a whole year has ≤ 15k distinct customers — the sketches
+    * stays under the nominal 2^17 entries — true through the sf1
+    * replica lake, where a per-(priority, year) set is ~40k distinct
+    * customers (lgK=15 broke EXACTLY there: the r11 sf1 gate measured
+    * 0.4% estimation drift, so the size was raised to restore 3x
+    * headroom at the largest gated scale) — the sketches
     * remain in the EXACT regime (theta == 1.0, retained set == the
     * hashed key set, order-independent), so every emitted count is
     * exactly the true distinct count and the driver hash-gates this
-    * query against a DuckDB INTERSECT oracle. Past 2^15 the counts
+    * query against a DuckDB INTERSECT oracle. Past 2^17 the counts
     * degrade gracefully to ~0.6% relative error (the estimation regime
     * is tolerance-spec'd with a deliberately tiny lgK in
     * SketchAggSpec); production sizes lgK to the memory/error trade
@@ -1029,7 +1032,7 @@ object RelationalQueries {
       .where(col("o_orderdate") >= lit(from).cast("date") &&
         col("o_orderdate") < lit(until).cast("date"))
       .groupBy(col("o_orderpriority"))
-      .agg(expr("theta_sketch_agg(o_custkey, 15)").as("sk"))
+      .agg(expr("theta_sketch_agg(o_custkey, 17)").as("sk"))
     val a = skOf("1995-01-01", "1996-01-01").withColumnRenamed("sk", "sk_a")
     val b = skOf("1996-01-01", "1997-01-01").withColumnRenamed("sk", "sk_b")
     a.join(b, Seq("o_orderpriority"))
