@@ -43,24 +43,52 @@ object Bench {
     // The pre-wait gate only sees load BEFORE the run; a burst that
     // starts mid-run would still ship as a quiet number. Raw loadavg is
     // useless mid-run (our own executors saturate it by design), so a
-    // sampler thread tracks the MAX competing-core estimate across the
-    // whole run: (system cpu - this JVM's cpu) * ncpu, which subtracts
-    // our own work and surfaces only other processes. Stamped into the
-    // artifact and OR'd into the contamination verdict.
-    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // sampler thread tracks the competing-core estimate — system busy
+    // minus THIS JVM's busy — across the whole run. Both sides of the
+    // subtraction MUST come from the same clock over the same
+    // interval: the OS-bean getCpuLoad/getProcessCpuLoad pair samples
+    // two independent windows and desyncs at stage boundaries into
+    // multi-core phantom spikes (measured: 3.4 "competing" cores on a
+    // machine idling at 0.01), so the estimate reads /proc/stat and
+    // /proc/self/stat in one pass per tick. Ticks are smoothed with a
+    // 1-minute rolling mean — the same smoothing the 1-min loadavg
+    // bound implies — and the MAX of that mean is stamped into the
+    // artifact and OR'd into the contamination verdict: a sustained
+    // competitor trips it, a 2-second kernel blip cannot.
     val ncpu = Runtime.getRuntime.availableProcessors
+    def readJiffies(): Option[(Long, Long, Long)] =
+      try {
+        val sys = scala.util.Using.resource(
+          scala.io.Source.fromFile("/proc/stat"))(_.getLines().next())
+          .trim.split("\\s+").drop(1).map(_.toLong)
+        val idle = sys(3) + sys(4)
+        val self = scala.util.Using.resource(
+          scala.io.Source.fromFile("/proc/self/stat"))(_.mkString)
+        val after = self.substring(self.lastIndexOf(')') + 2).split(" ")
+        Some((sys.sum - idle, sys.sum, after(11).toLong + after(12).toLong))
+      } catch { case _: Throwable => None }
     @volatile var maxCompeting = 0.0
     @volatile var sampling = true
     val sampler = new Thread(() => {
+      val window = scala.collection.mutable.Queue.empty[Double]
+      var prev = readJiffies()
       while (sampling) {
-        val sysLoad = osBean.getCpuLoad
-        val selfLoad = osBean.getProcessCpuLoad
-        if (sysLoad >= 0 && selfLoad >= 0) {
-          val competing = math.max(0.0, (sysLoad - selfLoad) * ncpu)
-          if (competing > maxCompeting) maxCompeting = competing
-        }
         Thread.sleep(2000)
+        val cur = readJiffies()
+        for ((p, c) <- prev.zip(cur)) {
+          val (pBusy, pTotal, pSelf) = p
+          val (cBusy, cTotal, cSelf) = c
+          val dTotal = (cTotal - pTotal).toDouble
+          if (dTotal > 0) {
+            val sysCores = (cBusy - pBusy) / dTotal * ncpu
+            val selfCores = (cSelf - pSelf) / (dTotal / ncpu)
+            window.enqueue(math.max(0.0, sysCores - selfCores))
+            if (window.size > 30) window.dequeue() // 30 x 2 s = 1 min
+            val mean = window.sum / window.size
+            if (mean > maxCompeting) maxCompeting = mean
+          }
+        }
+        prev = cur
       }
     })
     sampler.setDaemon(true)
