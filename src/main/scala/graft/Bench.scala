@@ -84,8 +84,15 @@ object Bench {
             val selfCores = (cSelf - pSelf) / (dTotal / ncpu)
             window.enqueue(math.max(0.0, sysCores - selfCores))
             if (window.size > 30) window.dequeue() // 30 x 2 s = 1 min
-            val mean = window.sum / window.size
-            if (mean > maxCompeting) maxCompeting = mean
+            // A mean over fewer than 5 ticks is not "1-minute
+            // smoothed" in any sense — a single startup blip would
+            // latch at full value, the exact false positive the
+            // window exists to prevent. 10 s of sustained competition
+            // is the minimum signal worth stamping.
+            if (window.size >= 5) {
+              val mean = window.sum / window.size
+              if (mean > maxCompeting) maxCompeting = mean
+            }
           }
         }
         prev = cur

@@ -66,34 +66,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot_i8"),
       info("vec_dot_i8", "vec_dot_i8(a, b) - integer dot product of two array<tinyint>"),
       { exprs: Seq[Expression] => VecDotI8(exprs(0), exprs(1)) }))
+    // The r11 functions resolve through the SAME builder their
+    // companion register() path uses — one definition per function, so
+    // extension-configured and register()-configured sessions can
+    // never drift apart on argument handling.
     ext.injectFunction((
       new FunctionIdentifier("lev_within"),
       info("lev_within", "lev_within(a, b, k) - thresholded levenshtein: distance when <= k, -1 over"),
-      { exprs: Seq[Expression] =>
-        val k = exprs(2) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => other.eval().asInstanceOf[Int]
-        }
-        graft.expressions.LevWithin(exprs(0), exprs(1), k)
-      }))
+      graft.expressions.LevWithin.build _))
     ext.injectFunction((
       new FunctionIdentifier("charbag64"),
-      info("charbag64", "charbag64(s) - packed 16x4-bit character-class histogram of a string"),
-      { exprs: Seq[Expression] => graft.expressions.CharBag64(exprs.head) }))
+      info("charbag64", "charbag64(s) - packed 16x4-bit code-point-class histogram of a string"),
+      graft.expressions.CharBag64.buildBag _))
     ext.injectFunction((
       new FunctionIdentifier("bag_dist_lb"),
       info("bag_dist_lb", "bag_dist_lb(a, b) - edit-distance lower bound from two packed char bags"),
-      { exprs: Seq[Expression] =>
-        graft.expressions.BagDistLb(exprs(0), exprs(1)) }))
+      graft.expressions.CharBag64.buildLb _))
     ext.injectFunction((
       new FunctionIdentifier("cms_merge"),
       info("cms_merge", "cms_merge(sk) - distributed merge of serialized count-min sketches"),
-      { exprs: Seq[Expression] =>
-        graft.expressions.CmsMergeAgg(exprs.head).toAggregateExpression() }))
+      graft.expressions.CmsMergeAgg.buildMerge _))
     ext.injectFunction((
       new FunctionIdentifier("cms_estimate"),
       info("cms_estimate", "cms_estimate(sk, key) - CMS point count estimate for a bigint key"),
-      { exprs: Seq[Expression] =>
-        graft.expressions.CmsEstimate(exprs(0), exprs(1)) }))
+      graft.expressions.CmsMergeAgg.buildEstimate _))
   }
 }

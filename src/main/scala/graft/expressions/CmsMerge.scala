@@ -85,20 +85,22 @@ object CmsMergeAgg {
 
   @volatile private var registered = Set.empty[SparkSession]
 
+  /** Shared builders for both registration paths (extension inject and
+    * registry register) — one definition, no drift. */
+  def buildMerge(exprs: Seq[Expression]): Expression =
+    CmsMergeAgg(exprs.head).toAggregateExpression()
+  def buildEstimate(exprs: Seq[Expression]): Expression =
+    CmsEstimate(exprs(0), exprs(1))
+
   /** Register `cms_merge`/`cms_estimate` in the session registry
     * (idempotent) — registry-based exposure keeps us off Spark 4's
     * private Column internals, same pattern as [[FloatVecDot]]. */
   def register(spark: SparkSession): Unit = synchronized {
     if (!registered.contains(spark)) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "cms_merge",
-        { exprs: Seq[Expression] =>
-          CmsMergeAgg(exprs.head).toAggregateExpression() },
-        "built-in")
+        "cms_merge", buildMerge _, "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "cms_estimate",
-        { exprs: Seq[Expression] => CmsEstimate(exprs(0), exprs(1)) },
-        "built-in")
+        "cms_estimate", buildEstimate _, "built-in")
       registered += spark
     }
   }

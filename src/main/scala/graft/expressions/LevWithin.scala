@@ -123,17 +123,27 @@ case class LevWithin(left: Expression, right: Expression, k: Int)
 object LevWithin {
   @volatile private var registered = Set.empty[org.apache.spark.sql.SparkSession]
 
+  /** The ONE expression builder both registration paths share
+    * (session-extension inject and registry register): a drift between
+    * them would make the same SQL text resolve differently per
+    * session-construction path. Accepts Int and Long literal
+    * thresholds (SQL integer literals arrive as either). */
+  def build(exprs: Seq[Expression]): Expression = {
+    val k = exprs(2) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+      case other => other.eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+      }
+    }
+    LevWithin(exprs(0), exprs(1), k)
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
     if (!registered.contains(spark)) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "lev_within",
-        { exprs: Seq[Expression] =>
-          val k = exprs(2) match {
-            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-            case other => other.eval().asInstanceOf[Int]
-          }
-          LevWithin(exprs(0), exprs(1), k)
-        }, "built-in")
+        "lev_within", build _, "built-in")
       registered += spark
     }
   }

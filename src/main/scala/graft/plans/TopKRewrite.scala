@@ -260,7 +260,16 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
         val ord = SortOrder(xFact,
           if (isMax) Descending else Ascending, NullsLast, Seq.empty)
         val topk = TopKPerGroup(1, factGroupAttrs, Seq(ord), fact, withTies = true)
-        val guarded = Filter(IsNotNull(xFact), topk)
+        // The inner join's key equality drops NULL-group rows (NULL = g
+        // is never true), but TopKPerGroup groups NULL like any value —
+        // guard EVERY group key alongside the extreme, or the rewrite
+        // would emit a NULL group's top rows the original plan excludes
+        // (visible when constraint propagation is off and no inferred
+        // IsNotNull filter protects the fact side).
+        val guarded = Filter(
+          factGroupAttrs.map(IsNotNull(_): Expression)
+            .foldLeft(IsNotNull(xFact): Expression)(And),
+          topk)
         val filtered = substituted.reduceOption(And)
           .map(Filter(_, guarded)).getOrElse(guarded)
         val aggSide: Seq[NamedExpression] = agg.aggregateExpressions.map {

@@ -312,12 +312,25 @@ object RelationalQueries {
     * fired (native node present, no logical Window survives), and
     * return the rewritten plan's rows. Shared by the row_number() and
     * rank() rewrite gate queries. */
-  private def withTopKRewrite(spark: SparkSession)(df: => DataFrame): DataFrame = {
+  private def withTopKRewrite(spark: SparkSession)(df: => DataFrame): DataFrame =
+    withRewriteFlag(spark) { optimized =>
+      require(!optimized.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Window]),
+        s"rewritten plan still contains a Window:\n$optimized")
+    }(df)
+
+  /** The shared flag dance for every rewrite gate query: register the
+    * strategy + rule (inert while the flag is off, idempotent under
+    * both the extension and code-side paths), flip the opt-in flag for
+    * the duration of ONE optimization, require the native node fired,
+    * run the shape-specific assertion, and hand back the rewritten
+    * plan as a DataFrame so the gate's write path executes it
+    * regardless of later conf state. One definition — the save/set/
+    * restore protocol cannot drift between gate queries. */
+  private def withRewriteFlag(spark: SparkSession)(
+      assertShape: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan => Unit)(
+      df: => DataFrame): DataFrame = {
     graft.plans.TopKPerGroupStrategy.ensureRegistered(spark)
-    // Sessions built with spark.sql.extensions=graft.GraftExtensions
-    // already carry the rule; register it for any other session too
-    // (inert while the flag is off, and idempotent under both paths —
-    // a second application finds no Window to rewrite).
     if (!spark.experimental.extraOptimizations.contains(graft.plans.TopKRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.TopKRewrite
@@ -329,9 +342,7 @@ object RelationalQueries {
       val optimized = df.queryExecution.optimizedPlan
       require(optimized.exists(_.isInstanceOf[graft.plans.TopKPerGroup]),
         s"TopKRewrite did not fire:\n$optimized")
-      require(!optimized.exists(
-        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Window]),
-        s"rewritten plan still contains a Window:\n$optimized")
+      assertShape(optimized)
       org.apache.spark.sql.graftbridge.GraftSqlBridge.ofRows(spark, optimized)
     } finally prev match {
       case Some(v) => spark.conf.set(flag, v)
@@ -419,31 +430,17 @@ object RelationalQueries {
         ORDER BY f.l_partkey, f.l_orderkey, f.l_linenumber""")
     }
 
-  /** [[withTopKRewrite]]'s join-back sibling: same flag dance, but the
-    * fired-rule evidence is the JOIN and AGGREGATE disappearing (the
-    * window helpers assert no Window; this shape never had one). */
-  private def withJoinBackRewrite(spark: SparkSession)(df: => DataFrame): DataFrame = {
-    graft.plans.TopKPerGroupStrategy.ensureRegistered(spark)
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.TopKRewrite))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.TopKRewrite
-    val flag = "spark.graft.topk.autoRewrite"
-    val prev = spark.conf.getOption(flag)
-    spark.conf.set(flag, "true")
-    try {
-      val optimized = df.queryExecution.optimizedPlan
-      require(optimized.exists(_.isInstanceOf[graft.plans.TopKPerGroup]),
-        s"join-back rewrite did not fire:\n$optimized")
+  /** [[withTopKRewrite]]'s join-back sibling: same shared flag dance,
+    * but the fired-rule evidence is the JOIN and AGGREGATE
+    * disappearing (the window helper asserts no Window; this shape
+    * never had one). */
+  private def withJoinBackRewrite(spark: SparkSession)(df: => DataFrame): DataFrame =
+    withRewriteFlag(spark) { optimized =>
       require(!optimized.exists(p =>
         p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join] ||
           p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
         s"rewritten plan still joins or aggregates:\n$optimized")
-      org.apache.spark.sql.graftbridge.GraftSqlBridge.ofRows(spark, optimized)
-    } finally prev match {
-      case Some(v) => spark.conf.set(flag, v)
-      case None => spark.conf.unset(flag)
-    }
-  }
+    }(df)
 
   /** Month-over-month delta of order totals per priority (the reference's
     * rating-progress-over-periods analog). */
@@ -945,7 +942,14 @@ object RelationalQueries {
         .select(col("month"), col("o_custkey"), col("n_orders"))
     }
     import graft.expressions.CmsMergeAgg
+    // An EMPTY stored sketch table (failed/partial build) must fail
+    // loudly, not serve 10 candidates with NULL estimates — the guard
+    // the old driver-side merge's require() provided. Folded into the
+    // sk projection itself so column pruning can never drop it.
     val merged = cmsRows.agg(CmsMergeAgg.mergeCol(spark, col("sk")).as("sk"))
+      .select(when(col("sk").isNull,
+          raise_error(lit("q_heavy_hitters_stored: no stored CMS sketches")))
+        .otherwise(col("sk")).as("sk"))
     candRows.select(col("o_custkey")).distinct()
       .crossJoin(broadcast(merged))
       .select(col("o_custkey").as("custkey"),

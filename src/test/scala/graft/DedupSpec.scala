@@ -72,7 +72,14 @@ class DedupSpec extends SparkSpec {
     import graft.expressions.CharBagOps
     import org.apache.spark.unsafe.types.UTF8String
     val rnd = new scala.util.Random(7)
-    val alphabets = Seq("ab", "abcdefgh", "abcdefghijklmnopqrstuvwxyz0123456789 ")
+    // Non-ASCII alphabets are the load-bearing cases: the bag counts
+    // CODE POINTS (continuation bytes skipped) because a byte-count
+    // bag OVERSTATES the bound on multibyte text — one 'à'→'ј'
+    // substitution moves two byte-occurrences per side, and a
+    // byte-based "lower bound" of 2k would kill pairs at true
+    // code-point distance k that the oracle keeps.
+    val alphabets = Seq("ab", "abcdefgh", "abcdefghijklmnopqrstuvwxyz0123456789 ",
+      "àáâãäåјћ", "日本語テキスト漢字", "aàbј語 ")
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
         if (i == 0) j else if (j == 0) i else 0
@@ -94,7 +101,7 @@ class DedupSpec extends SparkSpec {
       assert(lb <= d, s"bag bound $lb exceeds edit distance $d for '$x' vs '$y'")
       checked += 1
     }
-    assert(checked === 1200)
+    assert(checked === 2400)
   }
 
   test("incremental minhash against stored band signatures matches the batch run") {

@@ -307,6 +307,40 @@ class TopKRewriteSpec extends SparkSpec {
     }
   }
 
+  test("join-back rewrite guards NULL group keys like the inner join it replaces") {
+    // The inner join's g-equality silently drops NULL-group rows; the
+    // native operator groups NULL like a value — the rewrite must add
+    // the IsNotNull guard itself. Constraint propagation is turned OFF
+    // so no inferred filter hides a missing guard.
+    import spark.implicits._
+    Seq((Some("a"), 1), (Some("a"), 2), (None: Option[String], 9),
+        (None: Option[String], 7), (Some("b"), 5))
+      .toDF("g", "x").createOrReplaceTempView("nullable_jb")
+    val sql = """
+      SELECT f.g, f.x FROM nullable_jb f
+      JOIN (SELECT g, MAX(x) AS mx FROM nullable_jb GROUP BY g) m
+        ON f.g = m.g AND f.x = m.mx
+      ORDER BY f.g, f.x"""
+    val cpFlag = "spark.sql.constraintPropagation.enabled"
+    val prevCp = spark.conf.getOption(cpFlag)
+    spark.conf.set(cpFlag, "false")
+    try {
+      val expect = withRewrite(on = false) { spark.sql(sql).collect().map(_.toSeq).toSeq }
+      withRewrite(on = true) {
+        val df = spark.sql(sql)
+        val opt = df.queryExecution.optimizedPlan
+        assert(opt.exists(_.isInstanceOf[graft.plans.TopKPerGroup]),
+          s"nullable-key join-back did not rewrite:\n$opt")
+        val got = df.collect().map(_.toSeq).toSeq
+        // The NULL group's max row (x=9) must NOT appear.
+        assert(got === expect, s"NULL-group rows leaked:\ngot $got\nwant $expect")
+      }
+    } finally prevCp match {
+      case Some(v) => spark.conf.set(cpFlag, v)
+      case None => spark.conf.unset(cpFlag)
+    }
+  }
+
   test("join-back non-rewrite: a fact-only residual means a filtered fact — left alone") {
     spark.read.parquet(s"$Sf/part.parquet").createOrReplaceTempView("part_jb")
     withRewrite(on = true) {
