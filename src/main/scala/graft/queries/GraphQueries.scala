@@ -256,8 +256,73 @@ object GraphQueries {
     * from the FIRST batch's edges; `foldState(prev, fullEdges, dEff)`
     * folds a later batch's delta into the previous state given the
     * full stored edge set. Returns the newest committed state. */
+  /** SET-SEMANTICS wrapper over [[streamedFoldState]] — the form
+    * PageRank and BFS ride: the edge root stores DISTINCT symmetrized
+    * purchase pairs, a batch's landed delta is its genuinely-new edges
+    * (Bloom-pruned anti-join against the stored set, so the build side
+    * is ~batch-sized), and the fold sees the full edge set as
+    * prior ∪ delta (disjoint by construction — identical rows to the
+    * old readAll). */
   private def streamedGraphState(spark: SparkSession, dir: String, rootName: String)(
       buildState: DataFrame => DataFrame)(
+      foldState: (DataFrame, DataFrame, DataFrame) => DataFrame): DataFrame = {
+    def edgesOf(s: SparkSession, orders: DataFrame): DataFrame = {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val raw = li.join(broadcast(orders.select(col("o_orderkey"), col("o_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      raw.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(raw.select(col("s").as("src"), col("c").as("dst")))
+        .distinct()
+    }
+    streamedFoldState(spark, dir, rootName)(
+      landDelta = (s, batch, prior) => prior match {
+        case None => edgesOf(s, batch)
+        case Some(p) =>
+          // Pinned: feeds the Bloom build AND the anti-join.
+          val batchE = edgesOf(s, batch).localCheckpoint(false)
+          // Pre-prune the stored-edge build side to ~batch size:
+          // xxhash64(src, dst) is a sound Bloom key for the
+          // (src, dst) pair (equal pairs hash equal — no false
+          // negatives; hash/Bloom false positives only ADD
+          // build rows, which the exact anti-join then ignores).
+          val bloom = graft.operators.Bloom.buildBitset(
+            batchE.select(xxhash64(col("src"), col("dst")).as("k")), "k")
+          val pruned = p.where(graft.operators.Bloom.mightContain(
+            xxhash64(col("src"), col("dst")), bloom))
+          batchE.join(pruned, Seq("src", "dst"), "left_anti")
+      },
+      buildState = buildState,
+      foldState = (prev, prior, dEff) => foldState(prev, prior.unionAll(dEff), dEff))
+  }
+
+  /** The operator-GENERIC streamed-fold harness: one dual-root
+    * `_batch_id` ledger implementation serving every stored-state
+    * iterative operator (PageRank, BFS, and r11's weighted SSSP). The
+    * variation points are three closures; the ledger, crash recovery,
+    * retention folding, and serve-time version selection never fork:
+    *
+    *  - `landDelta(session, batchOrders, priorRowsIfAny)` derives the
+    *    rows this batch lands in the fact root (set deltas for the
+    *    unweighted graphs; per-batch additive pair counts for SSSP —
+    *    what "delta" means is the OPERATOR's business);
+    *  - `buildState(firstDelta)` builds the first state version;
+    *  - `foldState(prevState, priorRows, landedDelta)` folds one
+    *    batch's landed rows into the stored state, seeing the fact
+    *    root's history split exactly at this batch (prior strictly
+    *    excludes it, on the recovery path too — versions other than
+    *    the batch's own are re-read individually).
+    *
+    * Per-batch cost ∝ the batch at any history length: the commit
+    * point is the STATE marker, a crash replay re-reads its
+    * already-landed delta version by marker VALUE, and the fact root
+    * is history-folded past `spark.graft.stream.edgesFoldBudget`
+    * versions ([[VersionedTable.foldHistory]] preserves rows verbatim,
+    * so additive count facts survive compaction as soundly as set
+    * rows). */
+  private def streamedFoldState(spark: SparkSession, dir: String, rootName: String)(
+      landDelta: (SparkSession, DataFrame, Option[DataFrame]) => DataFrame,
+      buildState: DataFrame => DataFrame,
       foldState: (DataFrame, DataFrame, DataFrame) => DataFrame): DataFrame = {
     import graft.sinks.{LakeRoot, VersionedTable}
     val base = LakeRoot.root(spark, dir, rootName)
@@ -273,15 +338,6 @@ object GraphQueries {
     val stateRoot = LakeRoot.child(base, "state")
     val foldBudget = spark.conf.getOption("spark.graft.stream.edgesFoldBudget")
       .map(_.toInt).getOrElse(4)
-    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-    def edgesOf(orders: DataFrame): DataFrame = {
-      val raw = li.join(broadcast(orders.select(col("o_orderkey"), col("o_custkey"))),
-          col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
-      raw.select(col("c").as("src"), col("s").as("dst"))
-        .unionAll(raw.select(col("s").as("src"), col("c").as("dst")))
-        .distinct()
-    }
     val schema = spark.read.parquet(src).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
@@ -291,42 +347,33 @@ object GraphQueries {
         // Commit point = the STATE marker: skip fully-landed batches.
         if (VersionedTable.maxMarker(s, stateRoot, "batch_id").forall(_ < batchId)) {
           val marker = s"_batch_id_$batchId"
-          // Effective delta: edges this batch adds that no earlier
-          // batch (or an earlier crashed attempt of THIS batch) has.
-          val dEff = VersionedTable
+          // The batch's landed delta plus the fact history STRICTLY
+          // BEFORE it — on the recovery path (delta version already
+          // landed, state marker missing) prior is rebuilt from every
+          // OTHER version, so the fold's split point is identical on
+          // both paths.
+          val (dEff, prior) = VersionedTable
             .versionsWithMarkerValue(s, edgesRoot, "batch_id", batchId)
             .headOption match {
-            case Some(v) => VersionedTable.read(s, edgesRoot, Some(v))
+            case Some(v) =>
+              val others = VersionedTable.versions(s, edgesRoot).filterNot(_ == v)
+              val p = if (others.isEmpty) None
+                else Some(others.map(ov => VersionedTable.read(s, edgesRoot, Some(ov)))
+                  .reduce(_ unionAll _))
+              (VersionedTable.read(s, edgesRoot, Some(v)), p)
             case None =>
-              val d =
-                if (VersionedTable.versions(s, edgesRoot).isEmpty)
-                  edgesOf(batch).localCheckpoint(false)
-                else {
-                  // Pinned: feeds the Bloom build AND the anti-join.
-                  val batchE = edgesOf(batch).localCheckpoint(false)
-                  // Pre-prune the stored-edge build side to ~batch size:
-                  // xxhash64(src, dst) is a sound Bloom key for the
-                  // (src, dst) pair (equal pairs hash equal — no false
-                  // negatives; hash/Bloom false positives only ADD
-                  // build rows, which the exact anti-join then ignores).
-                  val bloom = graft.operators.Bloom.buildBitset(
-                    batchE.select(xxhash64(col("src"), col("dst")).as("k")), "k")
-                  val prior = VersionedTable.readAll(s, edgesRoot).where(
-                    graft.operators.Bloom.mightContain(
-                      xxhash64(col("src"), col("dst")), bloom))
-                  batchE.join(prior, Seq("src", "dst"), "left_anti")
-                    .localCheckpoint(false)
-                }
+              val p = if (VersionedTable.versions(s, edgesRoot).isEmpty) None
+                else Some(VersionedTable.readAll(s, edgesRoot))
+              val d = landDelta(s, batch, p).localCheckpoint(false)
               VersionedTable.commit(d, edgesRoot, markers = Seq(marker))
-              d
+              (d, p)
           }
           val prevState = VersionedTable.versionsWithMarker(s, stateRoot, "batch_id")
             .lastOption.map(v => VersionedTable.read(s, stateRoot, Some(v)))
           val state = (prevState, dEff.isEmpty) match {
             case (None, _) => buildState(dEff)
             case (Some(p), true) => p // nothing new: re-land unchanged
-            case (Some(p), false) =>
-              foldState(p, VersionedTable.readAll(s, edgesRoot), dEff)
+            case (Some(p), false) => foldState(p, prior.get, dEff)
           }
           VersionedTable.commit(state, stateRoot, markers = Seq(marker))
           // Retention, strictly after the commit point: bound the edge
@@ -576,6 +623,54 @@ object GraphQueries {
     * lossless, including across weight decreases (a cheapened edge is
     * indistinguishable from an added parallel cheaper edge to the
     * relaxation). */
+  /** STREAMED maintenance of the weighted shortest-path state — the
+    * SSSP member of the streamed-fold family, and the harness's first
+    * NON-SET operator: the fact root stores per-batch ADDITIVE pair
+    * counts (src, dst, cnt), because the thing a batch changes is not
+    * "which edges exist" but "how often each pair has traded" — and
+    * therefore the weight grade. Per micro-batch the fold re-grades:
+    * prior weights from the pre-batch cumulative counts, full weights
+    * from prior + batch, and the effective weighted delta is the rows
+    * that DIFFER (new pairs + cheapened grades — count-monotonicity
+    * guarantees grades only drop, exactly [[Graph.ssspIncrement]]'s
+    * contract). Rides graph_sssp's recursive-CTE oracle VERBATIM, so
+    * the driver hash proves the whole streamed lifecycle — ledger,
+    * count folding, re-grading, monotone relaxation — lossless.
+    * Per-batch cost ∝ the batch's pair census + the improvement's
+    * blast radius; the count root compacts past the fold budget
+    * (additive rows survive compaction verbatim). */
+  def qGraphSsspStream(spark: SparkSession, dir: String): DataFrame = {
+    val seeds = bfsSeeds(spark, dir)
+    def gradeOf(facts: DataFrame): DataFrame =
+      facts.groupBy(col("src"), col("dst")).agg(sum(col("cnt")).as("cnt"))
+        .select(col("src"), col("dst"),
+          when(col("cnt") >= 3, 1L).when(col("cnt") === 2, 2L).otherwise(3L).as("w"))
+    def factsOf(s: SparkSession, orders: DataFrame): DataFrame = {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val raw = li.join(broadcast(orders.select(col("o_orderkey"), col("o_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+        .agg(count(lit(1)).as("cnt"))
+      raw.select(col("c").as("src"), col("s").as("dst"), col("cnt"))
+        .unionAll(raw.select(col("s").as("src"), col("c").as("dst"), col("cnt")))
+    }
+    streamedFoldState(spark, dir, "sssp_stream_v1")(
+      // Counts are additive facts: a batch's rows land as-is (the
+      // ledger, not an anti-join, is what makes replays idempotent).
+      landDelta = (s, batch, _) => factsOf(s, batch),
+      buildState = firstFacts =>
+        Graph.ssspDistances(gradeOf(firstFacts), seeds, maxCost = 8),
+      foldState = (prev, priorFacts, batchFacts) => {
+        val priorW = gradeOf(priorFacts)
+        val fullW = gradeOf(priorFacts.unionAll(batchFacts))
+        val dW = fullW.join(priorW, Seq("src", "dst", "w"), "left_anti")
+        Graph.ssspIncrement(prev, fullW, dW, maxCost = 8)
+      })
+      .select(col("node"), col("dist"),
+        (col("node") % 2).cast("int").as("is_supplier"))
+      .orderBy(col("node"))
+  }
+
   def qGraphSsspInc(spark: SparkSession, dir: String): DataFrame = {
     import graft.sinks.VersionedTable
     val root = graft.sinks.LakeRoot.root(spark, dir, "sssp_dist_v1")

@@ -1837,6 +1837,7 @@ object OracleSql {
     "graph_bfs_inc" -> bfsSql,
     "graph_sssp" -> ssspSql,
     "graph_sssp_inc" -> ssspSql,
+    "graph_sssp_stream" -> ssspSql,
     "graph_bfs_stream" -> bfsSql,
 
     "graph_pagerank" -> pagerankSql,
