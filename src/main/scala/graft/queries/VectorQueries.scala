@@ -33,10 +33,12 @@ object VectorQueries {
   }
 
   /** LSH-bucketed approximate top-10 (same query set; recall vs
-    * brute-force measured in the test suite). */
+    * brute-force measured in the test suite). The grid adapts to the
+    * corpus count (see [[Similarity.lshTopK]]), so candidate work per
+    * query stays bounded as the lake grows. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val all = emb(spark, dir)
-    Similarity.lshTopK(all.where(col("vec_id") % 100 === 0), all, k = 10, nPlanes = 8)
+    Similarity.lshTopK(all.where(col("vec_id") % 100 === 0), all, k = 10)
       .select(col("q_id"), col("rnk"), col("n_id"), col("n_label"), col("cos_micro"))
       .orderBy(col("q_id"), col("rnk"))
   }
@@ -464,8 +466,10 @@ object VectorQueries {
       .limit(20)
   }
 
-  /** LSH-bucketed embedding near-dup pairs (scale path for
-    * dedup_embedding): top-20 bucket-cojoined pairs by cosine. */
+  /** LSH-banded embedding near-dup pairs (scale path for
+    * dedup_embedding): top-20 pigeonhole-blocked pairs by cosine, band
+    * width adapted to the corpus count (see
+    * [[Similarity.lshNearDupPairs]]). */
   def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshNearDupPairs(emb(spark, dir))
       .orderBy(col("cos_micro").desc, col("id1"), col("id2"))

@@ -34,7 +34,7 @@ class SimilaritySpec extends SparkSpec {
     // With full avalanche, 500 near-uniform vectors spread over most of
     // the 256 keys with small maximum occupancy.
     val occ = emb.withColumn("b",
-        VectorFunctions.lshBucket(spark, col("embedding"), 8, 64))
+        VectorFunctions.lshBucket(spark, col("embedding"), 8))
       .groupBy("b").count().select("count").as[Long].collect()
     assert(occ.length >= 128, s"distinct buckets=${occ.length}")
     assert(occ.max <= 20, s"max bucket=${occ.max}")
