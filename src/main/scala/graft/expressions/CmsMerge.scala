@@ -123,16 +123,42 @@ object CmsMergeAgg {
   * task-local and thread-confined): the common shape — a single merged
   * sketch broadcast against a bounded candidate list — deserializes
   * once per task and answers each row with `estimateCount` only. The
-  * equality probe costs a memcmp of the sketch bytes per row, which is
-  * an order cheaper than re-parsing the counter table. Not codegen'd:
-  * it runs on candidate lists (bounded by calendar × k), never on fact
-  * scans.
+  * memo key is (length, 64-bit fingerprint of 16 stride-sampled 8-byte
+  * windows): each row hands a FRESH copy of the bytes out of its
+  * UnsafeRow, so a reference check never hits and a full memcmp would
+  * re-read the whole MB-scale counter table per row — the fingerprint
+  * reads 128 bytes instead. Two sketches colliding on length AND all
+  * 16 mixed windows is a ~2^-64 event on non-adversarial data, and a
+  * false hit only ever substitutes another month's sketch of the same
+  * shape (the candidate list is calendar x k). Not codegen'd: it runs
+  * on candidate lists, never on fact scans.
   */
 case class CmsEstimate(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
 
-  @transient private var cachedBytes: Array[Byte] = _
+  @transient private var cachedLen: Int = -1
+  @transient private var cachedFp: Long = 0L
   @transient private var cachedSketch: CountMinSketch = _
+
+  /** 64-bit mix of 16 8-byte windows at even strides across the array
+    * (covering head and tail) — reads 128 bytes regardless of sketch
+    * size. */
+  private def fingerprint(b: Array[Byte]): Long = {
+    val n = b.length
+    var h = n.toLong * 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 16) {
+      val off = if (n <= 8) 0 else (i.toLong * (n - 8) / 15).toInt
+      var w = 0L
+      var j = 0
+      while (j < 8 && off + j < n) { w = (w << 8) | (b(off + j) & 0xffL); j += 1 }
+      h ^= w
+      h *= 0xff51afd7ed558ccdL
+      h ^= h >>> 33
+      i += 1
+    }
+    h
+  }
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -143,9 +169,11 @@ case class CmsEstimate(left: Expression, right: Expression)
 
   override protected def nullSafeEval(sk: Any, key: Any): Any = {
     val bytes = sk.asInstanceOf[Array[Byte]]
-    if (!(bytes eq cachedBytes) && !java.util.Arrays.equals(bytes, cachedBytes)) {
+    val fp = fingerprint(bytes)
+    if (cachedSketch == null || bytes.length != cachedLen || fp != cachedFp) {
       cachedSketch = CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
-      cachedBytes = bytes
+      cachedLen = bytes.length
+      cachedFp = fp
     }
     cachedSketch.estimateCount(key.asInstanceOf[Long])
   }

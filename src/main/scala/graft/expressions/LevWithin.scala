@@ -135,6 +135,15 @@ object LevWithin {
       case other => other.eval() match {
         case i: Int => i
         case l: Long => l.toInt
+        case bad =>
+          // A raw MatchError here would surface as a scala.MatchError
+          // with no SQL context; fail as an analysis-time error instead
+          // (covers lev_within(a, b, NULL) and string/decimal literals).
+          throw new org.apache.spark.sql.AnalysisException(
+            "_LEGACY_ERROR_TEMP_1332",
+            Map("errorMessage" ->
+              s"lev_within threshold must be a foldable integer, got ${
+                if (bad == null) "NULL" else bad.getClass.getSimpleName + s" ($bad)"}"))
       }
     }
     LevWithin(exprs(0), exprs(1), k)

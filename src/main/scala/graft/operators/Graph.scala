@@ -550,6 +550,18 @@ object Graph {
     edges.select(col("src"), col("dst"), col("w"))
       .repartition(col("src"))
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      // The w >= 1 contract is load-bearing (the maxCost+1 round bound
+      // and the nd <= maxCost candidate filter both assume it): a w <= 0
+      // edge would silently exit relaxation BEFORE the fixpoint and
+      // return wrong distances. Fail loudly instead — one comparison per
+      // collapsed edge riding the aggregate's output projection, and
+      // prune-proof because the guarded column is the one consumed
+      // downstream.
+      .select(col("src"), col("dst"),
+        when(col("w") < 1L, raise_error(concat(
+          lit("ssspDistances requires integer edge weights >= 1, got w="),
+          col("w"), lit(" on edge src="), col("src"), lit(" dst="), col("dst"))))
+          .otherwise(col("w")).as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** COST-BOUNDED weighted shortest paths by synchronous delta

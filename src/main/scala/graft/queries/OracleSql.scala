@@ -2046,7 +2046,7 @@ object OracleSql {
         |FROM a ORDER BY label, pos""".stripMargin,
 
     "dedup_embedding" ->
-      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),
          |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
          |  ${cosMicro("a.embedding", "b.embedding")} AS cos_micro
          | FROM v a JOIN v b ON a.vec_id < b.vec_id)

@@ -41,8 +41,16 @@ class ContractSpec extends SparkSpec {
     // last off-by-one — ev_streaming_parity now has its own line), so
     // the pin is read FROM the document instead of a hand-updated
     // number that can drift from it.
+    // Resolve from the repo root, not the CWD: a forked test JVM can run
+    // with a different working directory. build.sbt sits next to
+    // SURVEY.md, so walk up from user.dir until it appears.
+    val root = Iterator.iterate(
+        java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath)(_.getParent)
+      .takeWhile(_ != null).take(5)
+      .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+      .getOrElse(fail("could not locate the repo root (build.sbt) above user.dir"))
     val survey = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("SURVEY.md")), java.nio.charset.StandardCharsets.UTF_8)
+      root.resolve("SURVEY.md")), java.nio.charset.StandardCharsets.UTF_8)
     val claimed = survey.linesIterator
       .count(l => l.startsWith("- [x]") &&
         ("""\[(q|q\+o)\]""".r.findFirstIn(l).isDefined))
