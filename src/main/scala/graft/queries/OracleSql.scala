@@ -446,6 +446,18 @@ object OracleSql {
         |JOIN m ON f.l_partkey = m.l_partkey AND f.l_extendedprice = m.min_price
         |ORDER BY f.l_partkey, f.l_orderkey, f.l_linenumber""".stripMargin,
 
+    // correlated scalar-subquery argmax: the oracle IS the subquery SQL
+    // the Spark side runs (and the decorrelation + join-back rewrite
+    // turns into one-scan top-1-with-ties) — hash equality proves the
+    // whole pipeline bit-for-bit invisible, quantity ties included.
+    "q_scalar_argmax_rewrite" ->
+      """SELECT t.l_suppkey, t.l_orderkey, t.l_linenumber,
+        | CAST(CAST(t.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_cents
+        |FROM lineitem t
+        |WHERE t.l_quantity = (SELECT MAX(t2.l_quantity) FROM lineitem t2
+        |                      WHERE t2.l_suppkey = t.l_suppkey)
+        |ORDER BY t.l_suppkey, t.l_orderkey, t.l_linenumber""".stripMargin,
+
     "q_delta_mom" ->
       """WITH m AS (
         | SELECT o_orderpriority, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,

@@ -430,6 +430,32 @@ object RelationalQueries {
         ORDER BY f.l_partkey, f.l_orderkey, f.l_linenumber""")
     }
 
+  /** The FIFTH spelling of the same argmax idiom: a correlated scalar
+    * subquery — `WHERE x = (SELECT max(x) FROM t t2 WHERE t2.g = t.g)`.
+    * Deliberately NO new rule case: Spark's
+    * RewriteCorrelatedScalarSubquery decorrelates this into exactly
+    * the Join(fact, Aggregate(g, max(x))) shape
+    * [[graft.plans.TopKRewrite]]'s join-back case already matches (the
+    * equality on the scalar output lets the optimizer collapse the
+    * decorrelation's outer join to Inner and push the pin into the
+    * join condition before the graft batch runs), so this gate proves
+    * the rewrite fires THROUGH the decorrelation pipeline: the
+    * Aggregate, the Join, and the second fact scan all disappear and
+    * one scan feeds native top-1-with-ties. Oracle = the identical
+    * subquery SQL in DuckDB, hash-exact ties included. */
+  def qScalarArgmaxRewrite(spark: SparkSession, dir: String): DataFrame =
+    withJoinBackRewrite(spark) {
+      t(spark, dir, "lineitem").createOrReplaceTempView("lineitem_sargmax")
+      spark.sql("""
+        SELECT t.l_suppkey, t.l_orderkey, t.l_linenumber,
+          CAST(CAST(t.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_cents
+        FROM lineitem_sargmax t
+        WHERE t.l_quantity = (SELECT MAX(t2.l_quantity)
+                              FROM lineitem_sargmax t2
+                              WHERE t2.l_suppkey = t.l_suppkey)
+        ORDER BY t.l_suppkey, t.l_orderkey, t.l_linenumber""")
+    }
+
   /** [[withTopKRewrite]]'s join-back sibling: same shared flag dance,
     * but the fired-rule evidence is the JOIN and AGGREGATE
     * disappearing (the window helper asserts no Window; this shape

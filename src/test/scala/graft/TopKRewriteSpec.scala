@@ -454,4 +454,58 @@ class TopKRewriteSpec extends SparkSpec {
     val perGroup = got.groupBy(_(0)).values.map(_.size)
     assert(perGroup.exists(_ > 3), "no boundary ties — the gate is vacuous")
   }
+
+  test("q_scalar_argmax_rewrite driver query: native plan through decorrelation, subquery-equal, ties") {
+    assert(spark.conf.getOption(Flag).isEmpty)
+    val df = queries.RelationalQueries.qScalarArgmaxRewrite(spark, Sf)
+    assert(spark.conf.getOption(Flag).isEmpty)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroup"), s"native operator missing:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashJoin"),
+      s"a join survived:\n$p")
+    val got = df.collect().map(_.toSeq).toSeq
+    // Ground truth: the same correlated subquery, flag OFF (Spark's own
+    // decorrelated join execution).
+    spark.read.parquet(s"$Sf/lineitem.parquet")
+      .createOrReplaceTempView("lineitem_sargmax_gt")
+    val expect = withRewrite(on = false) {
+      spark.sql("""
+        SELECT t.l_suppkey, t.l_orderkey, t.l_linenumber,
+          CAST(CAST(t.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_cents
+        FROM lineitem_sargmax_gt t
+        WHERE t.l_quantity = (SELECT MAX(t2.l_quantity)
+                              FROM lineitem_sargmax_gt t2
+                              WHERE t2.l_suppkey = t.l_suppkey)
+        ORDER BY t.l_suppkey, t.l_orderkey, t.l_linenumber""").collect().map(_.toSeq).toSeq
+    }
+    assert(got.nonEmpty)
+    assert(got === expect)
+    val perGroup = got.groupBy(_(0)).values.map(_.size)
+    assert(perGroup.exists(_ > 1), "no max ties — the gate is vacuous")
+  }
+
+  test("scalar-subquery non-rewrites: different table, inner filter, inequality pin") {
+    spark.read.parquet(s"$Sf/part.parquet").createOrReplaceTempView("part_sq")
+    spark.read.parquet(s"$Sf/lineitem.parquet").createOrReplaceTempView("li_sq")
+    def joins(sql: String): Boolean = withRewrite(on = true) {
+      val opt = spark.sql(sql).queryExecution.optimizedPlan
+      opt.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]) &&
+        !opt.exists(_.isInstanceOf[graft.plans.TopKPerGroup])
+    }
+    // Subquery over a DIFFERENT table: not a self-argmax.
+    assert(joins("""
+      SELECT f.p_partkey FROM part_sq f
+      WHERE f.p_size = (SELECT MAX(l.l_linenumber) FROM li_sq l
+                        WHERE l.l_partkey = f.p_partkey)"""))
+    // Extra filter INSIDE the subquery: agg input differs from the fact.
+    assert(joins("""
+      SELECT f.p_partkey FROM part_sq f
+      WHERE f.p_size = (SELECT MAX(t2.p_size) FROM part_sq t2
+                        WHERE t2.p_brand = f.p_brand AND t2.p_retailprice > 100)"""))
+    // Inequality against the scalar: no equality pin, still a join.
+    assert(joins("""
+      SELECT f.p_partkey FROM part_sq f
+      WHERE f.p_size < (SELECT MAX(t2.p_size) FROM part_sq t2
+                        WHERE t2.p_brand = f.p_brand)"""))
+  }
 }
