@@ -120,6 +120,10 @@ object NoOracleGates {
     "text_bpe_encode" -> s"SELECT $DocCount AS lo, $DocCount AS hi",
     "text_compress_ratio" -> s"SELECT $DocCount AS lo, $DocCount AS hi",
     "text_quality_classifier" -> s"SELECT $DocCount AS lo, $DocCount AS hi",
+    // Stored-model serve: exactly one row per delta-batch document.
+    "text_quality_stored" ->
+      ("SELECT count(*) AS lo, count(*) AS hi FROM documents " +
+        "WHERE doc_id % 16 = 0"),
     // 8 principal components per embedding row.
     "vec_pca" ->
       "SELECT 8 * count(*) AS lo, 8 * count(*) AS hi FROM embeddings")
@@ -173,6 +177,8 @@ object NoOracleGates {
     "text_compress_ratio" ->
       "doc_id BIGINT,n_bytes BIGINT,deflate_len BIGINT,ratio_bp BIGINT",
     "text_quality_classifier" ->
+      "doc_id BIGINT,label_heur BIGINT,p_micro BIGINT,pred BIGINT",
+    "text_quality_stored" ->
       "doc_id BIGINT,label_heur BIGINT,p_micro BIGINT,pred BIGINT",
     "text_term_freq_cms" ->
       "term STRING,topk_count BIGINT NOT NULL,cms_count BIGINT NOT NULL",

@@ -57,7 +57,7 @@ class ContractSpec extends SparkSpec {
     assert(SparkEntry.queries.size === claimed,
       s"SparkEntry has ${SparkEntry.queries.size} queries but SURVEY §2 " +
         s"checks $claimed [q]/[q+o] items — add/remove the §2 line")
-    assert(SparkEntry.queries.size === 193, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size === 194, s"got ${SparkEntry.queries.size}")
   }
 
   test("no-oracle entries are exactly covered by row-bound + schema gates") {

@@ -81,4 +81,51 @@ class QualityModelSpec extends SparkSpec {
     assert(acc > majority, s"accuracy $acc does not beat majority $majority")
     assert(nPred === 2L, "degenerate classifier: one predicted class")
   }
+
+  test("stored lifecycle: commit-once, stored == from-scratch weights, serve equals fresh scores") {
+    // Isolate the lake root so this spec never reuses (or pollutes) a
+    // driver run's committed model.
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_qual_vt").toString
+    val prev = spark.conf.getOption("spark.graft.lake.root")
+    spark.conf.set("spark.graft.lake.root", tmpRoot)
+    try {
+      val first = TextQueries.qualityStoredQ(spark, Sf).collect().map(_.toSeq).toSeq
+      val root = graft.sinks.LakeRoot.root(spark, Sf, "quality_model_v1")
+      assert(graft.sinks.VersionedTable.latestVersion(spark, root) === Some(0L))
+      // Second run must NOT retrain: still exactly version 0, and the
+      // serve is deterministic.
+      val second = TextQueries.qualityStoredQ(spark, Sf).collect().map(_.toSeq).toSeq
+      assert(graft.sinks.VersionedTable.latestVersion(spark, root) === Some(0L),
+        "second run committed a new model version — the freeze is broken")
+      assert(second === first)
+      // Stored weights equal a from-scratch train on the same
+      // historical slice bit-for-bit (order-independent fixed-point
+      // gradient sums).
+      val hist = rawFeatures.where(col("doc_id") % 16 =!= 0).localCheckpoint(true)
+      val (f, statsRef) = QualityModel.standardize(hist, TextQueries.QualityFeatCols)
+      val wRef = QualityModel.train(f, TextQueries.QualityFeatCols, "y", 2.0, 25)
+      val model = graft.sinks.VersionedTable.read(spark, root, Some(0L))
+        .collect().sortBy(_.getAs[Int]("j"))
+      assert(model.map(_.getAs[Double]("w")).toSeq === wRef.toSeq)
+      assert(model.drop(1).map(r =>
+          (r.getAs[Double]("mean"), r.getAs[Double]("sd"))).toSeq === statsRef.toSeq)
+      // Stored-path scores equal scoring the batch with the fresh
+      // model row for row (same standardization expression, same
+      // forward pass).
+      val batch = rawFeatures.where(col("doc_id") % 16 === 0)
+      val fb = TextQueries.QualityFeatCols.zipWithIndex.foldLeft(batch) {
+        case (df, (c, j)) =>
+          df.withColumn(c, (col(c) - lit(statsRef(j)._1)) / lit(statsRef(j)._2))
+      }
+      val freshScores = QualityModel.score(fb, TextQueries.QualityFeatCols, wRef)
+        .select(col("doc_id"), col("y").cast("long").as("label_heur"),
+          col("p_micro"), col("pred"))
+        .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+      assert(first === freshScores)
+      assert(first.nonEmpty, "empty delta batch — the lifecycle gate is vacuous")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.lake.root", v)
+      case None => spark.conf.unset("spark.graft.lake.root")
+    }
+  }
 }
