@@ -207,16 +207,14 @@ object Similarity {
     math.max(1L, n / math.max(1L, maxTrainRows))
   }
 
-  /** Map-only nearest-centroid assignment: centroids are plan literals,
-    * argmax by first-position-of-max (deterministic lowest-id ties). */
+  /** Map-only nearest-centroid assignment via the native single-pass
+    * [[graft.expressions.NearestCentroid]] kernel (argmax by
+    * first-position-of-max, deterministic lowest-id ties — bit-identical
+    * to the k-literal-dot Column formulation it replaces, which fell out
+    * of whole-stage codegen at the adaptive sqrt-of-corpus k). */
   private def nearestCentroidId(spark: org.apache.spark.sql.SparkSession,
-                                vec: Column, cents: Array[Array[Float]]): Column = {
-    val projs = array(cents.toSeq.map { cv =>
-      val norm = math.sqrt(cv.map(x => x.toDouble * x.toDouble).sum)
-      vecDot(spark, vec, typedLit(cv.toSeq)) / lit(norm)
-    }: _*)
-    (array_position(projs, array_max(projs)) - 1).cast("int")
-  }
+                                vec: Column, cents: Array[Array[Float]]): Column =
+    graft.expressions.NearestCentroid.nearestCol(spark, vec, cents)
 
   /** IVF-style approximate top-k: corpus vectors are assigned to their
     * nearest of `nCentroids` k-means centroids (Lloyd-refined from a
@@ -733,10 +731,23 @@ object Similarity {
     * corpus distribution, so duplicate-dense regions get finer
     * partitions. The candidate join is an equijoin on the centroid id;
     * nothing O(n^2) unblocked. Recall vs the exact all-pairs dedup is
-    * spec'd in SimilaritySpec. */
-  def semanticNearDupPairs(corpus: DataFrame, nCentroids: Int = 8): DataFrame = {
+    * spec'd in SimilaritySpec.
+    *
+    * `nCentroids = 0` (the default) ADAPTS the cluster count to the
+    * corpus: k = ceil(sqrt(n)) from one cheap count (clamped to
+    * [8, 4096]) — expected cluster size and cluster count BOTH grow as
+    * sqrt(n), so within-cluster candidate pairs are O(n^1.5) instead of
+    * the O(n^2 / k_fixed) a pinned k degrades to (the same disease the
+    * hyperplane grid had; measured 5.5x per data decade before this
+    * adapted). Assignment stays map-only at any k because the argmax
+    * rides the native single-pass [[graft.expressions.NearestCentroid]]
+    * kernel rather than k inlined literal dot products. */
+  def semanticNearDupPairs(corpus: DataFrame, nCentroids: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
-    val cents = kmeansCentroids(corpus, nCentroids)
+    val k0 = if (nCentroids > 0) nCentroids
+             else math.min(4096, math.max(8,
+               math.ceil(math.sqrt(corpus.count().toDouble)).toInt))
+    val cents = kmeansCentroids(corpus, k0)
     val c = corpus.select(col("vec_id"), col("embedding"))
       .withColumn("n", vecDot(spark, col("embedding"), col("embedding")))
       .withColumn("cid", nearestCentroidId(spark, col("embedding"), cents))
