@@ -38,6 +38,7 @@ object ClusterSmoke {
     "graph_label_prop", "graph_pagerank_inc", "graph_pagerank_stream",
     "graph_bfs", "graph_bfs_inc", "graph_bfs_stream",
     "graph_sssp", "graph_sssp_inc", "graph_sssp_stream", "q_minmax_rewrite",
+    "q_scalar_argmax_rewrite", "text_quality_stored",
     "q_heavy_hitters_stored", "text_fuzzy_pairs",
     "ann_ivf_stored", "ann_ivf_stream", "ann_pq_stored",
     "text_bm25_inc", "dedup_survivors_minhash_inc", "dedup_corpus",

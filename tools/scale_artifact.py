@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Build BENCH_r{N}_scale.json from two Bench sidecars (sf0.1 and sf1
+legs of the scaling decade): per-query min-over-trials growth ratios,
+suite growth, and the quiet/contamination stamps of both legs."""
+import json, statistics, sys
+
+sf01_sidecar, sf1_sidecar, out, notes = sys.argv[1], sys.argv[2], sys.argv[3], \
+    (sys.argv[4] if len(sys.argv) > 4 else "")
+
+def load(path):
+    lines = [json.loads(l) for l in open(path) if l.strip()]
+    detail = next(l for l in lines if l.get("metric") == "detail")
+    return detail
+
+a, b = load(sf01_sidecar), load(sf1_sidecar)
+qa, qb = a["queries_min"], b["queries_min"]
+common = sorted(set(qa) & set(qb))
+growth = {q: round(qb[q] / max(qa[q], 1e-9), 2) for q in common}
+tot_a = sum(qa[q] for q in common)
+tot_b = sum(qb[q] for q in common)
+
+def stamp(d):
+    return {"total_min_sec": round(sum(d["queries_min"][q] for q in common), 3),
+            "loadavg_pre": d["loadavg_pre"],
+            "max_competing_cores": d["max_competing_cores"],
+            "quiet_load_bound": d["quiet_load_bound"],
+            "contaminated": d["contaminated"]}
+
+art = {
+    "what": ("Scaling decade sf0.1 -> sf1 over the FULL %d-query surface: "
+             "sf1 = deterministic 10x replication of the driver's sf0.1 "
+             "testdata via graft.ScaleUp (id strides preserve every modulus "
+             "selection; documents get per-replica zzr<r>zz token "
+             "namespaces; embeddings get orthogonal dimension rotations)."
+             % len(common)),
+    "machine": "local[32], 128 GiB (per-query min over interleaved trials = warm serve)",
+    "suite_growth_for_10x_data": round(tot_b / tot_a, 2),
+    "median_per_query_growth": round(statistics.median(growth.values()), 2),
+    "per_query_growth_min_over_trials": growth,
+    "per_query_min_sec_sf01": {q: round(qa[q], 3) for q in common},
+    "per_query_min_sec_sf1": {q: round(qb[q], 3) for q in common},
+    "sf01": stamp(a),
+    "sf1": stamp(b),
+    "notes": notes,
+}
+json.dump(art, open(out, "w"), indent=1, sort_keys=True)
+print(f"wrote {out}: {len(common)} queries, suite growth "
+      f"{art['suite_growth_for_10x_data']}x, median {art['median_per_query_growth']}x")
+top = sorted(growth.items(), key=lambda kv: -kv[1])[:12]
+for q, g in top:
+    print(f"  {q:32} {g:6.2f}x  sf1 {qb[q]:.3f}s")
