@@ -832,13 +832,30 @@ object RelationalQueries {
   /** Approximate heavy hitters (top customers by order count) via
     * approx_top_k — the sketch that answers "which keys dominate"
     * with bounded per-partition state instead of a full groupBy
-    * shuffle of all keys. Spec'd against the exact top-k. */
-  def qHeavyHittersApprox(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "orders")
-      .agg(expr("approx_top_k(o_custkey, 10, 10000)").as("tops"))
+    * shuffle of all keys. Spec'd against the exact top-k.
+    *
+    * The tracked-item budget ADAPTS: min(1M, max(10k, 8x a cheap
+    * approx-distinct pre-pass)). A fixed 10k budget went empty the
+    * moment the key space outgrew it on near-uniform counts (found by
+    * the sf1 row-bound gate: 150k distinct customers at ~10 orders
+    * each -> the sketch can no longer GUARANTEE any top-k item and
+    * honestly returns nothing). With the budget sized to the key
+    * space the guarantee holds at every gate SF; past the 1M cap on
+    * genuinely uniform keys an empty answer is the sketch's correct
+    * "no key dominates" verdict — real lakes query heavy hitters
+    * precisely because their keys are Zipfian, where a bounded budget
+    * suffices at any scale. */
+  def qHeavyHittersApprox(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val approxD = orders.agg(approx_count_distinct(col("o_custkey")).as("d"))
+      .head().getLong(0) // one bounded row
+    val budget = math.min(1000000L, math.max(10000L, 8L * approxD))
+    orders
+      .agg(expr(s"approx_top_k(o_custkey, 10, $budget)").as("tops"))
       .select(explode(col("tops")).as("t"))
       .select(col("t.item").as("custkey"), col("t.count").as("n_orders"))
       .orderBy(col("n_orders").desc, col("custkey"))
+  }
 
   /** Distinct-count served from INCREMENTALLY-MAINTAINED stored HLL
     * sketches — the sketch family's entry in the build→store→increment→
