@@ -8,18 +8,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    def loadavg(): String =
+    // One /proc/loadavg reader serves the gate loop and both stamps.
+    def loads(): Array[Double] =
       try scala.util.Using.resource(scala.io.Source.fromFile("/proc/loadavg"))(
-        _.mkString.split(" ").take(3).mkString("[", ",", "]"))
-      catch { case _: Throwable => "null" }
-    def load1(): Double =
-      try scala.util.Using.resource(scala.io.Source.fromFile("/proc/loadavg"))(
-        _.mkString.split(" ").head.toDouble)
-      catch { case _: Throwable => 0.0 }
-    def load5(): Double =
-      try scala.util.Using.resource(scala.io.Source.fromFile("/proc/loadavg"))(
-        _.mkString.split(" ")(1).toDouble)
-      catch { case _: Throwable => 0.0 }
+        _.mkString.split(" ").take(3).map(_.toDouble))
+      catch { case _: Throwable => Array(0.0, 0.0, 0.0) }
+    def loadavg(): String = loads().mkString("[", ",", "]")
+    def load1(): Double = loads()(0)
+    def load5(): Double = loads()(1)
     // Defend the artifact against a loaded machine (r7's driver run
     // recorded a phantom 1.6x regression under loadavg 4.8-6.5): wait a
     // bounded time for the 1-min load to drop below a quiet threshold.
@@ -74,12 +70,14 @@ object Bench {
     // trips it, a 2-second blip cannot.
     val ncpu = Runtime.getRuntime.availableProcessors
     val selfPid = ProcessHandle.current().pid()
-    def readJiffies(): Option[(Long, Long)] =
+    /** (pid -> cumulative utime+stime) for every live non-kernel-thread
+      * process except this JVM, plus the machine's total jiffy clock. */
+    def readJiffies(): Option[(Map[Long, Long], Long)] =
       try {
         val sys = scala.util.Using.resource(
           scala.io.Source.fromFile("/proc/stat"))(_.getLines().next())
           .trim.split("\\s+").drop(1).map(_.toLong)
-        var others = 0L
+        val others = Map.newBuilder[Long, Long]
         val procs = new java.io.File("/proc").listFiles()
         if (procs != null) procs.foreach { f =>
           val name = f.getName
@@ -90,11 +88,11 @@ object Bench {
               val after = st.substring(st.lastIndexOf(')') + 2).split(" ")
               val flags = after(6).toLong
               if ((flags & 0x00200000L) == 0L) // not PF_KTHREAD
-                others += after(11).toLong + after(12).toLong
+                others += name.toLong -> (after(11).toLong + after(12).toLong)
             } catch { case _: Throwable => () } // pid exited mid-walk
           }
         }
-        Some((others, sys.sum))
+        Some((others.result(), sys.sum))
       } catch { case _: Throwable => None }
     @volatile var maxCompeting = 0.0
     @volatile var sampling = true
@@ -105,13 +103,30 @@ object Bench {
         Thread.sleep(2000)
         val cur = readJiffies()
         for ((p, c) <- prev.zip(cur)) {
-          val (pOthers, pTotal) = p
-          val (cOthers, cTotal) = c
+          val (pPids, pTotal) = p
+          val (cPids, cTotal) = c
           val dTotal = (cTotal - pTotal).toDouble
           if (dTotal > 0) {
+            // PER-PID deltas, not a delta of sums: a pid that exits
+            // between ticks would otherwise subtract its whole
+            // lifetime from the sum and cancel real competition in
+            // the same tick (and a global sum can go negative, which
+            // the clamp would silently zero). A pid first seen this
+            // tick contributes its full cumulative time — it was all
+            // spent inside the window. A pid that exits mid-window
+            // loses only its final partial tick: short-lived
+            // fork-heavy competitors are UNDER-counted by at most one
+            // tick each, the documented residual blind spot of
+            // per-pid accounting.
+            var d = 0L
+            cPids.foreach { case (pid, j) =>
+              // per-pid clamp: a reused pid number (wrap) must not
+              // subtract the dead process's larger counter
+              d += math.max(0L, j - pPids.getOrElse(pid, 0L))
+            }
             // dTotal spans all cpus; per-core time base = dTotal/ncpu.
-            val competing = (cOthers - pOthers) / (dTotal / ncpu)
-            window.enqueue(math.max(0.0, competing))
+            val competing = d / (dTotal / ncpu)
+            window.enqueue(competing)
             if (window.size > 30) window.dequeue() // 30 x 2 s = 1 min
             // A mean over fewer than 5 ticks is not "1-minute
             // smoothed" in any sense — a single startup blip would
@@ -198,7 +213,12 @@ object Bench {
     sampling = false
     // The verdict now covers the WHOLE run: quiet at entry AND no
     // competing process above the bound at any sampled moment inside it.
-    val contaminated = loadPre > quietLoad || maxCompeting > quietLoad
+    // loadPre5 is OR'd in: if the bounded wait expired while the 5-min
+    // average was still above its gate, the machine was not settled and
+    // the artifact must say so (the sampler cannot see ALREADY-EXITED
+    // heavy work, only its decay).
+    val contaminated =
+      loadPre > quietLoad || loadPre5 > quiet5 || maxCompeting > quietLoad
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2

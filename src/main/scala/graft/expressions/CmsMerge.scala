@@ -123,20 +123,23 @@ object CmsMergeAgg {
   * task-local and thread-confined): the common shape — a single merged
   * sketch broadcast against a bounded candidate list — deserializes
   * once per task and answers each row with `estimateCount` only. The
-  * memo key is (length, 64-bit fingerprint of 16 stride-sampled 8-byte
-  * windows): each row hands a FRESH copy of the bytes out of its
-  * UnsafeRow, so a reference check never hits and a full memcmp would
-  * re-read the whole MB-scale counter table per row — the fingerprint
-  * reads 128 bytes instead. Two sketches colliding on length AND all
-  * 16 mixed windows is a ~2^-64 event on non-adversarial data, and a
-  * false hit only ever substitutes another month's sketch of the same
-  * shape (the candidate list is calendar x k). Not codegen'd: it runs
-  * on candidate lists, never on fact scans.
+  * memo is EXACT: a 64-bit fingerprint of 16 stride-sampled 8-byte
+  * windows serves as a cheap NEGATIVE filter (fingerprints differ ->
+  * definitely a different sketch -> re-deserialize without touching
+  * the cached bytes), and a fingerprint match is CONFIRMED by a full
+  * memcmp against the retained bytes before the cached sketch is
+  * trusted. Sampled bytes alone were not a safe key: two sparse
+  * same-shape monthly sketches can agree on every sampled window (most
+  * counter cells are zero), and a false hit would silently answer from
+  * the wrong month. The memcmp costs one vectorized pass over the
+  * sketch per row on the hit path — bounded by design, the candidate
+  * list is calendar x k rows, never a fact scan. Not codegen'd for the
+  * same reason.
   */
 case class CmsEstimate(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
 
-  @transient private var cachedLen: Int = -1
+  @transient private var cachedBytes: Array[Byte] = _
   @transient private var cachedFp: Long = 0L
   @transient private var cachedSketch: CountMinSketch = _
 
@@ -170,9 +173,11 @@ case class CmsEstimate(left: Expression, right: Expression)
   override protected def nullSafeEval(sk: Any, key: Any): Any = {
     val bytes = sk.asInstanceOf[Array[Byte]]
     val fp = fingerprint(bytes)
-    if (cachedSketch == null || bytes.length != cachedLen || fp != cachedFp) {
+    val hit = cachedSketch != null && fp == cachedFp &&
+      java.util.Arrays.equals(bytes, cachedBytes)
+    if (!hit) {
       cachedSketch = CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
-      cachedLen = bytes.length
+      cachedBytes = bytes
       cachedFp = fp
     }
     cachedSketch.estimateCount(key.asInstanceOf[Long])

@@ -34,6 +34,12 @@ object CentroidOps {
     var bestV = Double.NegativeInfinity
     var i = 0
     while (i < k) {
+      // A zero-norm centroid projects to 0/0 = NaN. Spark's ordering
+      // ranks NaN ABOVE every double, so the literal formulation's
+      // array_max/array_position pair selected the FIRST NaN index —
+      // reproduce that exactly (a strict `>` scan would silently skip
+      // NaN and pick the best finite centroid instead).
+      if (norms(i) == 0.0) return i
       var acc = 0.0
       var j = 0
       val base = i * dim

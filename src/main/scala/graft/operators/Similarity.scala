@@ -80,17 +80,25 @@ object Similarity {
         (if (p >= 9) for { i <- 0 until p; j <- (i + 1) until p }
            yield (1 << i) | (1 << j)
          else Seq.empty)
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val qBase = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       .withColumn("q_n", vecDot(spark, col("q_vec"), col("q_vec")))
+    // The broadcast probe relation is SLIM — (q_id, probe) ints only.
+    // Exploding the probe ball onto rows that carry the embedding would
+    // multiply the broadcast by the probe count (up to 1+p+p(p-1)/2 ~
+    // 300x at the plane cap), which is exactly the kind of driver-side
+    // blowup a 100 TB corpus cannot afford; the query VECTORS join back
+    // by q_id afterwards from a second broadcast that stays O(queries).
+    val qProbes = qBase
       .withColumn("bucket0", lshBucket(spark, col("q_vec"), p))
-      .withColumn("probe", explode(array(masks.map(m =>
-        col("bucket0").bitwiseXOR(lit(m))): _*)))
+      .select(col("q_id"), explode(array(masks.map(m =>
+        col("bucket0").bitwiseXOR(lit(m))): _*)).as("probe"))
     // No distinct: the probe set (distinct XOR masks on one bucket key)
     // is pairwise-distinct by construction and each corpus vector has
     // exactly one bucket, so a (q_id, n_id) candidate matches at most
     // one probe — a dedup would cost a full exchange of every scored
     // candidate before WindowGroupLimit can prune to k per partition.
-    val scored = broadcast(q).join(c, col("probe") === col("bucket"))
+    val scored = broadcast(qProbes).join(c, col("probe") === col("bucket"))
+      .join(broadcast(qBase), "q_id")
       .where(col("q_id") =!= col("n_id"))
       .withColumn("cos_micro",
         cosMicro(spark, col("q_vec"), col("q_n"), col("n_vec"), col("n_n")))
