@@ -3,14 +3,15 @@ package graft.expressions
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 import org.apache.spark.sql.{Column, SparkSession}
 
 /** Single-pass kernel behind the hyperplane-LSH bands: all
   * `nBands * bandBits` sign projections of one `array<float>` vector in
   * one compiled loop over a statically-cached ±1 plane matrix, packed
-  * into `nBands` int band keys (bit k of band s = sign of plane
-  * `planeOffset + s*bandBits + k`).
+  * into `nBands` LONG band keys (bit k of band s = sign of plane
+  * `planeOffset + s*bandBits + k`; up to 62 sign bits per band, so the
+  * adaptive grid never hits a key-width ceiling at any real corpus).
   *
   * Exists because the Column formulation — one `vec_dot` against a
   * literal plane per bit, 52 of them summed through nested CASE WHENs at
@@ -20,8 +21,15 @@ import org.apache.spark.sql.{Column, SparkSession}
   * dedup_embedding_lsh's 12 s at sf1, paid once per join side). This
   * kernel is one static call per row: double accumulation in element
   * order with ±1 sign flips, bit-identical to
-  * `vec_dot(vec, hyperplane(k)) >= 0` (multiplying by ±1.0 is an exact
-  * IEEE sign flip and the add order is unchanged).
+  * `vec_dot(vec, hyperplane(k)) >= 0` for 64-dim vectors (multiplying
+  * by ±1.0 is an exact IEEE sign flip and the add order is unchanged).
+  * DIM CAVEAT: the retired Column formulation folded only the first
+  * min(len, 64) elements (it projected against a dim=64 hyperplane
+  * literal); this kernel projects ALL vec.numElements() coordinates,
+  * so for vectors longer than 64 dims the bucket keys differ from that
+  * legacy form. Joins are unaffected (keys are self-consistent on both
+  * sides); only cross-VERSION bucket stability for >64-dim corpora
+  * would notice, and no stored artifact persists band keys.
   */
 object LshOps {
   private val signCache =
@@ -41,14 +49,14 @@ object LshOps {
     val dim = vec.numElements()
     val total = nBands * bandBits
     val s = signs(planeOffset, total, dim)
-    val keys = new Array[Int](nBands)
+    val keys = new Array[Long](nBands)
     var p = 0
     while (p < total) {
       var acc = 0.0
       var j = 0
       val base = p * dim
       while (j < dim) { acc += vec.getFloat(j).toDouble * s(base + j); j += 1 }
-      if (acc >= 0) keys(p / bandBits) |= 1 << (p % bandBits)
+      if (acc >= 0) keys(p / bandBits) |= 1L << (p % bandBits)
       p += 1
     }
     new GenericArrayData(keys)
@@ -61,16 +69,16 @@ case class LshBands(child: Expression, nBands: Int, bandBits: Int, planeOffset: 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case ArrayType(FloatType, _) =>
-        if (nBands >= 1 && bandBits >= 1 && bandBits <= 30)
+        if (nBands >= 1 && bandBits >= 1 && bandBits <= 62)
           org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
         else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"lsh_bands needs nBands >= 1 and 1 <= bandBits <= 30, got ($nBands, $bandBits)")
+          s"lsh_bands needs nBands >= 1 and 1 <= bandBits <= 62, got ($nBands, $bandBits)")
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"lsh_bands expects an array<float> vector, got $other")
     }
 
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "lsh_bands"
 
   override protected def nullSafeEval(v: Any): Any =

@@ -51,15 +51,15 @@ object VectorFunctions {
     Array.tabulate(dim)(j => hyperplaneSign(k, j))
 
   /** LSH bucket key: sign pattern of `nPlanes` hyperplane projections
-    * packed into one INT (bit k = sign of plane `planeOffset + k`), each
+    * packed into one LONG (bit k = sign of plane `planeOffset + k`), each
     * projection a codegen'd vec_dot against a literal plane. At 100 TB
     * this turns the O(n^2) similarity cross-join into a shuffle-on-bucket
-    * join whose key is 4 bytes, and multi-probe neighbor buckets are
+    * join whose key is 8 bytes, and multi-probe neighbor buckets are
     * single XORs instead of string surgery. `planeOffset` selects a
     * disjoint plane family so banded callers get independent bands. */
   def lshBucket(spark: org.apache.spark.sql.SparkSession, vec: Column,
                 nPlanes: Int, planeOffset: Int = 0): Column = {
-    require(nPlanes >= 1 && nPlanes <= 30, s"packed-int bucket needs 1..30 planes, got $nPlanes")
+    require(nPlanes >= 1 && nPlanes <= 62, s"packed-long bucket needs 1..62 planes, got $nPlanes")
     element_at(
       graft.expressions.LshBands.lshBands(spark, vec, 1, nPlanes, planeOffset), 1)
   }
@@ -69,8 +69,12 @@ object VectorFunctions {
     * [floorP, cap]. Derived from ONE cheap corpus count, deterministic —
     * this is what makes the hyperplane grid adapt to the corpus the way
     * IVF's trained centroids already do: per-bucket candidate work stays
-    * O(targetOcc) as n grows instead of O(n / 2^fixedPlanes). */
-  def adaptivePlanes(n: Long, targetOcc: Int, floorP: Int = 8, cap: Int = 24): Int = {
+    * O(targetOcc) as n grows instead of O(n / 2^fixedPlanes). The cap
+    * is the LONG-packed band-key width (62 sign bits — binding only
+    * past ~targetOcc * 2^62 vectors, i.e. never), raised from the
+    * packed-INT era's 24, whose per-band occupancy went linear again
+    * past ~2.7e8 vectors. */
+  def adaptivePlanes(n: Long, targetOcc: Int, floorP: Int = 8, cap: Int = 62): Int = {
     val needed = math.ceil(
       math.log(math.max(1L, n).toDouble / targetOcc) / math.log(2.0)).toInt
     math.min(cap, math.max(floorP, needed))

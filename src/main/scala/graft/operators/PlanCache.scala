@@ -84,6 +84,35 @@ object PlanCache {
     }
   }
 
+  /** Per-JVM memo of corpus-level SCALARS (row counts, distinct
+    * estimates) keyed on the analyzed plan's semantic hash + a caller
+    * tag — the scalar twin of [[memo]], with the same staleness
+    * contract as Spark's own table cache (a rewrite behind an
+    * unchanged plan is not detected within the JVM; this library's
+    * lake mutators go through VersionedTable roots, whose paths change
+    * the plan). Exists because adaptive operating points (LSH plane
+    * counts, IVF centroid counts, sketch budgets) each need one cheap
+    * corpus statistic: deriving it per call re-scans the corpus every
+    * run, and compositions (classify-over-topk) would pay it twice. */
+  private val scalars =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Long]()
+
+  def scalarMemo(df: DataFrame, tag: String)(compute: => Long): Long =
+    scalars.computeIfAbsent(
+      (df.queryExecution.analyzed.semanticHash(), tag), _ => compute)
+
+  /** Memoized `df.count()` — the one corpus statistic every adaptive
+    * grid needs. EAGER on first touch (an action inside what is
+    * otherwise lazy plan construction — callers must not pass a
+    * streaming DataFrame; adaptive operators guard this). */
+  def countMemo(df: DataFrame): Long = {
+    require(!df.isStreaming,
+      "adaptive operating points need a batch corpus: deriving the grid " +
+        "runs an eager count(), which a streaming DataFrame cannot serve — " +
+        "pass an explicit grid parameter instead")
+    scalarMemo(df, "count")(df.count())
+  }
+
   /** Drop every memoized derivation (e.g. after an executor loss
     * invalidated the non-recoverable checkpoint blocks). */
   def clear(): Unit = cache.synchronized(cache.clear())

@@ -98,6 +98,29 @@ object QualityModel {
     w
   }
 
+  /** Batch drift in STORED standardized units: max_j
+    * |mean_batch(x_j) - mean_j| / sd_j against the (mean, sd) pairs a
+    * committed model standardizes with — ONE bounded aggregation over
+    * the batch of the same order-independent fixed-point sums
+    * [[standardize]] uses, so the verdict is bit-stable under any
+    * partitioning. This is the refresh trigger of the stored quality
+    * lifecycle: a batch whose feature means sit within the training
+    * distribution serves the frozen model; a shifted batch (z past the
+    * caller's threshold) is evidence the corpus moved and the model's
+    * standardization no longer describes the data it scores. */
+  def driftZ(batch: DataFrame, featCols: Seq[String],
+             stats: Array[(Double, Double)]): Double = {
+    val aggCols = featCols.map(f =>
+      sum(floor(col(f) * Scale).cast("long")).as(s"s_$f")) :+ count(lit(1)).as("n")
+    val row = batch.agg(aggCols.head, aggCols.tail: _*).head() // one bounded row
+    val n = row.getLong(featCols.size).toDouble
+    if (n == 0) 0.0
+    else featCols.indices.map { j =>
+      val m = (row.getLong(j) / Scale) / n
+      math.abs(m - stats(j)._1) / stats(j)._2
+    }.max
+  }
+
   /** Map-only scoring with trained weights: the per-row probability in
     * floor micro-units plus the thresholded keep/drop decision. */
   def score(feats: DataFrame, featCols: Seq[String], w: Array[Double]): DataFrame = {

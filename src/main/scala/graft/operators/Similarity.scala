@@ -51,34 +51,44 @@ object Similarity {
     * hyperplane-sign buckets, then exact rescoring per candidate.
     *
     * `nPlanes = 0` (the default) ADAPTS the grid to the corpus:
-    * ceil(log2(n / 16)) planes from one cheap corpus count, floor 8 —
+    * ceil(log2(n / 16)) planes from one cheap MEMOIZED corpus count
+    * (an EAGER action on first touch — batch corpora only; pass an
+    * explicit `nPlanes` for anything the count can't serve), floor 8 —
     * expected bucket occupancy stays ~16 as the corpus grows, so
     * per-query candidate work is O(probes * 16) instead of the
     * O(n / 256) a fixed 8-plane grid degrades to (measured 6-10x
     * per data decade before this adapted). Multi-probe widens with the
     * grid: Hamming<=1 neighbor buckets at <=8 planes (the small-corpus
-    * operating point, unchanged), Hamming<=2 at >=9 planes — the probe
-    * count 1 + p + p(p-1)/2 grows only quadratically in log(n) and
-    * restores the recall a finer grid would otherwise lose (a true
-    * neighbor needs all p sign bits to agree somewhere in the probe
-    * ball, and P[<=2 flips of p] at p=11 exceeds P[<=1 flip of 8] for
-    * every cosine). Probe buckets are single XORs on the packed-int
-    * key; the probe set is pairwise-distinct by construction so a
-    * candidate matches at most one probe and no distinct is needed. */
+    * operating point, unchanged), Hamming<=2 at 9..13 planes, and
+    * Hamming<=3 past that — the probe radius must GROW with p because
+    * per-bit flip probability is fixed by the pair's angle while the
+    * bit budget grows: at flip prob ~0.14 (cos ~0.9), P[<=1 flip of 8]
+    * ~0.68 and P[<=2 of 11] ~0.63, but P[<=2 of 24] collapses to ~0.31
+    * while P[<=3 of 24] holds ~0.55. The probe count 1 + p + p(p-1)/2
+    * (+ p-choose-3 past 13 planes) grows only polynomially in log(n)
+    * — ~3k probes at the 10^9-vector operating point p=26. Probe
+    * buckets are single XORs on the packed-long key; the probe set is
+    * pairwise-distinct by construction so a candidate matches at most
+    * one probe and no distinct is needed. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int = 0): DataFrame = {
     val spark = queries.sparkSession
     val p = if (nPlanes > 0) nPlanes
-            else graft.functions.VectorFunctions.adaptivePlanes(corpus.count(), targetOcc = 16)
+            else graft.functions.VectorFunctions.adaptivePlanes(
+              graft.operators.PlanCache.countMemo(corpus), targetOcc = 16)
     val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
       col("label").as("n_label"))
       .withColumn("n_n", vecDot(spark, col("n_vec"), col("n_vec")))
       .withColumn("bucket", lshBucket(spark, col("n_vec"), p))
-    // multi-probe: own bucket + all 1-bit flips (+ all 2-bit flips once
-    // the grid is finer than the legacy 8 planes).
-    val masks: Seq[Int] =
-      Seq(0) ++ (0 until p).map(1 << _) ++
+    // multi-probe: own bucket + all 1-bit flips (+ 2-bit flips once the
+    // grid is finer than the legacy 8 planes, + 3-bit flips past 13 —
+    // the radius schedule that holds recall as the grid sharpens).
+    val masks: Seq[Long] =
+      Seq(0L) ++ (0 until p).map(1L << _) ++
         (if (p >= 9) for { i <- 0 until p; j <- (i + 1) until p }
-           yield (1 << i) | (1 << j)
+           yield (1L << i) | (1L << j)
+         else Seq.empty) ++
+        (if (p >= 14) for { i <- 0 until p; j <- (i + 1) until p; l <- (j + 1) until p }
+           yield (1L << i) | (1L << j) | (1L << l)
          else Seq.empty)
     val qBase = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       .withColumn("q_n", vecDot(spark, col("q_vec"), col("q_vec")))
@@ -158,6 +168,35 @@ object Similarity {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Long), Array[Array[Float]]]()
 
+  /** Corpus-adaptive centroid count: k = ceil(sqrt(n)) from the
+    * memoized corpus count, floor 16 — the FAISS-shaped nlist ~ sqrt(n)
+    * operating point, where cluster count and expected list size BOTH
+    * grow as sqrt(n), so a probe scans O(nProbe * sqrt(n)) candidates
+    * instead of the nProbe * n / k_fixed a pinned k degrades to (the
+    * same disease the hyperplane grid and SemDeDup's cluster count had
+    * before they adapted). No upper cap: past
+    * [[graft.expressions.CentroidOps.TwoLevelThreshold]] centroids,
+    * assignment rides the two-level coarse-quantized kernel, so the
+    * map-only cost per row is O(2*sqrt(k)*dim) at any k. */
+  def adaptiveCentroids(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(math.max(1L, n).toDouble)).toInt)
+
+  /** Recall-holding probe width for a k-list quantizer:
+    * nProbe = ceil(sqrt(k)) — at the legacy k=16 this is exactly the
+    * nProbe=4 the recall specs graded, and as k grows with the corpus
+    * the probed candidate count n/sqrt(k) stays sublinear while the
+    * probed FRACTION sqrt(k)/k shrinks. Derived from the quantizer's
+    * own k (= its committed row count), so stored/streamed serves get
+    * the same operating point as the trainer without extra state. */
+  def adaptiveProbe(k: Int): Int =
+    math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+
+  /** Training-sample cap scaled to the centroid count: >= 20 training
+    * rows per centroid once k outgrows the legacy 100k cap (k-means on
+    * fewer degenerates to seed-echo), still a bounded driver-side
+    * sample. */
+  def trainRowsFor(k: Int): Long = math.max(100000L, 20L * k)
+
   def kmeansCentroids(corpus: DataFrame, nCentroids: Int, iters: Int = 3,
                       maxTrainRows: Long = 100000L): Array[Array[Float]] =
     centroidCache.computeIfAbsent(
@@ -209,9 +248,10 @@ object Similarity {
   private val FixedPointScale = (1L << 24).toDouble
 
   /** Sampling modulus keeping the expected training rows under the cap:
-    * keep vec_ids with hash % mod == 0. */
+    * keep vec_ids with hash % mod == 0. Rides the memoized corpus
+    * count, so adaptive-k derivation and sample sizing share one scan. */
   private def TrainSampleMod(corpus: DataFrame, maxTrainRows: Long): Long = {
-    val n = corpus.count()
+    val n = graft.operators.PlanCache.countMemo(corpus)
     math.max(1L, n / math.max(1L, maxTrainRows))
   }
 
@@ -229,15 +269,26 @@ object Similarity {
     * deterministic seed), queries probe the `nProbe` nearest centroid
     * lists and rescore exactly. Versus hyperplane LSH this is the
     * data-adaptive bucketing: buckets follow the corpus distribution,
-    * and nProbe trades recall for candidates scanned. At 100 TB the
-    * corpus assignment is map-only (literal centroids, no shuffle) and
-    * search shuffles only the probed buckets. */
+    * and nProbe trades recall for candidates scanned.
+    *
+    * `nCentroids = 0` / `nProbe = 0` (the defaults) ADAPT the quantizer
+    * to the corpus: k = ceil(sqrt(n)) lists from the memoized corpus
+    * count (an eager action on first touch — batch corpora only) and
+    * nProbe = ceil(sqrt(k)), so a query scans O(n / sqrt(k)) candidates
+    * instead of the fixed-k nProbe * n / 16 that stops pruning the
+    * moment the corpus outgrows the gate scales. At 100 TB the corpus
+    * assignment is map-only (centroids ride the plan; past
+    * [[graft.expressions.CentroidOps.TwoLevelThreshold]] lists it runs
+    * the two-level coarse-quantized kernel at O(2*sqrt(k)*dim) per row)
+    * and search shuffles only the probed buckets. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 2, kmeansIters: Int = 3): DataFrame = {
-    val cents = kmeansCentroids(corpus, nCentroids, kmeansIters)
+              nCentroids: Int = 0, nProbe: Int = 0, kmeansIters: Int = 3): DataFrame = {
+    val kc = if (nCentroids > 0) nCentroids
+             else adaptiveCentroids(graft.operators.PlanCache.countMemo(corpus))
+    val cents = kmeansCentroids(corpus, kc, kmeansIters, trainRowsFor(kc))
     // Materialized like ivfPqTopK's cq: the assigned corpus IS the
     // stored index (ann_ivf_stored reads it from the lake); deriving
-    // it inline fuses the 16-literal-dot assignment into the probe
+    // it inline fuses the literal-centroid assignment into the probe
     // join's codegen stage. Measured 1.8 -> 0.8 s warm at sf1.
     ivfTopKStored(queries, assignToCentroids(corpus, cents).pin(false),
       cents, k, nProbe)
@@ -251,11 +302,15 @@ object Similarity {
     * without ever retraining or reshuffling history. `assigned` is the
     * corpus with its `cid` bucket column (vec_id, embedding, label,
     * cid). Plain [[ivfTopK]] is exactly this search over a
-    * train-on-the-spot assignment. */
+    * train-on-the-spot assignment. `nProbe = 0` (the default) derives
+    * the probe width from the quantizer's OWN k ([[adaptiveProbe]]) —
+    * the committed centroid rows version the operating point, so a
+    * stored serve probes exactly what the trainer's serve did. */
   def ivfTopKStored(queries: DataFrame, assigned: DataFrame,
-                    cents: Array[Array[Float]], k: Int, nProbe: Int = 2): DataFrame = {
+                    cents: Array[Array[Float]], k: Int, nProbe: Int = 0): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
+    val np = if (nProbe > 0) nProbe else adaptiveProbe(cents.length)
     val c = assigned.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
       col("label").as("n_label"), col("cid").as("cent_id"))
       .withColumn("n_n", vecDot(spark, col("n_vec"), col("n_vec")))
@@ -270,7 +325,7 @@ object Similarity {
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cent_cos").desc, col("cent_id"))
     val probed = q.crossJoin(centsDf)
       .withColumn("cent_cos", vecDot(spark, col("q_vec"), col("cent_vec")) / sqrt(col("cent_n")))
-      .withColumn("cent_rnk", row_number().over(wProbe)).where(col("cent_rnk") <= nProbe)
+      .withColumn("cent_rnk", row_number().over(wProbe)).where(col("cent_rnk") <= np)
       .drop("cent_vec", "cent_n", "cent_cos", "cent_rnk")
     // No distinct: each corpus vector lives in exactly ONE inverted
     // list (assignToCentroids emits one row per vector; the streaming
@@ -361,12 +416,15 @@ object Similarity {
     * cent_id, and every kernel (vec_q8, vec_dot_i8, vec_dot) is a
     * native codegen'd expression. */
   def ivfSq8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
-                 nCentroids: Int = 16, nProbe: Int = 4, overFetch: Int = 4,
+                 nCentroids: Int = 0, nProbe: Int = 0, overFetch: Int = 4,
                  kmeansIters: Int = 3): DataFrame = {
     import graft.expressions.Int8Vec.{vecDotI8, vecQ8}
     val spark = queries.sparkSession
     import spark.implicits._
-    val cents = kmeansCentroids(corpus, nCentroids, kmeansIters)
+    val kc = if (nCentroids > 0) nCentroids
+             else adaptiveCentroids(graft.operators.PlanCache.countMemo(corpus))
+    val np = if (nProbe > 0) nProbe else adaptiveProbe(kc)
+    val cents = kmeansCentroids(corpus, kc, kmeansIters, trainRowsFor(kc))
     // Stored/hot corpus representation: (centroid list id, int8 codes).
     val cq = corpus.select(col("vec_id").as("n_id"),
         vecQ8(spark, col("embedding")).as("n_q"),
@@ -382,7 +440,7 @@ object Similarity {
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cent_cos").desc, col("cent_id"))
     val probed = q.crossJoin(centsDf)
       .withColumn("cent_cos", vecDot(spark, col("q_vec"), col("cent_vec")) / sqrt(col("cent_n")))
-      .withColumn("cent_rnk", row_number().over(wProbe)).where(col("cent_rnk") <= nProbe)
+      .withColumn("cent_rnk", row_number().over(wProbe)).where(col("cent_rnk") <= np)
       .select(col("q_id"), col("q_q"), col("q_qn"), col("cent_id"))
     // Quantized candidate scan, restricted to the probed lists.
     val wQ = Window.partitionBy(col("q_id")).orderBy(col("cos_q_micro").desc, col("n_id"))
@@ -575,12 +633,15 @@ object Similarity {
     * the ADC sum is unrolled into codegen-friendly element_at chains,
     * and the shortlist rides the native bounded-memory top-k. */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-                nCentroids: Int = 16, nProbe: Int = 4,
+                nCentroids: Int = 0, nProbe: Int = 0,
                 nSub: Int = 8, nCodes: Int = 32, overFetch: Int = 8,
                 kmeansIters: Int = 3): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val cents = kmeansCentroids(corpus, nCentroids, kmeansIters)
+    val kc = if (nCentroids > 0) nCentroids
+             else adaptiveCentroids(graft.operators.PlanCache.countMemo(corpus))
+    val np = if (nProbe > 0) nProbe else adaptiveProbe(kc)
+    val cents = kmeansCentroids(corpus, kc, kmeansIters, trainRowsFor(kc))
     val books = pqCodebooks(corpus, nSub, nCodes)
     // Stored/hot corpus representation: (centroid list id, PQ codes,
     // stored float norm) — what the lake would persist for this index.
@@ -613,7 +674,7 @@ object Similarity {
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cent_cos").desc, col("cent_id"))
     val probed = qq.crossJoin(centsDf)
       .withColumn("cent_cos", vecDot(spark, col("q_vec"), col("cent_vec")) / sqrt(col("cent_n")))
-      .withColumn("cent_rnk", row_number().over(wProbe)).where(col("cent_rnk") <= nProbe)
+      .withColumn("cent_rnk", row_number().over(wProbe)).where(col("cent_rnk") <= np)
       .select(col("q_id"), col("q_n"), col("lut"), col("cent_id"))
     // ADC scan restricted to the probed lists (each corpus vector lives
     // in exactly ONE list, so no candidate dedup is needed).
@@ -655,7 +716,8 @@ object Similarity {
   def lshNearDupPairs(corpus: DataFrame, bandBits: Int = 0, nBands: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
     val bb = if (bandBits > 0) bandBits
-             else graft.functions.VectorFunctions.adaptivePlanes(corpus.count(), targetOcc = 4)
+             else graft.functions.VectorFunctions.adaptivePlanes(
+               graft.operators.PlanCache.countMemo(corpus), targetOcc = 4)
     val c = corpus.select(col("vec_id"), col("embedding"))
       .withColumn("n", vecDot(spark, col("embedding"), col("embedding")))
     val bands = c.select(col("vec_id").as("id"),
@@ -742,20 +804,25 @@ object Similarity {
     * spec'd in SimilaritySpec.
     *
     * `nCentroids = 0` (the default) ADAPTS the cluster count to the
-    * corpus: k = ceil(sqrt(n)) from one cheap count (clamped to
-    * [8, 4096]) — expected cluster size and cluster count BOTH grow as
-    * sqrt(n), so within-cluster candidate pairs are O(n^1.5) instead of
-    * the O(n^2 / k_fixed) a pinned k degrades to (the same disease the
-    * hyperplane grid had; measured 5.5x per data decade before this
-    * adapted). Assignment stays map-only at any k because the argmax
-    * rides the native single-pass [[graft.expressions.NearestCentroid]]
-    * kernel rather than k inlined literal dot products. */
+    * corpus: k = ceil(sqrt(n)) from the memoized corpus count, floor 8
+    * and NO ceiling — expected cluster size and cluster count BOTH grow
+    * as sqrt(n), so within-cluster candidate pairs are O(n^1.5) instead
+    * of the O(n^2 / k_fixed) a pinned k degrades to (the same disease
+    * the hyperplane grid had; measured 5.5x per data decade before this
+    * adapted). The old 4096 ceiling re-introduced n^2/4096 pair growth
+    * past ~1.7e7 vectors; it existed because assignment cost O(k*dim)
+    * per row — lifted now that the argmax rides the
+    * [[graft.expressions.NearestCentroid]] kernel's two-level
+    * coarse-quantized scan (O(2*sqrt(k)*dim) per row past 64 clusters),
+    * with the training sample scaled to >= 20 rows per cluster. */
+  def adaptiveClusterCount(n: Long): Int =
+    math.max(8, math.ceil(math.sqrt(math.max(1L, n).toDouble)).toInt)
+
   def semanticNearDupPairs(corpus: DataFrame, nCentroids: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     val k0 = if (nCentroids > 0) nCentroids
-             else math.min(4096, math.max(8,
-               math.ceil(math.sqrt(corpus.count().toDouble)).toInt))
-    val cents = kmeansCentroids(corpus, k0)
+             else adaptiveClusterCount(graft.operators.PlanCache.countMemo(corpus))
+    val cents = kmeansCentroids(corpus, k0, iters = 3, maxTrainRows = trainRowsFor(k0))
     val c = corpus.select(col("vec_id"), col("embedding"))
       .withColumn("n", vecDot(spark, col("embedding"), col("embedding")))
       .withColumn("cid", nearestCentroidId(spark, col("embedding"), cents))
@@ -792,9 +859,10 @@ object Similarity {
                      nPlanes: Int = 0): DataFrame =
     majorityVote(lshTopK(queries, corpus, k, nPlanes))
 
-  /** IVF-bucketed kNN classification (data-adaptive buckets). */
+  /** IVF-bucketed kNN classification (data-adaptive buckets; the
+    * defaults adapt the quantizer to the corpus like [[ivfTopK]]). */
   def knnClassifyIvf(queries: DataFrame, corpus: DataFrame, k: Int,
-                     nCentroids: Int = 16, nProbe: Int = 2): DataFrame =
+                     nCentroids: Int = 0, nProbe: Int = 0): DataFrame =
     majorityVote(ivfTopK(queries, corpus, k, nCentroids, nProbe))
 
   /** Persist a trained quantizer to the lake: one row per (cid,

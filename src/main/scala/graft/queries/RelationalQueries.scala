@@ -835,7 +835,10 @@ object RelationalQueries {
     * shuffle of all keys. Spec'd against the exact top-k.
     *
     * The tracked-item budget ADAPTS: min(1M, max(10k, 8x a cheap
-    * approx-distinct pre-pass)). A fixed 10k budget went empty the
+    * approx-distinct estimate, MEMOIZED per dataset — the first serve
+    * pays one partial-agg'd scan, every later serve reads the memo, so
+    * the serve plan itself is a single orders scan)). A fixed 10k
+    * budget went empty the
     * moment the key space outgrew it on near-uniform counts (found by
     * the sf1 row-bound gate: 150k distinct customers at ~10 orders
     * each -> the sketch can no longer GUARANTEE any top-k item and
@@ -847,8 +850,10 @@ object RelationalQueries {
     * suffices at any scale. */
   def qHeavyHittersApprox(spark: SparkSession, dir: String): DataFrame = {
     val orders = t(spark, dir, "orders")
-    val approxD = orders.agg(approx_count_distinct(col("o_custkey")).as("d"))
-      .head().getLong(0) // one bounded row
+    val approxD = graft.operators.PlanCache.scalarMemo(orders, "approx_distinct:o_custkey") {
+      orders.agg(approx_count_distinct(col("o_custkey")).as("d"))
+        .head().getLong(0) // one bounded row
+    }
     val budget = math.min(1000000L, math.max(10000L, 8L * approxD))
     orders
       .agg(expr(s"approx_top_k(o_custkey, 10, $budget)").as("tops"))

@@ -1100,7 +1100,14 @@ object TextQueries {
 
   /** Fuzzy near-match pairs via prefix-blocked Levenshtein
     * (`Dedup.fuzzyPrefixPairs`): the entity-resolution primitive,
-    * hash-exact against DuckDB's identical builtin edit distance. */
+    * hash-exact against DuckDB's identical builtin edit distance.
+    * DIAGNOSTIC PAIR CENSUS, not a pipeline stage: its OUTPUT is the
+    * pair list itself, which grows quadratically in duplicate density
+    * by problem statement (the sf1 decade measures it super-linear for
+    * exactly that reason — do not "fix" it); the linear production
+    * terminal over the same census is [[fuzzySurvivorsQ]]
+    * (text_fuzzy_survivors), which contracts pairs to one row per
+    * document. */
   def fuzzyPairsQ(spark: SparkSession, dir: String): DataFrame =
     Dedup.fuzzyPrefixPairs(docs(spark, dir))
       .orderBy(col("id1"), col("id2"))
@@ -1291,15 +1298,32 @@ object TextQueries {
     * gradient sums are order-independent), the second run does NOT
     * retrain, and stored-path scores equal fresh-model scores row for
     * row. No SQL engine trains a model, so the driver records the
-    * rows+schema gate (the batch count is exactly derivable). */
-  def qualityStoredQ(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+    * rows+schema gate (the batch count is exactly derivable).
+    *
+    * REFRESH CONTRACT (train-once is not train-forever): before
+    * serving, the batch's feature means are checked against the
+    * serving model's OWN standardization stats
+    * ([[graft.operators.QualityModel.driftZ]] — one bounded
+    * batch-sized aggregation). A batch within [[QualityDriftZ]] stored
+    * standard deviations serves the frozen model; a drifted batch is a
+    * corpus that moved, so a NEW version is trained on the drifted
+    * batch (the sliding-window refresh a production filter runs) and
+    * committed — and because the new version's stats DESCRIBE that
+    * batch, the next identical run measures z ~ 0 and commits nothing:
+    * no-drift => no new version, injected drift => exactly one
+    * (QualityModelSpec pins both), and the serve always reads the
+    * LATEST committed closure. */
+  private[graft] val QualityDriftZ = 0.5
+
+  def qualityStoredQ(spark: SparkSession, dir: String): DataFrame =
+    qualityStoredServe(spark, docs(spark, dir),
+      graft.sinks.LakeRoot.root(spark, dir, "quality_model_v1"))
+
+  private[graft] def qualityStoredServe(spark: SparkSession,
+      d: DataFrame, root: String): DataFrame = {
     val isDelta = col("doc_id") % 16 === 0
-    val root = graft.sinks.LakeRoot.root(spark, dir, "quality_model_v1")
-    if (graft.sinks.VersionedTable.latestVersion(spark, root).isEmpty) {
-      val raw = qualityFeatures(d.where(!isDelta)).localCheckpoint(true)
-      val (f, stats) = graft.operators.QualityModel.standardize(raw, QualityFeatCols)
-      val w = graft.operators.QualityModel.train(f, QualityFeatCols, "y", lr = 2.0, steps = 25)
+
+    def commitClosure(w: Array[Double], stats: Array[(Double, Double)]): Unit = {
       // j = 0 is the bias (identity standardization); j >= 1 carries
       // feature j-1's (mean, sd) so the model row set is the WHOLE
       // scoring closure — a consumer needs nothing else.
@@ -1309,16 +1333,38 @@ object TextQueries {
       }
       import spark.implicits._
       graft.sinks.VersionedTable.commit(rows.toDF("j", "w", "mean", "sd"), root)
+      ()
     }
-    val model = graft.sinks.VersionedTable.read(spark, root, Some(0L))
-      .select(col("j"), col("w"), col("mean"), col("sd"))
-      .collect().sortBy(_.getInt(0)) // k+1 rows, bounded by design
-    val w = model.map(_.getDouble(1))
-    val stats = model.drop(1).map(r => (r.getDouble(2), r.getDouble(3)))
+
+    def trainOn(slice: DataFrame): (Array[Double], Array[(Double, Double)]) = {
+      val raw = qualityFeatures(slice).localCheckpoint(true)
+      val (f, stats) = graft.operators.QualityModel.standardize(raw, QualityFeatCols)
+      val w = graft.operators.QualityModel.train(f, QualityFeatCols, "y", lr = 2.0, steps = 25)
+      (w, stats)
+    }
+
+    if (graft.sinks.VersionedTable.latestVersion(spark, root).isEmpty) {
+      val (w, stats) = trainOn(d.where(!isDelta))
+      commitClosure(w, stats)
+    }
+    def loadLatest(): (Array[Double], Array[(Double, Double)]) = {
+      val model = graft.sinks.VersionedTable.read(spark, root, None)
+        .select(col("j"), col("w"), col("mean"), col("sd"))
+        .collect().sortBy(_.getInt(0)) // k+1 rows, bounded by design
+      (model.map(_.getDouble(1)),
+        model.drop(1).map(r => (r.getDouble(2), r.getDouble(3))))
+    }
+    var (w, stats) = loadLatest()
+    val rawBatch = qualityFeatures(d.where(isDelta))
+    // Refresh trigger: batch means vs the SERVING model's stats.
+    if (graft.operators.QualityModel.driftZ(rawBatch, QualityFeatCols, stats) > QualityDriftZ) {
+      val (w1, stats1) = trainOn(d.where(isDelta))
+      commitClosure(w1, stats1)
+      w = w1; stats = stats1
+    }
     // Standardize the batch with the STORED (mean, sd) — the identical
     // (x - lit(mean)) / lit(sd) expression standardize() builds, so a
     // stored-model score is bit-equal to a fresh-model score.
-    val rawBatch = qualityFeatures(d.where(isDelta))
     val fBatch = QualityFeatCols.zipWithIndex.foldLeft(rawBatch) {
       case (df, (f, j)) => df.withColumn(f, (col(f) - lit(stats(j)._1)) / lit(stats(j)._2))
     }

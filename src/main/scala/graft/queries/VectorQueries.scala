@@ -23,7 +23,7 @@ object VectorQueries {
     * ([[annIvfStream]]) index maintainers, which is the point of the
     * freeze: every consumer assigns against the SAME centroids. */
   private def ivfCentroidRoot(spark: SparkSession, dir: String): String =
-    graft.sinks.LakeRoot.root(spark, dir, "ivf_cent_v2")
+    graft.sinks.LakeRoot.root(spark, dir, "ivf_cent_v3")
 
   /** Exact top-10 neighbors for query vectors (vec_id % 100 == 0). */
   def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
@@ -254,8 +254,13 @@ object VectorQueries {
     // deterministic k-means makes any racing first-time trainer's
     // content identical anyway.
     val root = ivfCentroidRoot(spark, dir)
+    // The k the index was CREATED at adapts to the corpus as of index
+    // creation (sqrt(n) lists) and is versioned BY the commit itself:
+    // the quantizer table's row count IS k, so every later serve
+    // derives the same probe width from the reloaded centroids alone.
     Similarity.commitCentroidsIfAbsent(spark, root)(
-      Similarity.kmeansCentroids(all, 16))
+      Similarity.kmeansCentroids(all,
+        Similarity.adaptiveCentroids(graft.operators.PlanCache.countMemo(all))))
     val cents = Similarity.readCommittedCentroids(spark, root)
     // Two arrival batches assigned independently map-only — the union
     // IS the incrementally-built index (spec'd equal to a full rebuild).
@@ -319,7 +324,7 @@ object VectorQueries {
     * `foldHistory` retention leaves the served result unchanged. */
   def annIvfStream(spark: SparkSession, dir: String): DataFrame = {
     val all = emb(spark, dir)
-    val base = graft.sinks.LakeRoot.root(spark, dir, "ivf_stream_v1")
+    val base = graft.sinks.LakeRoot.root(spark, dir, "ivf_stream_v2")
     graft.sinks.LakeRoot.mkdirs(spark, base)
     val src = graft.sinks.LakeRoot.fixture(spark,
       graft.sinks.LakeRoot.child(base, "src")) { staging =>
@@ -330,7 +335,8 @@ object VectorQueries {
     // first-time trainer's content identical).
     val centRoot = ivfCentroidRoot(spark, dir)
     Similarity.commitCentroidsIfAbsent(spark, centRoot)(
-      Similarity.kmeansCentroids(all, 16))
+      Similarity.kmeansCentroids(all,
+        Similarity.adaptiveCentroids(graft.operators.PlanCache.countMemo(all))))
     val cents = Similarity.readCommittedCentroids(spark, centRoot)
     val root = graft.sinks.LakeRoot.child(base, "lists")
     val schema = spark.read.parquet(src).schema

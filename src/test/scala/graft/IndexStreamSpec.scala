@@ -98,8 +98,12 @@ class IndexStreamSpec extends SparkSpec {
     val root = s"$tmp/lists"
     val all = TableLoader.load(spark, Sf, "embeddings")
     all.repartition(3).write.parquet(src)
+    // Freeze the quantizer at the SAME adaptive operating point plain
+    // ivfTopK derives (k = ceil(sqrt(n))), so served == plain holds.
+    val kc = Similarity.adaptiveCentroids(
+      graft.operators.PlanCache.countMemo(all))
     Similarity.commitCentroidsIfAbsent(spark, s"$tmp/cents")(
-      Similarity.kmeansCentroids(all, 16))
+      Similarity.kmeansCentroids(all, kc, 3, Similarity.trainRowsFor(kc)))
     val cents = Similarity.readCommittedCentroids(spark, s"$tmp/cents")
     def stream = spark.readStream.schema(spark.read.parquet(src).schema)
       .option("maxFilesPerTrigger", "1").parquet(src)

@@ -128,4 +128,42 @@ class QualityModelSpec extends SparkSpec {
       case None => spark.conf.unset("spark.graft.lake.root")
     }
   }
+
+  test("refresh contract: injected drift commits exactly one new version, then stabilizes") {
+    // The no-drift half lives in the previous test (two runs on the
+    // same corpus stay at version 0). Here the delta batch's text is
+    // replaced with pathological repetition (no stopwords, low alpha,
+    // extreme rep ratio) — feature means many stored sds away — so the
+    // serve must retrain ON the drifted batch, commit it as v1, serve
+    // v1, and measure z ~ 0 on the next identical run (no v2).
+    val root = java.nio.file.Files.createTempDirectory("graft_qual_drift")
+      .toString + "/model"
+    val d = graft.sources.TableLoader.load(spark, Sf, "documents")
+    val drifted = d.withColumn("text",
+      when(col("doc_id") % 16 === 0,
+        concat_ws(" ", typedLit(Seq.fill(40)("zzzz!!!!")))).otherwise(col("text")))
+    val first = TextQueries.qualityStoredServe(spark, drifted, root)
+      .collect().map(_.toSeq).toSeq
+    assert(graft.sinks.VersionedTable.latestVersion(spark, root) === Some(1L),
+      "injected drift must commit exactly one refresh version")
+    val second = TextQueries.qualityStoredServe(spark, drifted, root)
+      .collect().map(_.toSeq).toSeq
+    assert(graft.sinks.VersionedTable.latestVersion(spark, root) === Some(1L),
+      "a second run on the SAME drifted corpus must not commit again " +
+        "(the refresh model's stats describe the batch)")
+    assert(second === first)
+    // The serve genuinely uses the refreshed closure: v1's weights
+    // equal a from-scratch train on the drifted batch, not v0's.
+    val batch = TextQueries.qualityFeatures(
+      drifted.where(col("doc_id") % 16 === 0)).localCheckpoint(true)
+    val (fb, statsRef) = QualityModel.standardize(batch, TextQueries.QualityFeatCols)
+    val wRef = QualityModel.train(fb, TextQueries.QualityFeatCols, "y", 2.0, 25)
+    val v1 = graft.sinks.VersionedTable.read(spark, root, Some(1L))
+      .collect().sortBy(_.getAs[Int]("j"))
+    assert(v1.map(_.getAs[Double]("w")).toSeq === wRef.toSeq)
+    val v0 = graft.sinks.VersionedTable.read(spark, root, Some(0L))
+      .collect().sortBy(_.getAs[Int]("j"))
+    assert(v0.map(_.getAs[Double]("w")).toSeq !== wRef.toSeq,
+      "drift fixture too weak: refresh weights equal the frozen ones")
+  }
 }

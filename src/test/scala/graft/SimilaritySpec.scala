@@ -286,6 +286,81 @@ class SimilaritySpec extends SparkSpec {
     assert(aIvf >= 0.9, s"IVF agreement=$aIvf") // measured 1.0
   }
 
+  test("adaptive IVF defaults hold recall on clustered data") {
+    // The defaults (k = ceil(sqrt(n)), nProbe = ceil(sqrt(k))) must
+    // hold the recall the old pinned 16/2 operating point was graded
+    // at — this is the operating point every ann_ivf* driver query now
+    // runs, so it gets its own gate.
+    val q = clustered.where(col("vec_id") >= 500)
+    val corp = clustered.where(col("vec_id") < 500)
+    val bf = Similarity.bruteForceTopK(q, corp, k = 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(q, corp, k = 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.9, s"adaptive-default recall=$recall")
+  }
+
+  test("adaptive grids keep sizing beyond the retired caps (formulas, not timings)") {
+    // SemDeDup's cluster count: the old min(4096, .) ceiling re-entered
+    // n^2/4096 pair growth past ~1.7e7 vectors; now sqrt carries on.
+    assert(Similarity.adaptiveClusterCount(1000000000L) === 31623)
+    // IVF centroid count tracks the same sqrt law, floor 16.
+    assert(Similarity.adaptiveCentroids(100L) === 16)
+    assert(Similarity.adaptiveCentroids(1000000000L) === 31623)
+    // Probe width: sqrt(k), reproducing nProbe=4 at the legacy k=16.
+    assert(Similarity.adaptiveProbe(16) === 4)
+    assert(Similarity.adaptiveProbe(31623) === 178)
+    // Hyperplane planes: the packed-INT cap was 24 (occupancy linear
+    // again past ~2.7e8 vectors at targetOcc=16); LONG keys carry the
+    // log2 law through — 2^40 vectors wants 36 planes and GETS them.
+    assert(VectorFunctions.adaptivePlanes(1L << 40, targetOcc = 16) === 36)
+    assert(VectorFunctions.adaptivePlanes(1L << 40, targetOcc = 4) === 38)
+    // The long-key width (62) only binds past targetOcc * 2^62 — not
+    // representable as a corpus count: even Long.MaxValue vectors stay
+    // under the cap, so the log2 law is effectively uncapped.
+    assert(VectorFunctions.adaptivePlanes(Long.MaxValue, targetOcc = 16) === 60)
+  }
+
+  test("two-level assignment engages past the threshold and recovers each centroid exactly") {
+    import graft.expressions.{CentroidOps, NearestCentroid}
+    val k = 100 // > TwoLevelThreshold (64): the coarse-then-fine path
+    assert(k > CentroidOps.TwoLevelThreshold)
+    val cents = Array.tabulate(k)(i =>
+      Array.tabulate(64)(j => mix(i.toLong * 64 + j).toFloat))
+    // A vector EQUAL to fine centroid i must be assigned to i: the
+    // query-time coarse pick uses the SAME rule that grouped centroid
+    // i into its cell, and within the cell cos(c_i, c_i) = 1 dominates.
+    val vecs = cents.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
+      .toSeq.toDF("vec_id", "embedding")
+    val assigned = vecs.select(col("vec_id"),
+        NearestCentroid.nearestCol(spark, col("embedding"), cents).as("cid"))
+      .as[(Long, Int)].collect().toMap
+    (0 until k).foreach { i =>
+      assert(assigned(i.toLong) === i, s"centroid $i landed in cell ${assigned(i.toLong)}")
+    }
+    // Totality on arbitrary vectors: every assignment lands in [0, k).
+    val cids = clustered.limit(200).select(
+        NearestCentroid.nearestCol(spark, col("embedding"), cents).as("cid"))
+      .as[Int].collect()
+    assert(cids.forall(c => c >= 0 && c < k))
+  }
+
+  test("LSH top-k holds recall at a large-plane operating point (radius-3 probing)") {
+    // The probe radius must scale with the grid: at p=16 a Hamming<=2
+    // ball loses moderate-cosine neighbors (P[<=2 of 16] << P[<=1 of 8]
+    // at flip prob ~0.14), which is exactly the large-corpus operating
+    // point adaptivePlanes drives to. The r=3 schedule holds recall.
+    val q = clustered.where(col("vec_id") >= 500)
+    val corp = clustered.where(col("vec_id") < 500)
+    val bf = Similarity.bruteForceTopK(q, corp, k = 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(q, corp, k = 10, nPlanes = 16)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect lsh).size.toDouble / bf.size
+    assert(recall >= 0.85, s"recall=$recall at nPlanes=16")
+  }
+
   test("versioned quantizer commit: train-once no-op and v0 pinning") {
     val root = java.nio.file.Files.createTempDirectory("graft_ivf_vt").toString + "/quantizer"
     val trained = Similarity.kmeansCentroids(emb, nCentroids = 8)
@@ -347,7 +422,13 @@ class SimilaritySpec extends SparkSpec {
     val ivf = Similarity.ivfTopK(q, emb, k = 10)
       .select("q_id", "rnk", "n_id").as[(Long, Int, Long)].collect().toSet
     val root = java.nio.file.Files.createTempDirectory("graft_ivf_sq").toString + "/q"
-    Similarity.saveCentroids(spark, Similarity.kmeansCentroids(emb, 16), root)
+    // Train at the SAME adaptive operating point plain ivfTopK derives
+    // (k = ceil(sqrt(n))); the stored serve then re-derives its probe
+    // width from the reloaded quantizer's own row count.
+    val kc = Similarity.adaptiveCentroids(
+      graft.operators.PlanCache.countMemo(emb))
+    Similarity.saveCentroids(spark,
+      Similarity.kmeansCentroids(emb, kc, 3, Similarity.trainRowsFor(kc)), root)
     val cents = Similarity.loadCentroids(spark, root)
     val lists = Similarity.assignToCentroids(emb.where(col("vec_id") % 2 === 0), cents)
       .unionAll(Similarity.assignToCentroids(emb.where(col("vec_id") % 2 =!= 0), cents))

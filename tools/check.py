@@ -47,6 +47,10 @@ row_bounds = load_optional(f"{OUT}/row_bounds.json")
 expected_schema = load_optional(f"{OUT}/expected_schema.json")
 actual_schema = load_optional(f"{OUT}/schemas.json")
 con = duckdb.connect()
+# DUCKDB_THREADS=N bounds the oracle's parallelism so a background heavy
+# oracle doesn't starve a concurrent sbt build on the same box.
+if os.environ.get("DUCKDB_THREADS"):
+    con.sql(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
 tables = "region nation customer supplier part orders lineitem events documents embeddings".split()
 for t in tables:
     p = f"{SF_DIR}/{t}.parquet"

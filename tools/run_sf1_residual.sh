@@ -1,0 +1,25 @@
+#!/bin/bash
+# Drive the 21 heavy sf1 DuckDB oracles one at a time (cheapest first),
+# merging verdicts into $ART so a kill loses at most one query's work.
+set -u
+ART=/root/repo/CORRECTNESS_r13_sf1_residual.json
+OUT=/tmp/graft_verify_r12_sf1
+SF=/root/repo/target/sf1
+LOG=/tmp/sf1_residual.log
+: > "$LOG"
+QUERIES=(
+  dedup_cluster_sizes dedup_stats dedup_corpus dedup_survivors dedup_survivors_inc
+  text_pipeline_corpus text_containment dedup_ngram_jaccard
+  text_dedup_spans text_dedup_spans_char text_dedup_spans_char_corpus
+  text_fuzzy_survivors
+  graph_triangles graph_label_prop
+  graph_pagerank graph_pagerank_weighted graph_pagerank_inc graph_pagerank_stream
+  ann_bruteforce vec_mmr vec_hard_negatives
+)
+for q in "${QUERIES[@]}"; do
+  echo "=== $(date +%H:%M:%S) $q" >> "$LOG"
+  SKIP_SPARK=1 DUCKDB_THREADS=${DUCKDB_THREADS:-16} ONLY="$q" \
+    MERGE_JSON="$ART" CHECK_JSON="$ART" \
+    python3 /root/repo/tools/check.py "$SF" "$OUT" >> "$LOG" 2>&1
+done
+echo "=== $(date +%H:%M:%S) ALL DONE" >> "$LOG"

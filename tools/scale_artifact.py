@@ -41,6 +41,20 @@ art = {
     "per_query_min_sec_sf1": {q: round(qb[q], 3) for q in common},
     "sf01": stamp(a),
     "sf1": stamp(b),
+    # Flat growth that is a DOMAIN CONTRACT, not engine scaling: readers
+    # of the suite-growth figure must not credit these to the engine.
+    "bounded_anchor_queries": {
+        "dedup_embedding": (
+            "exact all-pairs anchor over the FIXED vec_id < 2000 slice "
+            "(the whole corpus at gate SFs, a constant-size slice of any "
+            "larger lake) - its flat cost is the anchor's bounded-domain "
+            "contract; the engine-scaling twins are dedup_embedding_lsh "
+            "and dedup_semantic"),
+        "text_fuzzy_pairs": (
+            "diagnostic PAIR CENSUS whose output grows quadratically in "
+            "duplicate density by problem statement; the linear "
+            "production path is text_fuzzy_survivors"),
+    },
     "notes": notes,
 }
 json.dump(art, open(out, "w"), indent=1, sort_keys=True)
