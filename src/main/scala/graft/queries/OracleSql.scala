@@ -92,16 +92,28 @@ object OracleSql {
   /** Shared recursive-CTE prefix for the near-dup connected-components
     * oracles: exact word-3-gram Jaccard >= 60% pairs, symmetric edge
     * closure, transitive reachability. Ends after `nodes` so consumers
-    * append their own final SELECT (and optional extra CTEs). */
+    * append their own final SELECT (and optional extra CTEs).
+    * Candidates come from an INVERTED-INDEX join (explode shingles,
+    * equijoin on the hash, count shared) rather than an all-pairs
+    * list_intersect — identical semantics (|A ∪ B| = n1 + n2 - common
+    * on distinct lists, and a zero-overlap pair can never reach the
+    * threshold) but a plan DuckDB can run at sf1: the all-pairs form
+    * is 2e10 list intersects over 200k documents. */
   private val nearDupCc: String =
     s"""WITH RECURSIVE
        |d0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |d AS (SELECT doc_id, $shingleHashesFromW AS sh FROM d0),
        |dd AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
+       |shex AS (SELECT doc_id, UNNEST(sh) AS h FROM dd),
+       |shsz AS (SELECT doc_id, len(sh) AS n FROM dd),
+       |shcand AS (
+       | SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS common
+       | FROM shex a JOIN shex b ON a.h = b.h AND a.doc_id < b.doc_id
+       | GROUP BY 1, 2),
        |p AS (
-       | SELECT a.doc_id AS id1, b.doc_id AS id2
-       | FROM dd a JOIN dd b ON a.doc_id < b.doc_id
-       | WHERE 10000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 6000),
+       | SELECT id1, id2 FROM shcand
+       | JOIN shsz s1 ON s1.doc_id = id1 JOIN shsz s2 ON s2.doc_id = id2
+       | WHERE 10000.0 * common / (s1.n + s2.n - common) >= 6000),
        |edges AS (SELECT id1 AS src, id2 AS dst FROM p UNION SELECT id2, id1 FROM p),
        |reach(src, dst) AS (
        | SELECT src, dst FROM edges
@@ -1732,10 +1744,16 @@ object OracleSql {
          |    AND doc_id % 29 <> 0),
          |d AS (SELECT doc_id, $shingleHashesFromW AS sh FROM g),
          |dd AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
+         |shex AS (SELECT doc_id, UNNEST(sh) AS h FROM dd),
+         |shsz AS (SELECT doc_id, len(sh) AS n FROM dd),
+         |shcand AS (
+         | SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS common
+         | FROM shex a JOIN shex b ON a.h = b.h AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2),
          |p AS (
-         | SELECT a.doc_id AS id1, b.doc_id AS id2
-         | FROM dd a JOIN dd b ON a.doc_id < b.doc_id
-         | WHERE 10000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 6000),
+         | SELECT id1, id2 FROM shcand
+         | JOIN shsz s1 ON s1.doc_id = id1 JOIN shsz s2 ON s2.doc_id = id2
+         | WHERE 10000.0 * common / (s1.n + s2.n - common) >= 6000),
          |edges AS (SELECT id1 AS src, id2 AS dst FROM p UNION SELECT id2, id1 FROM p),
          |reach(src, dst) AS (
          | SELECT src, dst FROM edges
@@ -1997,10 +2015,13 @@ object OracleSql {
       s"""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |d AS (SELECT doc_id, $shingleHashesFromW AS sh FROM d0),
          |dd AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
-         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
-         |  len(list_intersect(a.sh, b.sh)) AS common, len(a.sh) AS n1, len(b.sh) AS n2
-         |  FROM dd a JOIN dd b ON a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.sh, b.sh)) > 0),
+         |shex AS (SELECT doc_id, UNNEST(sh) AS h FROM dd),
+         |shsz AS (SELECT doc_id, len(sh) AS n FROM dd),
+         |p AS (SELECT c.id1, c.id2, c.common, s1.n AS n1, s2.n AS n2
+         |  FROM (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS common
+         |        FROM shex a JOIN shex b ON a.h = b.h AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2) c
+         |  JOIN shsz s1 ON s1.doc_id = c.id1 JOIN shsz s2 ON s2.doc_id = c.id2),
          |dir AS (SELECT id1 AS inner_id, id2 AS outer_id,
          |    CAST(FLOOR(10000.0 * common / n1) AS BIGINT) AS containment_bp FROM p
          |  UNION ALL SELECT id2, id1, CAST(FLOOR(10000.0 * common / n2) AS BIGINT) FROM p)
@@ -2010,11 +2031,18 @@ object OracleSql {
     "dedup_ngram_jaccard" ->
       s"""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |d AS (SELECT doc_id, $shingleHashesFromW AS sh FROM d0),
-         |dd AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0)
-         |SELECT a.doc_id AS id1, b.doc_id AS id2,
-         | CAST(FLOOR(10000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) AS jaccard_bp
-         |FROM dd a JOIN dd b ON a.doc_id < b.doc_id
-         |WHERE 10000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 6000
+         |dd AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
+         |shex AS (SELECT doc_id, UNNEST(sh) AS h FROM dd),
+         |shsz AS (SELECT doc_id, len(sh) AS n FROM dd),
+         |shcand AS (
+         | SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS common
+         | FROM shex a JOIN shex b ON a.h = b.h AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2)
+         |SELECT id1, id2,
+         | CAST(FLOOR(10000.0 * common / (s1.n + s2.n - common)) AS BIGINT) AS jaccard_bp
+         |FROM shcand
+         |JOIN shsz s1 ON s1.doc_id = id1 JOIN shsz s2 ON s2.doc_id = id2
+         |WHERE 10000.0 * common / (s1.n + s2.n - common) >= 6000
          |ORDER BY id1, id2""".stripMargin,
 
     "dedup_survivors" ->
