@@ -1436,29 +1436,50 @@ object OracleSql {
         |ORDER BY 1, 2""".stripMargin,
 
     // the same blocked-Levenshtein pair census contracted to survivor
-    // assignments: recursive reachability (as in dedup_survivors),
-    // canonical = component min, size = members per canonical
-    "text_fuzzy_survivors" ->
-      """WITH RECURSIVE
-        |d AS (SELECT doc_id, substr(text, 1, 8) AS blk,
+    // assignments: canonical = component min, size = members per
+    // canonical. The FUZZY pair graph is DENSE (1.36M pairs over 45k
+    // nodes at sf1 — near-dup clusters are quasi-cliques), so the
+    // recursive-reach closure the sparse dedup family uses explodes as
+    // sum(|comp|^2); instead the component min propagates through
+    // UNROLLED min-label rounds with POINTER JUMPING —
+    // comp'(v) = min(comp(v), min over neighbors comp(u), comp(comp(v)))
+    // — which reaches the component min in O(log n) rounds (each round
+    // at least doubles the label's hop reach, the classic shortcutting
+    // argument); 24 rounds cover any component of <= 2^23 nodes, far
+    // above any gate lake, and a non-converged label would FAIL the
+    // hash gate loudly rather than pass.
+    "text_fuzzy_survivors" -> {
+      // Every label table is referenced three times per round (self,
+      // neighbor, jump): without MATERIALIZED, DuckDB inlines CTEs and
+      // the plan fans out 3^rounds references (fd exhaustion on the
+      // parquet scan before it even runs).
+      val rounds = (0 until 24).map { k =>
+        s"""l${k + 1} AS MATERIALIZED (SELECT l.id, LEAST(l.comp, MIN(le.comp), MIN(lj.comp)) AS comp
+           | FROM l$k l
+           | JOIN edges e ON e.src = l.id
+           | JOIN l$k le ON le.id = e.dst
+           | JOIN l$k lj ON lj.id = l.comp
+           | GROUP BY l.id, l.comp)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH
+        |d AS MATERIALIZED (SELECT doc_id, substr(text, 1, 8) AS blk,
         |  substr(text, 1, 32) AS pfx FROM documents),
-        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |p AS MATERIALIZED (SELECT a.doc_id AS id1, b.doc_id AS id2
         | FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
         | WHERE levenshtein(a.pfx, b.pfx) <= 8),
-        |edges AS (SELECT id1 AS src, id2 AS dst FROM p
-        | UNION SELECT id2, id1 FROM p),
-        |reach(src, dst) AS (
-        | SELECT src, dst FROM edges
-        | UNION
-        | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-        |nodes AS (SELECT DISTINCT src AS id FROM edges),
-        |canon AS (SELECT n.id, LEAST(n.id, MIN(r.dst)) AS survivor_id
-        | FROM nodes n LEFT JOIN reach r ON r.src = n.id GROUP BY n.id),
+        |edges AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM p
+        | UNION ALL SELECT id2, id1 FROM p),
+        |n0 AS (SELECT DISTINCT src AS id FROM edges),
+        |l0 AS MATERIALIZED (SELECT n0.id, LEAST(n0.id, MIN(e.dst)) AS comp
+        | FROM n0 JOIN edges e ON e.src = n0.id GROUP BY n0.id),
+        |$rounds,
+        |canon AS (SELECT id, comp AS survivor_id FROM l24),
         |sizes AS (SELECT survivor_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
         | FROM canon GROUP BY 1)
         |SELECT c.id AS doc_id, c.survivor_id, s.cluster_size
         |FROM canon c JOIN sizes s USING (survivor_id)
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin
+    },
 
     // per-source distinct 8-gram sets share the decontamination hash
     // family; COUNT(*) over the equijoin of two DISTINCT (source, h)

@@ -3,7 +3,7 @@
 # merging verdicts into $ART so a kill loses at most one query's work.
 set -u
 ART=/root/repo/CORRECTNESS_r13_sf1_residual.json
-OUT=/tmp/graft_verify_r12_sf1
+OUT=/tmp/graft_verify_r13_sf1
 SF=/root/repo/target/sf1
 LOG=/tmp/sf1_residual.log
 : > "$LOG"
