@@ -92,12 +92,13 @@ object Similarity {
          else Seq.empty)
     val qBase = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       .withColumn("q_n", vecDot(spark, col("q_vec"), col("q_vec")))
-    // The broadcast probe relation is SLIM — (q_id, probe) ints only.
+    // The broadcast probe relation is SLIM — (q_id, probe) keys only.
     // Exploding the probe ball onto rows that carry the embedding would
-    // multiply the broadcast by the probe count (up to 1+p+p(p-1)/2 ~
-    // 300x at the plane cap), which is exactly the kind of driver-side
-    // blowup a 100 TB corpus cannot afford; the query VECTORS join back
-    // by q_id afterwards from a second broadcast that stays O(queries).
+    // multiply the broadcast by the probe count (~3k at the 10^9-vector
+    // operating point p=26 with the radius-3 schedule), which is exactly
+    // the kind of driver-side blowup a 100 TB corpus cannot afford; the
+    // query VECTORS join back by q_id afterwards from a second
+    // broadcast that stays O(queries).
     val qProbes = qBase
       .withColumn("bucket0", lshBucket(spark, col("q_vec"), p))
       .select(col("q_id"), explode(array(masks.map(m =>

@@ -217,17 +217,17 @@ object OracleSql {
     val iters = 5
     val rounds = (1 to iters).map { i =>
       s""",
-         |r$i AS (SELECT dst AS node,
+         |r$i AS MATERIALIZED (SELECT dst AS node,
          | CAST(150000 + (85 * CAST(SUM(pr // outdeg) AS BIGINT)) // 100 AS BIGINT) AS pr
          | FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node GROUP BY 1)""".stripMargin
     }.mkString
-    s"""WITH base AS (
+    s"""WITH base AS MATERIALIZED (
        | SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
        | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-       |edges AS (SELECT c AS src, s AS dst FROM base UNION ALL SELECT s, c FROM base),
-       |deg AS (SELECT src AS dsrc, COUNT(*) AS outdeg FROM edges GROUP BY 1),
-       |e AS (SELECT src, dst, outdeg FROM edges JOIN deg ON src = dsrc),
-       |r0 AS (SELECT dsrc AS node, CAST(1000000 AS BIGINT) AS pr FROM deg)$rounds,
+       |edges AS MATERIALIZED (SELECT c AS src, s AS dst FROM base UNION ALL SELECT s, c FROM base),
+       |deg AS MATERIALIZED (SELECT src AS dsrc, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+       |e AS MATERIALIZED (SELECT src, dst, outdeg FROM edges JOIN deg ON src = dsrc),
+       |r0 AS MATERIALIZED (SELECT dsrc AS node, CAST(1000000 AS BIGINT) AS pr FROM deg)$rounds,
        |rk AS (SELECT node, pr, ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS rnk FROM r$iters)
        |SELECT CAST(rnk AS INT) AS rnk, node, CAST(node % 2 AS INT) AS is_supplier, pr
        |FROM rk WHERE rnk <= 25 ORDER BY rnk""".stripMargin
@@ -1822,24 +1822,24 @@ object OracleSql {
     // oriented wedge close — every triangle counted once, at its
     // minimum-order vertex.
     "graph_triangles" ->
-      """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-        |pr AS (SELECT x.l_suppkey AS a, y.l_suppkey AS b, COUNT(*) AS n_orders
+      """WITH os AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |pr AS MATERIALIZED (SELECT x.l_suppkey AS a, y.l_suppkey AS b, COUNT(*) AS n_orders
         | FROM os x JOIN os y ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
         | GROUP BY 1, 2),
-        |adj AS (SELECT a AS s, b AS p, n_orders FROM pr
+        |adj AS MATERIALIZED (SELECT a AS s, b AS p, n_orders FROM pr
         | UNION ALL SELECT b, a, n_orders FROM pr),
-        |topn AS (SELECT s, p FROM (SELECT s, p,
+        |topn AS MATERIALIZED (SELECT s, p FROM (SELECT s, p,
         |  ROW_NUMBER() OVER (PARTITION BY s ORDER BY n_orders DESC, p) AS rn FROM adj)
         | WHERE rn <= 5),
-        |edges AS (SELECT DISTINCT LEAST(s, p) AS a, GREATEST(s, p) AS b FROM topn),
-        |deg AS (SELECT node, COUNT(*) AS dg FROM (
+        |edges AS MATERIALIZED (SELECT DISTINCT LEAST(s, p) AS a, GREATEST(s, p) AS b FROM topn),
+        |deg AS MATERIALIZED (SELECT node, COUNT(*) AS dg FROM (
         | SELECT a AS node FROM edges UNION ALL SELECT b FROM edges) GROUP BY 1),
-        |rk AS (SELECT node, dg * 4294967296 + node AS rk FROM deg),
-        |e AS (SELECT CASE WHEN ra.rk < rb.rk THEN a ELSE b END AS src,
+        |rk AS MATERIALIZED (SELECT node, dg * 4294967296 + node AS rk FROM deg),
+        |e AS MATERIALIZED (SELECT CASE WHEN ra.rk < rb.rk THEN a ELSE b END AS src,
         |  CASE WHEN ra.rk < rb.rk THEN b ELSE a END AS dst,
         |  GREATEST(ra.rk, rb.rk) AS rkd
         | FROM edges JOIN rk ra ON ra.node = edges.a JOIN rk rb ON rb.node = edges.b),
-        |tri AS (SELECT x.src AS u, x.dst AS v, y.dst AS w
+        |tri AS MATERIALIZED (SELECT x.src AS u, x.dst AS v, y.dst AS w
         | FROM e x JOIN e y ON x.src = y.src AND x.rkd < y.rkd
         | JOIN e z ON z.src = x.dst AND z.dst = y.dst)
         |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
@@ -1852,25 +1852,25 @@ object OracleSql {
     "graph_label_prop" -> {
       val rounds = (1 to 4).map { i =>
         s""",
-           |l$i AS (SELECT u AS node, label FROM (
+           |l$i AS MATERIALIZED (SELECT u AS node, label FROM (
            | SELECT adj.u, l.label, COUNT(*) AS c,
            |  ROW_NUMBER() OVER (PARTITION BY adj.u
            |    ORDER BY COUNT(*) DESC, l.label) AS rn
            | FROM adj JOIN l${i - 1} l ON adj.v = l.node
            | GROUP BY adj.u, l.label) WHERE rn = 1)""".stripMargin
       }.mkString
-      s"""WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-         |pr AS (SELECT x.l_suppkey AS a, y.l_suppkey AS b, COUNT(*) AS n_orders
+      s"""WITH os AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         |pr AS MATERIALIZED (SELECT x.l_suppkey AS a, y.l_suppkey AS b, COUNT(*) AS n_orders
          | FROM os x JOIN os y ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
          | GROUP BY 1, 2),
-         |adj0 AS (SELECT a AS s, b AS p, n_orders FROM pr
+         |adj0 AS MATERIALIZED (SELECT a AS s, b AS p, n_orders FROM pr
          | UNION ALL SELECT b, a, n_orders FROM pr),
-         |topn AS (SELECT s, p FROM (SELECT s, p,
+         |topn AS MATERIALIZED (SELECT s, p FROM (SELECT s, p,
          |  ROW_NUMBER() OVER (PARTITION BY s ORDER BY n_orders DESC, p) AS rn FROM adj0)
          | WHERE rn <= 5),
-         |edges AS (SELECT DISTINCT LEAST(s, p) AS a, GREATEST(s, p) AS b FROM topn),
-         |adj AS (SELECT a AS u, b AS v FROM edges UNION ALL SELECT b, a FROM edges),
-         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM adj)$rounds
+         |edges AS MATERIALIZED (SELECT DISTINCT LEAST(s, p) AS a, GREATEST(s, p) AS b FROM topn),
+         |adj AS MATERIALIZED (SELECT a AS u, b AS v FROM edges UNION ALL SELECT b, a FROM edges),
+         |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM adj)$rounds
          |SELECT l4.node, l4.label AS community, CAST(s.cnt AS BIGINT) AS community_size
          |FROM l4 JOIN (SELECT label, COUNT(*) AS cnt FROM l4 GROUP BY 1) s USING (label)
          |ORDER BY node""".stripMargin
@@ -1901,17 +1901,17 @@ object OracleSql {
       val iters = 5
       val rounds = (1 to iters).map { i =>
         s""",
-           |r$i AS (SELECT dst AS node,
+           |r$i AS MATERIALIZED (SELECT dst AS node,
            | CAST(150000 + (85 * CAST(SUM((pr * w) // sw) AS BIGINT)) // 100 AS BIGINT) AS pr
            | FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node GROUP BY 1)""".stripMargin
       }.mkString
-      s"""WITH base AS (
+      s"""WITH base AS MATERIALIZED (
          | SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s, COUNT(*) AS w
          | FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
-         |edges AS (SELECT c AS src, s AS dst, w FROM base UNION ALL SELECT s, c, w FROM base),
-         |sw AS (SELECT src AS dsrc, CAST(SUM(w) AS BIGINT) AS sw FROM edges GROUP BY 1),
-         |e AS (SELECT src, dst, CAST(w AS BIGINT) AS w, sw FROM edges JOIN sw ON src = dsrc),
-         |r0 AS (SELECT dsrc AS node, CAST(1000000 AS BIGINT) AS pr FROM sw)$rounds,
+         |edges AS MATERIALIZED (SELECT c AS src, s AS dst, w FROM base UNION ALL SELECT s, c, w FROM base),
+         |sw AS MATERIALIZED (SELECT src AS dsrc, CAST(SUM(w) AS BIGINT) AS sw FROM edges GROUP BY 1),
+         |e AS MATERIALIZED (SELECT src, dst, CAST(w AS BIGINT) AS w, sw FROM edges JOIN sw ON src = dsrc),
+         |r0 AS MATERIALIZED (SELECT dsrc AS node, CAST(1000000 AS BIGINT) AS pr FROM sw)$rounds,
          |rk AS (SELECT node, pr, ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS rnk FROM r$iters)
          |SELECT CAST(rnk AS INT) AS rnk, node, CAST(node % 2 AS INT) AS is_supplier, pr
          |FROM rk WHERE rnk <= 25 ORDER BY rnk""".stripMargin
@@ -2131,17 +2131,17 @@ object OracleSql {
       val kSel = 5
       val rounds = (2 to kSel).map { i =>
         s""",
-           |ms$i AS (SELECT ps.q_id AS mq, aid, MAX(sim) AS maxsim
+           |ms$i AS MATERIALIZED (SELECT ps.q_id AS mq, aid, MAX(sim) AS maxsim
            |  FROM ps JOIN ss${i - 1} ON ps.q_id = ss${i - 1}.q_id AND ps.bid = ss${i - 1}.n_id
            |  GROUP BY 1, 2),
-           |sc$i AS (SELECT c.q_id, c.n_id, 7 * rel - 3 * maxsim AS score_x10
+           |sc$i AS MATERIALIZED (SELECT c.q_id, c.n_id, 7 * rel - 3 * maxsim AS score_x10
            |  FROM cand c JOIN ms$i ON c.q_id = mq AND c.n_id = aid
            |  WHERE NOT EXISTS (SELECT 1 FROM ss${i - 1} s
            |                    WHERE s.q_id = c.q_id AND s.n_id = c.n_id)),
-           |sel$i AS (SELECT q_id, n_id, $i AS mmr_rank, score_x10 FROM (
+           |sel$i AS MATERIALIZED (SELECT q_id, n_id, $i AS mmr_rank, score_x10 FROM (
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
            |    ORDER BY score_x10 DESC, n_id) AS rn FROM sc$i) WHERE rn = 1),
-           |ss$i AS (SELECT q_id, n_id FROM ss${i - 1}
+           |ss$i AS MATERIALIZED (SELECT q_id, n_id FROM ss${i - 1}
            |  UNION ALL SELECT q_id, n_id FROM sel$i)""".stripMargin
       }.mkString
       val unionAll = (1 to kSel).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")
@@ -2150,15 +2150,15 @@ object OracleSql {
          |s AS (SELECT q_id, n_id, ${cosMicro("qv", "nv")} AS rel
          |  FROM q, c WHERE q_id <> n_id),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id) AS rnk FROM s),
-         |cand AS (SELECT q_id, n_id, rel FROM r WHERE rnk <= 20),
-         |ce AS (SELECT cand.q_id, cand.n_id, rel, embedding AS v
+         |cand AS MATERIALIZED (SELECT q_id, n_id, rel FROM r WHERE rnk <= 20),
+         |ce AS MATERIALIZED (SELECT cand.q_id, cand.n_id, rel, embedding AS v
          |  FROM cand JOIN embeddings ON n_id = vec_id),
-         |ps AS (SELECT a.q_id, a.n_id AS aid, b.n_id AS bid, ${cosMicro("a.v", "b.v")} AS sim
+         |ps AS MATERIALIZED (SELECT a.q_id, a.n_id AS aid, b.n_id AS bid, ${cosMicro("a.v", "b.v")} AS sim
          |  FROM ce a JOIN ce b ON a.q_id = b.q_id AND a.n_id <> b.n_id),
-         |sel1 AS (SELECT q_id, n_id, 1 AS mmr_rank, 7 * rel AS score_x10 FROM (
+         |sel1 AS MATERIALIZED (SELECT q_id, n_id, 1 AS mmr_rank, 7 * rel AS score_x10 FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id) AS rn
          |  FROM cand) WHERE rn = 1),
-         |ss1 AS (SELECT q_id, n_id FROM sel1)$rounds
+         |ss1 AS MATERIALIZED (SELECT q_id, n_id FROM sel1)$rounds
          |SELECT q_id, CAST(mmr_rank AS INT) AS mmr_rank, n_id, score_x10
          |FROM ($unionAll) ORDER BY q_id, mmr_rank""".stripMargin
     },

@@ -51,6 +51,10 @@ con = duckdb.connect()
 # oracle doesn't starve a concurrent sbt build on the same box.
 if os.environ.get("DUCKDB_THREADS"):
     con.sql(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
+# DUCKDB_MEM bounds the hash-table memory before spilling; an unbounded
+# oracle that would spill the disk full should instead fail loudly.
+if os.environ.get("DUCKDB_MEM"):
+    con.sql(f"SET memory_limit='{os.environ['DUCKDB_MEM']}'")
 tables = "region nation customer supplier part orders lineitem events documents embeddings".split()
 for t in tables:
     p = f"{SF_DIR}/{t}.parquet"

@@ -8,17 +8,13 @@ SF=/root/repo/target/sf1
 LOG=/tmp/sf1_residual.log
 : > "$LOG"
 QUERIES=(
-  dedup_cluster_sizes dedup_stats dedup_corpus dedup_survivors dedup_survivors_inc
-  text_pipeline_corpus text_containment dedup_ngram_jaccard
-  text_dedup_spans text_dedup_spans_char text_dedup_spans_char_corpus
-  text_fuzzy_survivors
   graph_triangles graph_label_prop
   graph_pagerank graph_pagerank_weighted graph_pagerank_inc graph_pagerank_stream
-  ann_bruteforce vec_mmr vec_hard_negatives
+  vec_mmr ann_bruteforce vec_hard_negatives
 )
 for q in "${QUERIES[@]}"; do
   echo "=== $(date +%H:%M:%S) $q" >> "$LOG"
-  SKIP_SPARK=1 DUCKDB_THREADS=${DUCKDB_THREADS:-16} ONLY="$q" \
+  SKIP_SPARK=1 DUCKDB_THREADS=${DUCKDB_THREADS:-16} DUCKDB_MEM=${DUCKDB_MEM:-40GB} ONLY="$q" \
     MERGE_JSON="$ART" CHECK_JSON="$ART" \
     python3 /root/repo/tools/check.py "$SF" "$OUT" >> "$LOG" 2>&1
 done
