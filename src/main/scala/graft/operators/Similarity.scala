@@ -669,9 +669,16 @@ object Similarity {
       val sub = slice(col("q_vec"), s * subDim + 1, subDim)
       array(book.toSeq.map(cv => vecDot(spark, sub, typedLit(cv.toSeq))): _*)
     }: _*)
+    // PINNED before the probe crossJoin: the LUT is 256 small literal-
+    // codebook folds whose expression tree runs interpreted (the same
+    // fell-out-of-codegen shape LshBands replaced) — left lazy it
+    // re-evaluates once per (query x centroid) probe row, scaling the
+    // probe stage with k (measured 2.0 -> 5.6 s at sf1 going k=16 ->
+    // 142). Materialized it runs once per QUERY (|q| rows, ~2 KB each).
     val qq = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       .withColumn("q_n", vecDot(spark, col("q_vec"), col("q_vec")))
       .withColumn("lut", lut)
+      .pin(false)
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cent_cos").desc, col("cent_id"))
     val probed = qq.crossJoin(centsDf)
       .withColumn("cent_cos", vecDot(spark, col("q_vec"), col("cent_vec")) / sqrt(col("cent_n")))
