@@ -26,8 +26,13 @@ def stamp(d):
             "quiet_load_bound": d["quiet_load_bound"],
             "contaminated": d["contaminated"]}
 
+import os
+# SCALE_WHAT overrides the decade description (the second decade
+# sf1 -> sf10 reuses this builder over a query subset).
+what = os.environ.get("SCALE_WHAT", "").strip()
 art = {
-    "what": ("Scaling decade sf0.1 -> sf1 over the FULL %d-query surface: "
+    "what": (what % len(common) if "%d" in what else what) if what else (
+             "Scaling decade sf0.1 -> sf1 over the FULL %d-query surface: "
              "sf1 = deterministic 10x replication of the driver's sf0.1 "
              "testdata via graft.ScaleUp (id strides preserve every modulus "
              "selection; documents get per-replica zzr<r>zz token "
@@ -37,10 +42,12 @@ art = {
     "suite_growth_for_10x_data": round(tot_b / tot_a, 2),
     "median_per_query_growth": round(statistics.median(growth.values()), 2),
     "per_query_growth_min_over_trials": growth,
-    "per_query_min_sec_sf01": {q: round(qa[q], 3) for q in common},
-    "per_query_min_sec_sf1": {q: round(qb[q], 3) for q in common},
-    "sf01": stamp(a),
-    "sf1": stamp(b),
+    "per_query_min_sec_" + os.environ.get("SCALE_LEG_A", "sf01"):
+        {q: round(qa[q], 3) for q in common},
+    "per_query_min_sec_" + os.environ.get("SCALE_LEG_B", "sf1"):
+        {q: round(qb[q], 3) for q in common},
+    os.environ.get("SCALE_LEG_A", "sf01"): stamp(a),
+    os.environ.get("SCALE_LEG_B", "sf1"): stamp(b),
     # Flat growth that is a DOMAIN CONTRACT, not engine scaling: readers
     # of the suite-growth figure must not credit these to the engine.
     "bounded_anchor_queries": {
