@@ -188,16 +188,21 @@ object Bench {
     // measurably tightens the min-sum toward the quiet-machine figure.
     val trials = math.max(1, sys.env.getOrElse("SPARK_GRAFT_TRIALS", "4").toInt)
     // --- headline/scale-leg convergence (one number, one procedure):
-    // per-query minima are MERGED from a prior sidecar of the same sf
-    // and the same SOURCE revision, so two quiet runs of this same
-    // procedure (the round's headline run and the scale artifact's
-    // sf0.1 leg) converge on one number by construction — the min
-    // estimator fed more interleaved trials, not a different estimator
-    // (a load burst can only inflate a sample, so min-merging is
-    // one-sided safe). A sidecar from OTHER code must never mask a
-    // real regression, so the merge is keyed on a content hash of
-    // src/main/scala — not the git head, which moves on artifact-only
-    // commits between the two runs.
+    // per-query minima CAN be merged from a prior sidecar of the same
+    // sf, the same core count, and the same SOURCE revision, so two
+    // quiet runs of this same procedure (the round's headline run and
+    // the scale artifact's sf0.1 leg) converge on one number by
+    // construction — the min estimator fed more interleaved trials,
+    // not a different estimator (a load burst can only inflate a
+    // sample, so min-merging is one-sided safe). The merge is OPT-IN
+    // (SPARK_GRAFT_MERGE_SIDECAR=<path>): a default-on merge would let
+    // a stale sidecar leak a DIFFERENT configuration's minima into an
+    // unsuspecting run — in particular the driver's lower-core scaling
+    // leg, which must never inherit 32-core times. A sidecar from
+    // OTHER code must never mask a real regression either, so the
+    // merge is additionally keyed on a content hash of src/main/scala
+    // — not the git head, which moves on artifact-only commits between
+    // the two runs — and on the run's core count.
     def srcRev(): String =
       try {
         val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -215,16 +220,17 @@ object Bench {
         md.digest().take(8).map("%02x".format(_)).mkString
       } catch { case _: Throwable => "unknown" }
     val codeRev = srcRev()
-    val mergeSidecar = sys.env.getOrElse("SPARK_GRAFT_MERGE_SIDECAR", "BENCH_SIDECAR.json")
+    val mergeSidecar = sys.env.getOrElse("SPARK_GRAFT_MERGE_SIDECAR", "0")
     val priorMin: Map[String, Double] =
-      if (mergeSidecar == "0" || codeRev == "unknown") Map.empty
+      if (mergeSidecar == "0" || mergeSidecar.isEmpty || codeRev == "unknown") Map.empty
       else try {
         val detail = scala.util.Using.resource(
           scala.io.Source.fromFile(mergeSidecar))(
           _.getLines().find(_.contains("\"metric\":\"detail\"")).getOrElse(""))
         def field(k: String): Option[String] =
           ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(detail).map(_.group(1))
-        if (field("sf").contains(sfDir) && field("code_rev").contains(codeRev)) {
+        if (field("sf").contains(sfDir) && field("code_rev").contains(codeRev)
+            && field("cpus").contains(cpus)) {
           val i = detail.indexOf("\"queries_min\":{")
           if (i < 0) Map.empty[String, Double]
           else {
@@ -309,7 +315,7 @@ object Bench {
       "\"" + name + "\":[" + f(xs.min) + "," + f(median(xs)) + "," + f(xs.max) + "]"
     }.mkString("{", ",", "}")
     val detailLine =
-      s"""{"metric":"detail","unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","trials":$trials,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"loadavg_pre":${f(loadPre)},"loadavg_pre5":${f(loadPre5)},"max_competing_cores":${f(maxCompeting)},"quiet_load_bound":$quietLoad,"quiet_wait_sec":$waitedSec,"retried":${suspects.size},"code_rev":"$codeRev","merged_prior_queries":$mergedPrior,"contaminated":$contaminated}"""
+      s"""{"metric":"detail","unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","cpus":"$cpus","trials":$trials,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"loadavg_pre":${f(loadPre)},"loadavg_pre5":${f(loadPre5)},"max_competing_cores":${f(maxCompeting)},"quiet_load_bound":$quietLoad,"quiet_wait_sec":$waitedSec,"retried":${suspects.size},"code_rev":"$codeRev","merged_prior_queries":$mergedPrior,"contaminated":$contaminated}"""
     // The output-tail capture holds the LAST 2000 characters only, and the
     // build tool's closing status line consumes ~76 of them. A full
     // per-query map (80+ entries, ~24 chars each) can never fit, so the
