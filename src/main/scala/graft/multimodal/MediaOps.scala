@@ -25,6 +25,18 @@ object MediaOps {
   case class ImageMeta(media_id: Long, kind: String, width: Int, height: Int,
                        channels: Int, mean_luma_bp: Long)
 
+  /** ImageIO's stream factories default to a DISK-backed cache
+    * (`useCache=true`): every `read(InputStream)`/`write(...,
+    * OutputStream)` call wraps the in-memory bytes in a
+    * FileCache[Input|Output]Stream — one temp-file create/write/delete
+    * per image, pure I/O overhead for payloads that are already byte
+    * arrays, and the reason decode timings swung 3-5x with tmpdir/page
+    * -cache state between otherwise-quiet runs. Memory-cached streams
+    * are bit-identical for these bounded blobs; flip the process-wide
+    * default once, same pattern as the audio SPI provider cache below. */
+  private val _memCachedImageStreams: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Real image decode (javax.imageio, in-JDK). None for payloads no
     * registered reader understands — callers decide drop vs fallback. */
   def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
