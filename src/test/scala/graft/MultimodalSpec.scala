@@ -20,6 +20,17 @@ class MultimodalSpec extends SparkSpec {
     assert(b.n_bytes === 0L && b.byte_sum === 0L && b.mean_byte_bp === 0L)
   }
 
+  test("MediaOps pins ImageIO to memory-cached streams (no temp file per image)") {
+    // The disk-backed default (useCache=true) wraps every in-memory
+    // byte-array read/write in a FileCache stream — one temp-file
+    // create/write/delete per image, measured as a 3-5x tmpdir-state
+    // swing on the decode family. MediaOps flips the process-wide
+    // default once at class init; a decode call must have latched it.
+    graft.multimodal.MediaOps.decodeImage(Array[Byte](1, 2, 3))
+    assert(!javax.imageio.ImageIO.getUseCache,
+      "MediaOps must disable ImageIO's disk-backed stream cache")
+  }
+
   test("MediaOps decode/resize/frameSample keep the typed distributed shape") {
     import graft.multimodal.MediaOps
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
