@@ -32,6 +32,13 @@ object GraftSession {
       // a local-corpus override, not a cluster recommendation.
       .config("spark.sql.files.maxPartitionBytes", (4L * 1024 * 1024).toString)
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // The JVM-wide generated-class cache defaults to 100 entries; a
+      // multi-query workload (this library declares 194) compiles far
+      // more distinct codegen units than that, so every re-run of a
+      // query Janino-recompiles every stage it had already compiled —
+      // pure driver latency on ANY deployment that serves more than a
+      // handful of distinct plans (static conf: set before the context).
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(): SparkSession = {

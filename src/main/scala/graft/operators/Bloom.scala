@@ -92,13 +92,37 @@ object Bloom {
       bitsetWords(build, keyCol, nBits, nHashes).as[(Int, Long)].collect(), nBits)
   }
 
-  /** Membership test against a bitset literal: true iff every salted
-    * hash position is set. False positives possible (rate ~(1-e^{-kn/m})^k),
+  /** Membership test against a bitset: true iff every salted hash
+    * position is set. False positives possible (rate ~(1-e^{-kn/m})^k),
     * false negatives never. `buildBitset` widens integral build keys to
     * long before hashing, so an integral probe `key` must be cast to
     * long too (`prune` does this automatically; direct callers passing
-    * an int column must cast). */
-  def mightContain(key: Column, bitset: Array[Long], nHashes: Int = 3): Column = {
+    * an int column must cast).
+    *
+    * For BIGINT keys (every current consumer) the probe is the native
+    * [[graft.expressions.BloomProbe]] kernel, whose bitset rides the
+    * expression as a plain JVM array: the former Column formulation
+    * inlined the bits as an `array<long>` literal REPEATED once per
+    * salted hash, and catalyst + plan rendering paid for megabytes of
+    * literal on every execution (~1.2-1.6 s driver latency per probing
+    * query at the 2^17-bit default, growing with filter size). Bit
+    * positions are identical (BloomProbeSpec pins equality against the
+    * literal formulation), so stored bitsets keep matching. Non-long
+    * keys keep the literal formulation. */
+  def mightContain(key: Column, bitset: Array[Long], nHashes: Int = 3): Column =
+    mightContainLiteral(key, bitset, nHashes)
+
+  /** [[mightContain]] with the session at hand, so BIGINT keys take the
+    * native probe. (The Column-only overload cannot reach a session to
+    * register the kernel against.) */
+  def mightContain(spark: org.apache.spark.sql.SparkSession, key: Column,
+                   bitset: Array[Long], nHashes: Int): Column =
+    graft.expressions.BloomProbe.bloomProbe(spark, key, bitset, nHashes)
+
+  /** The legacy literal-array formulation — kept for non-BIGINT keys
+    * and as the spec's reference semantics. */
+  private[graft] def mightContainLiteral(key: Column, bitset: Array[Long],
+                                         nHashes: Int = 3): Column = {
     val nBits = bitset.length * 64
     val bitsetLit = typedLit(bitset.toSeq)
     positions(key, nBits, nHashes).map { pos =>
@@ -119,7 +143,11 @@ object Bloom {
       s"bloom prune key types must agree after integral widening: " +
         s"$factKey is $ft, $buildKey is $bt — xxhash64 would disagree " +
         s"and the no-false-negative contract would break silently")
-    fact.where(mightContain(canonKey(fact, factKey),
-      buildBitset(build, buildKey, nBits, nHashes), nHashes))
+    val bits = buildBitset(build, buildKey, nBits, nHashes)
+    val key = canonKey(fact, factKey)
+    fact.where(
+      if (ft == org.apache.spark.sql.types.LongType)
+        mightContain(fact.sparkSession, key, bits, nHashes)
+      else mightContainLiteral(key, bits, nHashes))
   }
 }

@@ -289,7 +289,7 @@ object GraphQueries {
           val bloom = graft.operators.Bloom.buildBitset(
             batchE.select(xxhash64(col("src"), col("dst")).as("k")), "k")
           val pruned = p.where(graft.operators.Bloom.mightContain(
-            xxhash64(col("src"), col("dst")), bloom))
+            s, xxhash64(col("src"), col("dst")), bloom, 3))
           batchE.join(pruned, Seq("src", "dst"), "left_anti")
       },
       buildState = buildState,

@@ -466,7 +466,7 @@ object TextQueries {
       stored.groupBy(col("word")).agg(bit_or(col("bits")).as("bits"))
         .collect().map(r => (r.getInt(0), r.getLong(1))), nBits)
     val train = d.where(!isEval).select(col("doc_id"), explode(sh).as("h"))
-      .where(graft.operators.Bloom.mightContain(col("h"), bitset))
+      .where(graft.operators.Bloom.mightContain(spark, col("h"), bitset, 3))
     val evalSide = d.where(isEval)
       .select(col("doc_id").as("eval_id"), explode(sh).as("h"))
     train.join(evalSide, "h")
