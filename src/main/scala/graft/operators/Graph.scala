@@ -51,10 +51,33 @@ object Graph {
     * partitioning survives into every round's join. One definition so
     * the shuffle shape cannot drift between the iterative operators. */
   private def srcPartitionedDistinctEdges(edges: DataFrame): DataFrame =
+    distinctEdges(edges).persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** The UNPINNED distinct src-partitioned edge table — callers that
+    * share one edge table across several iterative queries pin this
+    * once (e.g. [[graft.operators.PlanCache.memoPersisted]], which
+    * keeps the HashPartitioning(src) a localCheckpoint would lose) and
+    * pass it to the `*OnEdges` entry points below. */
+  def distinctEdges(edges: DataFrame): DataFrame =
     edges.select(col("src"), col("dst"))
       .repartition(col("src"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Degree-annotated iteration edge table for [[pageRankOnDegreed]]:
+    * (src, dst, outdeg), hash-partitioned by src. The out-degree
+    * aggregate rides the src partitioning (no exchange) and the join
+    * back is partition-local, so building this costs the one edge
+    * shuffle the plain prologue already paid — but a PageRank loop over
+    * it no longer re-derives degrees and re-joins them EVERY ROUND
+    * (measured ~40% of the per-round CPU at sf0.1: each round scanned
+    * the cached edges twice, once for the degree aggregate and once
+    * for the join). At 100 TB the trade is one extra long column of
+    * cached edge state for one fewer corpus-wide pass per iteration. */
+  def degreeEdges(edges: DataFrame): DataFrame = {
+    val ed = distinctEdges(edges)
+    val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    ed.join(deg.hint("shuffle_hash"), "src")
+  }
 
   /** Synchronous PageRank over a directed edge list.
     *
@@ -71,12 +94,25 @@ object Graph {
     *         node, damping 0.85 as `150000 + (85 * contribs) div 100`.
     */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
-    val ed = srcPartitionedDistinctEdges(edges)
-    // Out-degrees aggregate WITHIN the src partitioning (no exchange),
-    // and the zero-exchange join back keeps the edge partitioning.
-    val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val e = ed.join(deg.hint("shuffle_hash"), "src")
-    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
+    val e = degreeEdges(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val out = pageRankOnDegreed(e, iters)
+    e.unpersist()
+    out
+  }
+
+  /** The [[pageRank]] iteration loop over an ALREADY-PREPARED degree
+    * table ([[degreeEdges]] shape: (src, dst, outdeg), hash-partitioned
+    * by src, pinned by the caller): per round, ONE shuffle-hash probe
+    * of the stationary table by the nodes-sized rank table and one
+    * partial-agg'd contribution exchange — the edges are never
+    * re-deduplicated, re-degreed, or re-shuffled. Bit-identical to
+    * [[pageRank]] (same integer arithmetic over the same edge set;
+    * GraphSpec pins the equality). */
+  def pageRankOnDegreed(e: DataFrame, iters: Int): DataFrame = {
+    // Initial ranks: every node with >= 1 out-edge, uniform 1e6. The
+    // distinct rides the src partitioning (no exchange).
+    var ranks = e.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1000000L).as("pr"))
     // Round r-1's pinned blocks, released as soon as round r lands.
     var prevPin: Option[org.apache.spark.rdd.RDD[_]] = None
     for (i <- 1 to iters) {
@@ -96,7 +132,6 @@ object Graph {
       prevPin.foreach(_.unpersist(false))
       prevPin = pinnedRdd(ranks)
     }
-    ed.unpersist()
     ranks
   }
 
@@ -119,13 +154,32 @@ object Graph {
     * `pr * w` stays far under 2^63 for any realistic weight scale
     * (pr ~ 1e6-1e9, w ~ multiplicities). */
   def pageRankWeighted(edges: DataFrame, iters: Int): DataFrame = {
+    val e = weightedDegreeEdges(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val out = pageRankWeightedOnEdges(e, iters)
+    e.unpersist()
+    out
+  }
+
+  /** [[degreeEdges]]' weighted sibling for [[pageRankWeightedOnEdges]]:
+    * parallel edges summed to their multiplicity weight and annotated
+    * with the emitter's total outgoing weight — (src, dst, w, sw),
+    * hash-partitioned by src. Both aggregates and the join back ride
+    * the src partitioning (no extra exchange). */
+  def weightedDegreeEdges(edges: DataFrame): DataFrame = {
     val ed = edges.select(col("src"), col("dst"), col("w"))
       .repartition(col("src"))
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val sw = ed.groupBy(col("src")).agg(sum(col("w")).as("sw"))
-    val e = ed.join(sw.hint("shuffle_hash"), "src")
-    var ranks = sw.select(col("src").as("node"), lit(1000000L).as("pr"))
+    ed.join(sw.hint("shuffle_hash"), "src")
+  }
+
+  /** The [[pageRankWeighted]] loop over an ALREADY-PREPARED
+    * [[weightedDegreeEdges]] table (pinned by the caller) — same
+    * per-round shape as [[pageRankOnDegreed]], same bit-identity
+    * contract. */
+  def pageRankWeightedOnEdges(e: DataFrame, iters: Int): DataFrame = {
+    var ranks = e.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1000000L).as("pr"))
     var prevPin: Option[org.apache.spark.rdd.RDD[_]] = None
     for (_ <- 1 to iters) {
       val next = e.join(ranks.hint("shuffle_hash"), col("src") === col("node"))
@@ -137,7 +191,6 @@ object Graph {
       prevPin.foreach(_.unpersist(false))
       prevPin = pinnedRdd(ranks)
     }
-    ed.unpersist()
     ranks
   }
 
@@ -410,6 +463,16 @@ object Graph {
     */
   def bfsDistances(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
     val ed = srcPartitionedDistinctEdges(edges)
+    val out = bfsDistancesOnEdges(ed, seeds, maxDepth)
+    ed.unpersist()
+    out
+  }
+
+  /** The [[bfsDistances]] loop over an ALREADY-PREPARED distinct
+    * src-partitioned edge table ([[distinctEdges]] shape, pinned by the
+    * caller) — the traversal itself, with the caller owning the edge
+    * table's lifecycle. Bit-identical to [[bfsDistances]]. */
+  def bfsDistancesOnEdges(ed: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
     var frontier = seeds.select(col("node")).distinct().pin(true)
     val frontiers = scala.collection.mutable.ArrayBuffer(frontier)
     val levels = scala.collection.mutable.ArrayBuffer(
@@ -427,7 +490,6 @@ object Graph {
       frontiers += frontier
       levels += frontier.select(col("node"), lit(d).as("dist"))
     }
-    ed.unpersist()
     // Flat union of the pinned per-level tables (the last may be empty
     // — a drained frontier is harmless in a union), re-pinned EAGERLY
     // as ONE result so every per-level pin can be released before
@@ -547,6 +609,12 @@ object Graph {
     * the cheapest parallel edge can ever lie on a shortest path, so the
     * collapse is semantics-preserving and shrinks every round's probe. */
   private def srcPartitionedMinWeightEdges(edges: DataFrame): DataFrame =
+    minWeightEdges(edges).persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** The UNPINNED min-weight iteration edge table — the weighted
+    * sibling of [[distinctEdges]] for callers that pin it themselves
+    * and run [[ssspDistancesOnEdges]]. */
+  def minWeightEdges(edges: DataFrame): DataFrame =
     edges.select(col("src"), col("dst"), col("w"))
       .repartition(col("src"))
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
@@ -562,7 +630,6 @@ object Graph {
           lit("ssspDistances requires integer edge weights >= 1, got w="),
           col("w"), lit(" on edge src="), col("src"), lit(" dst="), col("dst"))))
           .otherwise(col("w")).as("w"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** COST-BOUNDED weighted shortest paths by synchronous delta
     * relaxation (Bellman–Ford restricted to last-round-improved
@@ -592,11 +659,18 @@ object Graph {
     * @return (node, dist) with dist in [0, maxCost]. */
   def ssspDistances(edges: DataFrame, seeds: DataFrame, maxCost: Long): DataFrame = {
     val ed = srcPartitionedMinWeightEdges(edges)
-    val dist0 = seeds.select(col("node")).distinct()
-      .select(col("node"), lit(0L).as("dist")).pin(true)
-    val out = relaxToFixpoint(ed, dist0, dist0, maxCost)
+    val out = ssspDistancesOnEdges(ed, seeds, maxCost)
     ed.unpersist()
     out
+  }
+
+  /** The [[ssspDistances]] relaxation over an ALREADY-PREPARED
+    * [[minWeightEdges]] table (pinned by the caller) — bit-identical,
+    * caller owns the edge table's lifecycle. */
+  def ssspDistancesOnEdges(ed: DataFrame, seeds: DataFrame, maxCost: Long): DataFrame = {
+    val dist0 = seeds.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("dist")).pin(true)
+    relaxToFixpoint(ed, dist0, dist0, maxCost)
   }
 
   /** EXACT incremental maintenance of [[ssspDistances]] under EDGE

@@ -25,16 +25,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object PlanCache {
   // Must exceed the number of memoized derivation families a one-dir
-  // session touches — one per PlanCache.memo call site under queries/
-  // (grep recounts them; 8 as of this note). At the cap, one more key
-  // would evict-thrash every query.
-  private val Max = 12
+  // session touches — one per PlanCache.memo/memoPersisted call site
+  // under queries/ (grep recounts them; 11 as of this note). At the
+  // cap, one more key would evict-thrash every query.
+  private val Max = 16
   private val cache =
     new java.util.LinkedHashMap[(SparkSession, String), DataFrame](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
-        this.size() > Max
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean = {
+        val evict = this.size() > Max
+        // A persisted entry's cached blocks are keyed by PLAN in the
+        // session's CacheManager — dropping the map reference alone
+        // would leak them until session end.
+        if (evict) unpersistQuietly(e.getValue)
+        evict
+      }
     }
+
+  private def unpersistQuietly(df: DataFrame): Unit =
+    try { df.unpersist(false); () } catch { case _: Throwable => () }
 
   private val listenerRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.SparkContext]()
@@ -57,6 +66,7 @@ object PlanCache {
     cache.synchronized {
       val it = cache.keySet.iterator
       while (it.hasNext) if (it.next()._1.sparkContext eq sc) it.remove()
+      // No unpersist here: the context is stopping, its blocks die with it.
     }
 
   /** Drop every entry of ONE session — for a long-lived context that
@@ -64,8 +74,11 @@ object PlanCache {
     * has no per-child-session stop event, so the host must say when a
     * session is done or its pinned tables linger until LRU pressure. */
   def onSessionEnd(spark: SparkSession): Unit = cache.synchronized {
-    val it = cache.keySet.iterator
-    while (it.hasNext) if (it.next()._1 eq spark) it.remove()
+    val it = cache.entrySet().iterator
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) { unpersistQuietly(e.getValue); it.remove() }
+    }
   }
 
   /** Memoized build of a named derivation. Lazy checkpoint: the first
@@ -78,6 +91,26 @@ object PlanCache {
     val k = (spark, key)
     cache.synchronized(Option(cache.get(k))).getOrElse {
       val built = build.localCheckpoint(false)
+      cache.synchronized {
+        Option(cache.get(k)).getOrElse { cache.put(k, built); built }
+      }
+    }
+  }
+
+  /** [[memo]] that pins with `.persist` (MEMORY_AND_DISK) instead of
+    * `localCheckpoint` — for derivations whose OUTPUT PARTITIONING is
+    * the point (iteration edge tables hash-partitioned on the join
+    * key): a localCheckpointed LogicalRDD reports UnknownPartitioning,
+    * so every consumer would re-exchange the table, while a cached
+    * InMemoryRelation keeps the partitioning (AQE leaves cached-plan
+    * output partitioning alone by default —
+    * `spark.sql.optimizer.canChangeCachedPlanOutputPartitioning`).
+    * Entries unpersist on LRU eviction and session purge. */
+  def memoPersisted(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    ensureListener(spark)
+    val k = (spark, key)
+    cache.synchronized(Option(cache.get(k))).getOrElse {
+      val built = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cache.synchronized {
         Option(cache.get(k)).getOrElse { cache.put(k, built); built }
       }

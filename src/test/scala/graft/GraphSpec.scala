@@ -281,9 +281,16 @@ class GraphSpec extends SparkSpec {
     assert(graft.operators.PlanCache.size === sizeAfterTri)
     val pr = graft.queries.GraphQueries.qPageRank(spark, Sf).collect()
     val sizeAfterPr = graft.operators.PlanCache.size
-    val prw = graft.queries.GraphQueries.qPageRankWeighted(spark, Sf).collect()
-    assert(pr.nonEmpty && prw.nonEmpty)
+    // BFS shares BOTH of pagerank's tables (the raw purchase edges and
+    // the degreed iteration table): no new entry.
+    val bfs = graft.queries.GraphQueries.qGraphBfs(spark, Sf).collect()
+    assert(pr.nonEmpty && bfs.nonEmpty)
     assert(graft.operators.PlanCache.size === sizeAfterPr)
+    // The weighted variant adds exactly its own weighted iteration
+    // table on top of the shared purchase edges.
+    val prw = graft.queries.GraphQueries.qPageRankWeighted(spark, Sf).collect()
+    assert(prw.nonEmpty)
+    assert(graft.operators.PlanCache.size === sizeAfterPr + 1)
     graft.operators.PlanCache.clear()
   }
 
@@ -318,5 +325,66 @@ class GraphSpec extends SparkSpec {
     assert(scored(1L) > scored(2L),
       s"dense short doc must outrank diluted long doc: $scored")
     assert(scored.values.forall(_ > 0))
+  }
+
+  test("prepared-edge loops equal their self-preparing twins bit for bit") {
+    // The *OnEdges/*OnDegreed entry points exist so queries can share
+    // one pinned, partitioned edge table across calls — the ONE thing
+    // to pin is that splitting preparation from iteration changes no
+    // result (same dedup/aggregation, same integer arithmetic).
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L), (3L, 4L),
+      (2L, 3L), (4L, 3L) // repeats: the dedup/weight-sum must see them
+    ).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+
+    val pr1 = Graph.pageRank(edges, iters = 4).collect().toSet
+    val deg = Graph.degreeEdges(edges).persist()
+    val pr2 = Graph.pageRankOnDegreed(deg, iters = 4).collect().toSet
+    assert(pr1 === pr2)
+
+    val bfs1 = Graph.bfsDistances(edges, seeds, maxDepth = 3).collect().toSet
+    val bfs2 = Graph.bfsDistancesOnEdges(
+      deg.select(col("src"), col("dst")), seeds, maxDepth = 3).collect().toSet
+    assert(bfs1 === bfs2)
+    deg.unpersist()
+
+    val wEdges = edges.withColumn("w", lit(1L))
+    val wpr1 = Graph.pageRankWeighted(wEdges, iters = 4).collect().toSet
+    val wdeg = Graph.weightedDegreeEdges(wEdges).persist()
+    val wpr2 = Graph.pageRankWeightedOnEdges(wdeg, iters = 4).collect().toSet
+    assert(wpr1 === wpr2)
+    wdeg.unpersist()
+
+    val sEdges = Seq((1L, 2L, 2L), (2L, 3L, 1L), (1L, 3L, 5L), (1L, 3L, 4L))
+      .toDF("src", "dst", "w")
+    val ss1 = Graph.ssspDistances(sEdges, seeds, maxCost = 6).collect().toSet
+    val minw = Graph.minWeightEdges(sEdges).persist()
+    val ss2 = Graph.ssspDistancesOnEdges(minw, seeds, maxCost = 6).collect().toSet
+    assert(ss1 === ss2)
+    minw.unpersist()
+  }
+
+  test("memoPersisted keeps the hash partitioning a localCheckpoint would lose") {
+    import graft.operators.PlanCache
+    val key = s"spec:memo-persisted:${java.util.UUID.randomUUID}"
+    val prep = PlanCache.memoPersisted(spark, key) {
+      Graph.degreeEdges(
+        spark.range(1000).select((col("id") % 50).as("src"), (col("id") % 37).as("dst")))
+    }
+    prep.count() // materialize the cache
+    // A join keyed on src must not ADD an exchange on the edge side:
+    // the only hashpartitioning(src) exchanges in the plan are the
+    // REPARTITION_BY_COL ones inside the cached relation's lineage —
+    // an ENSURE_REQUIREMENTS one would mean the planner re-shuffled
+    // the pinned table (what happens when the pin loses partitioning,
+    // e.g. under localCheckpoint).
+    val ranks = spark.range(50).select(col("id").as("node"), lit(1L).as("pr"))
+    val plan = prep.join(ranks.hint("shuffle_hash"), col("src") === col("node"))
+      .queryExecution.executedPlan.toString
+    val added = "Exchange hashpartitioning\\(src[^\\n]*ENSURE_REQUIREMENTS".r
+      .findAllIn(plan).size
+    assert(added === 0, s"edge side re-exchanged:\n$plan")
+    assert(plan.contains("InMemoryTableScan"), s"prepared table not cached:\n$plan")
   }
 }
