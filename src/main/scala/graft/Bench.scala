@@ -176,6 +176,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // 194 distinct queries compile far more codegen units than the
+      // 100-entry default generated-class cache holds, so interleaved
+      // trials Janino-recompiled every stage of every query — pure
+      // driver latency for any multi-query workload, local or cluster
+      // (same conf as GraftSession; static, so set before the context).
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -221,25 +227,42 @@ object Bench {
       } catch { case _: Throwable => "unknown" }
     val codeRev = srcRev()
     val mergeSidecar = sys.env.getOrElse("SPARK_GRAFT_MERGE_SIDECAR", "0")
+    // An explicitly requested merge that silently lands nothing is an
+    // operator trap (a typo'd path or stale sidecar would only show as
+    // merged_prior_queries:0) — every rejection states its reason once
+    // on stderr; the merge itself stays opt-in and fully keyed.
+    def mergeReject(reason: String): Map[String, Double] = {
+      System.err.println(s"[bench] sidecar merge REJECTED ($mergeSidecar): $reason")
+      Map.empty
+    }
     val priorMin: Map[String, Double] =
-      if (mergeSidecar == "0" || mergeSidecar.isEmpty || codeRev == "unknown") Map.empty
+      if (mergeSidecar == "0" || mergeSidecar.isEmpty) Map.empty
+      else if (codeRev == "unknown") mergeReject("could not hash src/main/scala")
       else try {
         val detail = scala.util.Using.resource(
           scala.io.Source.fromFile(mergeSidecar))(
           _.getLines().find(_.contains("\"metric\":\"detail\"")).getOrElse(""))
         def field(k: String): Option[String] =
           ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(detail).map(_.group(1))
-        if (field("sf").contains(sfDir) && field("code_rev").contains(codeRev)
-            && field("cpus").contains(cpus)) {
+        if (detail.isEmpty) mergeReject("no detail line in sidecar")
+        else if (!field("sf").contains(sfDir))
+          mergeReject(s"sf mismatch: sidecar=${field("sf").getOrElse("?")} run=$sfDir")
+        else if (!field("code_rev").contains(codeRev))
+          mergeReject(s"code_rev mismatch: sidecar=${field("code_rev").getOrElse("?")} run=$codeRev")
+        else if (!field("cpus").contains(cpus))
+          mergeReject(s"cpus mismatch: sidecar=${field("cpus").getOrElse("?")} run=$cpus")
+        else {
           val i = detail.indexOf("\"queries_min\":{")
-          if (i < 0) Map.empty[String, Double]
+          if (i < 0) mergeReject("sidecar detail line has no queries_min map")
           else {
             val body = detail.substring(i + 15, detail.indexOf('}', i))
             "\"([^\"]+)\":([0-9.eE+-]+)".r.findAllMatchIn(body)
               .map(m => m.group(1) -> m.group(2).toDouble).toMap
           }
-        } else Map.empty[String, Double]
-      } catch { case _: Throwable => Map.empty }
+        }
+      } catch {
+        case e: Throwable => mergeReject(s"unreadable sidecar: ${e.getMessage}")
+      }
     // optional comma-separated name filter for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -9,6 +9,10 @@ import org.apache.spark.sql.execution.ExplainMode
   */
 object ExplainDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      println("usage: runMain graft.ExplainDump <outDir> <suffix> <sfDir> q1,q2,...")
+      sys.exit(2)
+    }
     val Array(outDir, suffix, sfDir, list) = args.take(4)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val spark = GraftSession.getOrCreate()

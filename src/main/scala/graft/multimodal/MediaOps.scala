@@ -32,10 +32,10 @@ object MediaOps {
     * per image, pure I/O overhead for payloads that are already byte
     * arrays, and the reason decode timings swung 3-5x with tmpdir/page
     * -cache state between otherwise-quiet runs. Memory-cached streams
-    * are bit-identical for these bounded blobs; flip the process-wide
-    * default once, same pattern as the audio SPI provider cache below. */
-  private val _memCachedImageStreams: Unit =
-    javax.imageio.ImageIO.setUseCache(false)
+    * are bit-identical for these bounded blobs; the process-wide flip
+    * lives in [[MediaInit]] so the synthetic ENCODE paths
+    * ([[Multimodal]]) get it too on executors that never decode. */
+  private val _memCachedImageStreams: Unit = MediaInit.touch()
 
   /** Real image decode (javax.imageio, in-JDK). None for payloads no
     * registered reader understands — callers decide drop vs fallback. */

@@ -103,6 +103,7 @@ object Multimodal {
         }
         y += 1
       }
+      MediaInit.touch() // memory-cached ImageIO streams on this executor JVM
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)
       MediaRow(id, "image", bos.toByteArray)
@@ -125,6 +126,7 @@ object Multimodal {
         java.awt.image.BufferedImage.TYPE_INT_RGB)
       var y = 0
       while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+      MediaInit.touch() // memory-cached ImageIO streams on this executor JVM
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)
       MediaRow(id, "image", bos.toByteArray)
@@ -271,6 +273,7 @@ object Multimodal {
       val rgb = aviFrameRgb(id, f)
       var y = 0
       while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+      MediaInit.touch() // memory-cached ImageIO streams on this executor JVM
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, codec, bos)
       bos.toByteArray

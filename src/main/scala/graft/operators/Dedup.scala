@@ -601,24 +601,88 @@ object Dedup {
       graft.expressions.SimHashPacked.simhash64Native(
         docs.sparkSession, col(textCol)).as("sig"))
 
-  /** SimHash near-dup pairs at Hamming distance <= maxDist (<= 3 for the
-    * 4-segment blocking to be lossless by pigeonhole). Candidates
-    * shuffle only (id, 16-bit segment); signatures join back by id and
-    * the Hamming verify is `bit_count(a ^ b)` — every step whole-stage
-    * codegen'd (the former array formulation paid an interpreted
-    * zip_with/aggregate fold per candidate pair). */
+  /** Corpus size past which [[simhashPairs]] switches from 4x16-bit
+    * exact-segment blocking to 2x32-bit radius-1 probed blocking.
+    * Crossover arithmetic for uniform segments: the narrow scheme's
+    * expected random-collision candidates are ~n²/2¹⁵ pairs (4 bands
+    * over 2¹⁶ buckets), the wide scheme's fixed cost is ~66n probe
+    * rows with ~n²·33/2³¹ collisions — equal near n ≈ 2×10⁶, and real
+    * corpora skew hot segments so the narrow path degrades earlier.
+    * Below the threshold the narrow path is strictly cheaper (no 33x
+    * probe expansion); above it the candidate census stays ~linear
+    * where the 16-bit bands re-quadratified (measured 8.8x per 10x
+    * data at sf1→sf10 in round 13's scale artifact). */
+  private[graft] val WideSegThreshold = 2000000L
+
+  /** SimHash near-dup pairs at Hamming distance <= maxDist (<= 3; both
+    * blockings below are lossless for it by pigeonhole). Candidates
+    * shuffle only (id, packed segment key); signatures join back by id
+    * and the Hamming verify is `bit_count(a ^ b)` — every step
+    * whole-stage codegen'd (the former array formulation paid an
+    * interpreted zip_with/aggregate fold per candidate pair).
+    *
+    * The BLOCKING adapts to the corpus (memoized count, same contract
+    * as the LSH plane grid and the IVF list count): small corpora use
+    * 4 exact 16-bit segments (3 errors leave >= 1 segment exact);
+    * past [[WideSegThreshold]] docs the segments widen to 2x32 bits
+    * with a Hamming<=1 probe ball per segment (3 errors leave some
+    * segment with <= floor(3/2) = 1 error, and a 1-bit-off pair always
+    * collides via the differing bit's flip probe) — per-bucket
+    * occupancy drops by 2^16 for a fixed 66-key-per-doc probe cost.
+    * Both paths feed the SAME exact verify, so the emitted pairs are
+    * identical (DedupSpec pins wide == narrow); which path ran is
+    * invisible in the result. */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(maxDist <= 3, "4-segment blocking covers Hamming distance <= 3")
+    val n = graft.operators.PlanCache.countMemo(docs)
+    simhashPairsBlocked(docs, maxDist, idCol, textCol,
+      wide = n >= WideSegThreshold)
+  }
+
+  /** [[simhashPairs]] with the blocking choice forced — the spec's
+    * entry point for proving wide == narrow without a 2M-doc corpus. */
+  private[graft] def simhashPairsBlocked(docs: DataFrame, maxDist: Int,
+      idCol: String, textCol: String, wide: Boolean): DataFrame = {
+    require(maxDist <= 3,
+      "segment blocking (4 exact / 2 radius-1) covers Hamming distance <= 3")
     val sigs = simhashSigs(docs, idCol, textCol)
-    val seg = sigs.select(col("id"), posexplode(array((0 until 4).map { s =>
-      shiftrightunsigned(col("sig"), s * 16).bitwiseAND(lit(0xffffL))
-    }: _*)).as(Seq("seg_idx", "seg")))
-    val cand = seg.toDF("a_id", "seg_idx", "seg")
-      .join(seg.toDF("b_id", "seg_idx2", "seg2"),
-        col("seg_idx") === col("seg_idx2") && col("seg") === col("seg2") &&
-          col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
+    val cand =
+      if (!wide) {
+        val seg = sigs.select(col("id"), posexplode(array((0 until 4).map { s =>
+          shiftrightunsigned(col("sig"), s * 16).bitwiseAND(lit(0xffffL))
+        }: _*)).as(Seq("seg_idx", "seg")))
+        seg.toDF("a_id", "seg_idx", "seg")
+          .join(seg.toDF("b_id", "seg_idx2", "seg2"),
+            col("seg_idx") === col("seg_idx2") && col("seg") === col("seg2") &&
+              col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id")).distinct()
+      } else {
+        // Segment s's keys are tagged with s in bits 32+: the two
+        // segments' key spaces stay disjoint in ONE long join key.
+        val segs = Seq(
+          col("sig").bitwiseAND(lit(0xffffffffL)),
+          shiftrightunsigned(col("sig"), 32))
+        val exact = sigs.select(col("id"), explode(array(segs.zipWithIndex.map {
+          case (s, i) => lit(i.toLong << 32).bitwiseOR(s)
+        }: _*)).as("key"))
+        // Probe ball: the exact key + all 32 single-bit flips per
+        // segment. A pair differing by <= 1 bit in segment s collides
+        // (0 bits: exact-exact via mask 0; 1 bit: the differing bit's
+        // flip on either side meets the other's exact key), and the
+        // a != b join plus least/greatest-distinct normalizes the
+        // double discovery.
+        val masks = 0L +: (0 until 32).map(1L << _).toSeq
+        val probeKeys = segs.zipWithIndex.flatMap { case (s, i) =>
+          masks.map(m => lit(i.toLong << 32).bitwiseOR(s.bitwiseXOR(lit(m))))
+        }
+        sigs.select(col("id").as("a_id"), explode(array(probeKeys: _*)).as("key"))
+          .join(exact.toDF("b_id", "key2"),
+            col("key") === col("key2") && col("a_id") =!= col("b_id"))
+          .select(least(col("a_id"), col("b_id")).as("a"),
+            greatest(col("a_id"), col("b_id")).as("b"))
+          .toDF("a_id", "b_id")
+          .distinct()
+      }
     cand
       .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")), "a_id")
       .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")), "b_id")

@@ -27,6 +27,25 @@ import org.apache.spark.sql.functions._
 object QualityModel {
   final val Scale = 16777216.0 // 2^24 fixed point
 
+  /** Run `f` with AQE disabled on the session. The trainer's driver
+    * pacing is `steps` tiny 1-row aggregations over an
+    * already-materialized feature table: AQE re-plans each one as two
+    * query-stage jobs with an optimizer round between them — pure
+    * per-step driver latency (~90 ms/step measured at sf0.1, identical
+    * on a cluster driver) with nothing to adapt (the exchange is a
+    * single-partition global agg either way). Values are unchanged by
+    * construction: the gradient sums are order-independent fixed-point
+    * longs. Set/restore mutates the shared session conf, so training
+    * must not run concurrently with other queries of the same session
+    * (the sequential Verify/Bench drive shape — same caveat as the
+    * streaming state-partition scope in EventQueries). */
+  private def withoutAqe[T](spark: org.apache.spark.sql.SparkSession)(f: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** The exact per-row forward pass both the distributed step and the
     * in-memory reference evaluate: left-associated dot, then the
     * standard logistic. Shared here so the spec's reference loop is
@@ -67,7 +86,7 @@ object QualityModel {
   /** Train on `feats` (one row per example; `featCols` double columns,
     * `labelCol` 0.0/1.0 double). Returns k+1 weights (bias first). */
   def train(feats: DataFrame, featCols: Seq[String], labelCol: String,
-            lr: Double, steps: Int): Array[Double] = {
+            lr: Double, steps: Int): Array[Double] = withoutAqe(feats.sparkSession) {
     val k = featCols.size
     val n = feats.count().toDouble
     require(n > 0, "cannot train on an empty feature set")

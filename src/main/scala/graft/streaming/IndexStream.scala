@@ -46,7 +46,19 @@ object IndexStream {
 
   /** Land `transform(batch)` as one index version per micro-batch.
     * AvailableNow-triggered: drains the available source then stops,
-    * the same drive shape as the other file-stream sinks. */
+    * the same drive shape as the other file-stream sinks.
+    *
+    * Retention rides the loop (the same in-loop fold the streamed
+    * graph harness runs): after each commit, once the root holds more
+    * than `spark.graft.stream.indexFoldBudget` versions (default 8),
+    * history is folded+compacted ([[VersionedTable.foldHistory]] —
+    * rows verbatim, marker ledger carried at family max), so a stream
+    * that runs for months keeps its version listing, small-file count,
+    * and cold `readAll` planning cost bounded by the budget instead of
+    * by the batch count. Safe at this point in the loop: the fold runs
+    * strictly AFTER the batch's marker landed, so the replay guard
+    * above (a max-marker comparison) never needs a folded-away
+    * version. */
   def runVersionedSink(stream: DataFrame, root: String,
       transform: DataFrame => DataFrame,
       checkpointDir: Option[String] = None): StreamingQuery = {
@@ -59,6 +71,10 @@ object IndexStream {
         if (VersionedTable.maxMarker(spark, root, "batch_id").forall(_ < batchId)) {
           VersionedTable.commit(transform(batch), root,
             markers = Seq(s"_batch_id_$batchId"))
+          val foldBudget = spark.conf
+            .getOption("spark.graft.stream.indexFoldBudget").map(_.toInt).getOrElse(8)
+          if (VersionedTable.versions(spark, root).size > foldBudget)
+            VersionedTable.foldHistory(spark, root)
           ()
         }
       }

@@ -200,6 +200,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0L))
   }
 
+  test("simhash wide 2x32 radius-1 blocking emits exactly the narrow 4x16 pairs") {
+    // The adaptive blocking switch must be invisible in the result:
+    // both schemes are lossless for Hamming <= 3 by pigeonhole and
+    // share the exact bit_count verify. Drive both on the real sf
+    // documents (near-dup structure included) at every legal maxDist.
+    val d = graft.sources.TableLoader.load(spark, Sf, "documents")
+    for (md <- 0 to 3) {
+      val narrow = Dedup.simhashPairsBlocked(d, md, "doc_id", "text", wide = false)
+        .select("id1", "id2", "hamming").as[(Long, Long, Long)].collect().toSet
+      val wide = Dedup.simhashPairsBlocked(d, md, "doc_id", "text", wide = true)
+        .select("id1", "id2", "hamming").as[(Long, Long, Long)].collect().toSet
+      assert(wide === narrow, s"blocked pair sets diverge at maxDist=$md")
+    }
+  }
+
   test("pipeline corpus output is gated, deduped, and eval-free") {
     import graft.queries.TextQueries
     val real = graft.sources.TableLoader.load(spark, Sf, "documents")

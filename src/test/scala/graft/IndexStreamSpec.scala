@@ -137,6 +137,43 @@ class IndexStreamSpec extends SparkSpec {
     assert(served === plain)
   }
 
+  test("in-loop retention fold bounds versions while the ledger keeps replays idempotent") {
+    // A long-running stream must not accrete one version per batch
+    // forever: past spark.graft.stream.indexFoldBudget the sink folds
+    // history IN the loop (after the batch's marker lands, so recovery
+    // never needs a folded-away version). Drive 6 micro-batches at
+    // budget 2: versions stay bounded, the served union is the full
+    // corpus, and a full replay still lands nothing.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idxfold").toString
+    val src = s"$tmp/docs"
+    val root = s"$tmp/postings"
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    docs.repartition(6).write.parquet(src)
+    def stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val key = "spark.graft.stream.indexFoldBudget"
+    spark.conf.set(key, "2")
+    try {
+      val q = IndexStream.runVersionedSink(
+        stream, root, TextQueries.postingsOf _, Some(s"$tmp/ckpt"))
+      q.awaitTermination(120000)
+      val nv = VersionedTable.versions(spark, root).size
+      assert(nv <= 3, s"in-loop fold should bound versions at ~budget, got $nv")
+      val postings = VersionedTable.readAll(spark, root)
+      val dl = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val served = TextQueries.bm25FromIndex(postings, dl)
+        .collect().map(_.toSeq).toSeq
+      val scratch = TextQueries.bm25Q(spark, Sf).collect().map(_.toSeq).toSeq
+      assert(served.nonEmpty && served === scratch)
+      // Full replay, fresh checkpoint: the folded ledger still carries
+      // every batch marker at family max, so nothing re-lands.
+      val q2 = IndexStream.runVersionedSink(
+        stream, root, TextQueries.postingsOf _, Some(s"$tmp/ckpt2"))
+      q2.awaitTermination(120000)
+      assert(VersionedTable.versions(spark, root).size === nv)
+    } finally spark.conf.unset(key)
+  }
+
   test("streamed decontamination equals the batch verdicts; re-run lands nothing") {
     // text_stream_decontam's sharp end: a document's verdict is
     // complete within its own micro-batch (no cross-batch state), so

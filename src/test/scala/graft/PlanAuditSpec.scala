@@ -229,11 +229,11 @@ class PlanAuditSpec extends SparkSpec {
   test("q_bloom_semi: bitset filter sits on the fact scan below the semi join") {
     val p = plan(RelationalQueries.qBloomSemi(spark, Sf))
     assert(p.contains("LeftSemi"), "real semi join must remain")
-    // The membership test (element_at against the bitset literal) must
-    // be a Filter on the fact side BEFORE the join — i.e. appear after
-    // the join node in the plan's top-down text.
+    // The membership test (the native bloom_probe kernel) must be a
+    // Filter on the fact side BEFORE the join — i.e. appear after the
+    // join node in the plan's top-down text.
     val joinAt = p.indexOf("LeftSemi")
-    val filterAt = p.indexOf("element_at")
+    val filterAt = p.indexOf("bloom_probe")
     assert(filterAt > joinAt, "bloom filter must be below (inside) the join subtree")
     assert(!p.contains("CartesianProduct"))
   }
