@@ -90,5 +90,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cms_estimate"),
       info("cms_estimate", "cms_estimate(sk, key) - CMS point count estimate for a bigint key"),
       graft.expressions.CmsMergeAgg.buildEstimate _))
+    ext.injectFunction((
+      new FunctionIdentifier("cms_estimate_all"),
+      info("cms_estimate_all", "cms_estimate_all(sk, keys) - CMS point estimates for an array<bigint>"),
+      graft.expressions.CmsMergeAgg.buildEstimateAll _))
   }
 }

@@ -91,6 +91,8 @@ object CmsMergeAgg {
     CmsMergeAgg(exprs.head).toAggregateExpression()
   def buildEstimate(exprs: Seq[Expression]): Expression =
     CmsEstimate(exprs(0), exprs(1))
+  def buildEstimateAll(exprs: Seq[Expression]): Expression =
+    CmsEstimateAll(exprs(0), exprs(1))
 
   /** Register `cms_merge`/`cms_estimate` in the session registry
     * (idempotent) — registry-based exposure keeps us off Spark 4's
@@ -101,6 +103,8 @@ object CmsMergeAgg {
         "cms_merge", buildMerge _, "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "cms_estimate", buildEstimate _, "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "cms_estimate_all", buildEstimateAll _, "built-in")
       registered += spark
     }
   }
@@ -113,6 +117,11 @@ object CmsMergeAgg {
   def estimateCol(spark: SparkSession, sk: Column, key: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_udf("cms_estimate", sk, key)
+  }
+
+  def estimateAllCol(spark: SparkSession, sk: Column, keys: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_udf("cms_estimate_all", sk, keys)
   }
 }
 
@@ -136,6 +145,47 @@ object CmsMergeAgg {
   * list is calendar x k rows, never a fact scan. Not codegen'd for the
   * same reason.
   */
+/** Batch point-estimate lookup: `cms_estimate_all(sk, keys)` = the
+  * sketch's estimates for EVERY key of an array<long>, one
+  * deserialization per sketch ROW instead of per (sketch, key) pair.
+  * Exists because the per-key form's exact task-local memo must
+  * confirm a fingerprint hit with a full memcmp of the sketch bytes —
+  * sound, but a serve that fans one broadcast ~1.1 MB merged sketch
+  * across thousands of candidate rows pays one megabyte-scale
+  * compare-and-copy PER ROW (~2.1 s of the stored heavy-hitter serve's
+  * 2.4 s at sf0.1, in one task). Here the bounded candidate list rides
+  * ONE array cell, the sketch bytes are read once, and each key costs
+  * exactly `estimateCount` — the same estimates, row for row. */
+case class CmsEstimateAll(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, org.apache.spark.sql.types.ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cms_estimate_all expects (binary, array<bigint>), got ($l, $r)")
+    }
+
+  override protected def nullSafeEval(sk: Any, keys: Any): Any = {
+    val sketch = CountMinSketch.readFrom(
+      new ByteArrayInputStream(sk.asInstanceOf[Array[Byte]]))
+    val arr = keys.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val out = new Array[Long](arr.numElements())
+    var i = 0
+    while (i < out.length) { out(i) = sketch.estimateCount(arr.getLong(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cms_estimate_all"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsEstimateAll =
+    copy(left = newLeft, right = newRight)
+}
+
 case class CmsEstimate(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
 

@@ -126,7 +126,7 @@ object Windows {
     * boundaries — the checkpoint pins ONE concrete partitioning that
     * both consumers are guaranteed to read. */
   def globalRowNumber(df: DataFrame, order: Seq[Column], nParts: Int = 0,
-                      rankCol: String = "rank"): DataFrame = {
+                      rankCol: String = "rank", totalCol: String = null): DataFrame = {
     val width =
       if (nParts > 0) nParts
       else math.min(math.max(
@@ -141,10 +141,16 @@ object Windows {
       .rowsBetween(Window.unboundedPreceding, -1)
     // nParts rows through the single-partition prefix-sum window — the
     // ONLY single-partition stage, bounded by the partition count.
+    // Carrying the grand total too costs nothing extra (same nParts-row
+    // frame) and spares rank consumers that need n (NTILE arithmetic) a
+    // SECOND full scan of the input just to count it.
     val offsets = sizes
       .withColumn("_offset", coalesce(sum(col("_n")).over(wo), lit(0L)))
-      .select(col("_pid"), col("_offset"))
-    ranked.join(broadcast(offsets), "_pid")
+    val slim = offsets.select(col("_pid"), col("_offset"))
+    val lookup =
+      if (totalCol == null) slim
+      else slim.crossJoin(sizes.agg(sum(col("_n")).as(totalCol)))
+    ranked.join(broadcast(lookup), "_pid")
       .withColumn(rankCol, col("_lrank") + col("_offset"))
       .drop("_pid", "_lrank", "_offset")
   }

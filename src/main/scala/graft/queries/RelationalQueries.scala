@@ -998,11 +998,20 @@ object RelationalQueries {
       .select(when(col("sk").isNull,
           raise_error(lit("q_heavy_hitters_stored: no stored CMS sketches")))
         .otherwise(col("sk")).as("sk"))
-    candRows.select(col("o_custkey")).distinct()
-      .crossJoin(broadcast(merged))
-      .select(col("o_custkey").as("custkey"),
-        CmsMergeAgg.estimateCol(spark, col("sk"), col("o_custkey"))
-          .as("est_orders"))
+    // Candidates ride ONE array cell into the batch estimator: the
+    // per-key cms_estimate fanned the broadcast ~1.1 MB sketch across
+    // every candidate ROW, and its exact memo confirmation (a full
+    // memcmp per row) made the serve pay megabytes of compare per
+    // candidate — 2.1 s of the 2.4 s serve in one task at sf0.1.
+    // cms_estimate_all deserializes the sketch once and answers all
+    // keys (collect_list is bounded by calendar x 32 by construction);
+    // estimates, ordering, and output schema are unchanged.
+    val candArr = candRows.select(col("o_custkey")).distinct()
+      .agg(sort_array(collect_list(col("o_custkey"))).as("keys"))
+    merged.crossJoin(broadcast(candArr))
+      .select(explode(arrays_zip(col("keys"),
+        CmsMergeAgg.estimateAllCol(spark, col("sk"), col("keys")).as("est"))).as("z"))
+      .select(col("z.keys").as("custkey"), col("z.est").as("est_orders"))
       .orderBy(col("est_orders").desc, col("custkey"))
       .limit(10)
   }
@@ -1576,9 +1585,11 @@ object RelationalQueries {
       (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("cents"),
       col("l_orderkey"), col("l_linenumber"))
     val order = Seq(col("cents"), col("l_orderkey"), col("l_linenumber"))
-    val ranked = graft.operators.Windows.globalRowNumber(li, order)
-    val total = broadcast(li.agg(count(lit(1)).as("n_total")))
-    ranked.crossJoin(total)
+    // n_total rides the rank derivation's own partition-size frame —
+    // the former separate count() was a SECOND full scan of the fact.
+    val ranked = graft.operators.Windows.globalRowNumber(li, order,
+      totalCol = "n_total")
+    ranked
       .withColumn("bucket",
         graft.operators.Windows.ntileFromRank(col("rank"), col("n_total"), 10).cast("int"))
       .groupBy(col("bucket"))
@@ -1596,16 +1607,21 @@ object RelationalQueries {
   def qDecileShare(spark: SparkSession, dir: String): DataFrame = {
     val rev = t(spark, dir, "orders").groupBy(col("o_custkey"))
       .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100).cast("long").as("cust_cents"))
+    // n_cust_total rides the rank derivation's partition sizes (the
+    // former separate aggregate re-derived `rev` — a second orders
+    // scan + aggregation); total_cents = the exact long sum of the 10
+    // decile sums, recovered by a 10-row window instead of that same
+    // second pass.
     val ranked = graft.operators.Windows.globalRowNumber(
-      rev, Seq(col("cust_cents").desc, col("o_custkey")))
-    val totals = broadcast(rev.agg(count(lit(1)).as("n_cust_total"),
-      sum(col("cust_cents")).as("total_cents")))
-    ranked.crossJoin(totals)
+      rev, Seq(col("cust_cents").desc, col("o_custkey")), totalCol = "n_cust_total")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked
       .withColumn("decile",
         graft.operators.Windows.ntileFromRank(col("rank"), col("n_cust_total"), 10).cast("int"))
       .groupBy(col("decile"))
-      .agg(count(lit(1)).as("n_cust"), sum(col("cust_cents")).as("decile_cents"),
-        max(col("total_cents")).as("_total"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("cust_cents")).as("decile_cents"))
+      .withColumn("_total", sum(col("decile_cents")).over(wAll))
       .select(col("decile"), col("n_cust"), col("decile_cents"),
         floor(lit(10000.0) * col("decile_cents") / col("_total")).cast("long").as("share_bp"))
       .orderBy(col("decile"))
